@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q...": sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + materialize counts)
+after a warm-up pass of the flagship query to absorb JVM/codegen
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from efiche_data_pipeline_spark.plans.registry import FLAGSHIP, QUERIES
+from efiche_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every oracle-relevant operator family at its heaviest.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q02_monthly_orders",
+    "q03_top_customers_per_segment",
+    "q07_star_join_revenue",
+    "q09_copurchase_pairs_theta",
+    "q12_orders_per_customer",
+    "q13_incremental_scan_events",
+    "q22_brand_volume_mv",
+    "q24_exact_dedup_docs",
+    "q26_jaccard_pairs",
+    "q28_minhash_lsh_pairs",
+    "q29_cosine_topk",
+    "q31_token_stats",
+    "q34_events_hourly_window",
+    "q35_user_sessions",
+)
+
+
+def main() -> None:
+    spark = get_spark(app_name="efiche-bench")
+    # Warm-up: JVM, codegen, parquet footer caches.
+    QUERIES[FLAGSHIP](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        # collect() forces full materialization of the result set
+        # (results are small aggregates / bounded top-k frames).
+        QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Text-analysis column expressions (all JVM-side built-ins — no Python
+UDFs in the hot path). These power the LLM-data-pipeline extensions:
+tokenization, shingling, quality scoring, language ID, fingerprints.
+
+Reference analogue: the comma-separated ``labels`` string and
+``report_text`` columns (reference: sql/01_schema.sql:112, :92) — text
+handled there as opaque strings; here it becomes first-class array /
+metric columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the heuristic language guesser.
+# Order matters: ties resolve in this order (same order in the oracle).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "de": ("der", "die", "und", "das", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization → array<string>.
+    Oracle: ``regexp_split_to_array(text, '\\s+')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: str | Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words`` (vectorized higher-order
+    filter — no UDF). Oracle: ``length(list_filter(split, t -> t IN (...)))``."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def punct_count(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def word_shingles(text: str | Column, n: int) -> Column:
+    """Distinct n-gram word shingles → array<string>.
+
+    Built from ``transform`` over token index positions (JVM-side), so
+    the oracle can reproduce it with list comprehensions. Joins the n
+    words with a single space.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark, so short
+    # documents must map to an explicitly empty index array.
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(shingle)
+
+
+def bow_fingerprint(text: str | Column) -> Column:
+    """Bag-of-words document fingerprint: md5 of the sorted distinct
+    token set. Detects shuffled/reordered duplicates that exact-hash
+    dedup misses. Oracle:
+    ``md5(array_to_string(list_sort(list_distinct(split)), ' '))``."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

@@ -1,0 +1,255 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, each a pure ``DataFrame -> DataFrame`` function so the same
+operator runs on the fixture `documents` table, a 100 TB corpus, or a
+tiny unit-test frame:
+
+- :func:`exact_dedup`       — hash-groupBy on the raw text (one shuffle
+  on a 32-char key, never on the document body).
+- :func:`bow_dedup`         — bag-of-words fingerprint; catches
+  shuffled/reordered duplicates.
+- :func:`jaccard_pairs`     — n-gram-shingle Jaccard on candidate pairs
+  blocked by *rare* shingles (frequency-capped inverted index — the
+  classic sub-quadratic candidate generation; common shingles carry no
+  signal and would blow up the self-join at scale).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash +
+  banded LSH: constant-size signatures per doc, candidate pairs only
+  for band-bucket collisions. The scale path for near-dedup.
+- :func:`simhash` — 16-bit SimHash via per-bit majority vote, all
+  JVM-side expressions (no UDF), reproducible by any engine with md5.
+
+Reference analogue: the reference dedups only on an exact key
+(etl_pipeline.py:92-116, ON CONFLICT (image_id) DO NOTHING); the
+near-dup family is the LLM-pipeline extension on top of that.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60, seeded_hash64
+from ..functions.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: md5(text) → (keeper = min id, n_copies).
+
+    The shuffle key is the 128-bit digest, not the document body, so
+    shuffle volume is O(rows · 32 bytes) regardless of doc size.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def bow_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive duplicate groups: md5 of the sorted distinct
+    token set."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_freq: int = 20
+) -> DataFrame:
+    """Inverted index (id, shingle), keeping only shingles that occur in
+    at most ``max_freq`` documents. The frequency cap is the blocking
+    step that keeps the candidate self-join sub-quadratic at scale:
+    a shingle shared by k docs yields k² pair candidates, so common
+    shingles (stop-phrases) are dropped as uninformative.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") <= max_freq)
+        .select("shingle")
+    )
+    return sh.join(rare, "shingle")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_freq: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs with Jaccard over the rare-shingle sets.
+
+    Returns (doc_a, doc_b, n_shared, jaccard) with doc_a < doc_b.
+    """
+    idx = shingle_index(df, id_col, text_col, n=n, max_freq=max_freq).cache()
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: for each of ``n_hashes`` seeded
+    hash functions, the minimum hash over the doc's shingle set.
+    One explode + one groupBy — a single shuffle keyed by doc id.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    mins = [
+        F.min(seeded_hash64("shingle", seed)).alias(f"mh_{seed}")
+        for seed in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_sim: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard similarity.
+
+    Signatures are split into ``bands`` bands of ``n_hashes // bands``
+    rows; documents colliding on any band's hash become candidates
+    (probability ≈ 1-(1-s^r)^b for true similarity s). Estimated
+    similarity = fraction of agreeing signature positions. Returns
+    (doc_a, doc_b, est_sim) with doc_a < doc_b.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).cache()
+    cols = [f"mh_{i}" for i in range(n_hashes)]
+
+    band_frames = []
+    for band in range(bands):
+        band_cols = cols[band * rows : (band + 1) * rows]
+        bucket = F.xxhash64(F.lit(band), *[F.col(c) for c in band_cols])
+        band_frames.append(
+            sig.select(
+                F.col(id_col), F.lit(band).alias("band"), bucket.alias("bucket")
+            )
+        )
+    buckets = reduce(lambda x, y: x.unionByName(y), band_frames)
+
+    left = buckets.select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in cols])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in cols])
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in cols
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(n_hashes)), 4).alias("est_sim"),
+        )
+        .filter(F.col("est_sim") >= min_est_sim)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash: majority vote over token-hash bits
+    (term frequency weighted, since explode keeps duplicate tokens).
+    Uses the md5-portable 60-bit hash so an external engine can
+    reproduce the exact value. Returns (id, simhash).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", portable_hash60("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sh = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return per_doc.select(F.col(id_col), sh.cast("long").alias("simhash"))
+
+
+def oracle_simhash_sql(table: str, id_col: str, text_col: str, bits: int = 16) -> str:
+    """DuckDB SQL computing the identical SimHash (for the oracle)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+SELECT {id_col}, CAST({recombine} AS BIGINT) AS simhash
+FROM (
+    SELECT {id_col}, {votes}
+    FROM (
+        SELECT {id_col},
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM (
+            SELECT {id_col},
+                   unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+            FROM {table}
+        )
+    )
+    GROUP BY {id_col}
+)
+"""

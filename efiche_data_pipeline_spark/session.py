@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is used for tests/bench; the same settings are the right
+defaults on a real cluster (AQE, adaptive coalescing/skew handling,
+Arrow for the few Pandas-UDF paths, UTC session time so results are
+comparable with timezone-naive engines such as the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "efiche_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a cluster the ``master``/memory settings come from spark-submit;
+    everything set here is safe for both local[N] and 1000-executor
+    deployments.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic broadcast conversion — the levers that keep the same
+        # logical plans healthy at 100x the data.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for the pandas_udf / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The oracle (DuckDB) is timezone-naive; pin UTC so timestamp
+        # semantics agree.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Some fixture files carry parquet TIMESTAMP(NANOS) which Spark
+        # rejects by default; read them as long and let the catalog
+        # convert to micros (matching how nanos-unaware engines truncate).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
