@@ -25,9 +25,7 @@ near-dup family is the LLM-pipeline extension on top of that.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash60, seeded_hash64
@@ -64,25 +62,66 @@ def bow_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_index(
+def _parallelize_scan(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition a corpus scan when the input has fewer splits
+    than the cluster has cores. Explode-heavy operators are CPU-bound,
+    and AQE coalesces by *bytes*, so a small single-file fixture would
+    otherwise run its whole shingle pipeline in one task. On a real
+    100 TB scan the parquet reader already yields >> defaultParallelism
+    splits and this is a no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
+def shingle_buckets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_freq: int = 20
 ) -> DataFrame:
-    """Inverted index (id, shingle), keeping only shingles that occur in
-    at most ``max_freq`` documents. The frequency cap is the blocking
-    step that keeps the candidate self-join sub-quadratic at scale:
-    a shingle shared by k docs yields k² pair candidates, so common
-    shingles (stop-phrases) are dropped as uninformative.
+    """Inverted shingle index grouped into buckets: one row per distinct
+    shingle hash with the sorted list of documents containing it,
+    keeping only shingles that occur in at most ``max_freq`` documents.
+    The frequency cap is the blocking step that keeps candidate
+    generation sub-quadratic at scale: a shingle shared by k docs
+    yields k² pair candidates, so common shingles (stop-phrases) are
+    dropped as uninformative.
+
+    Scale design (one shuffle, no strings on the wire):
+
+    - shingles are hashed to 8-byte ``xxhash64`` keys *inside* the
+      shingle array, before the explode, so no n-gram text is ever
+      shuffled (a 64-bit collision adds one spurious shared-shingle
+      count — harmless for candidate generation);
+    - the frequency cap and the bucket build are the same groupBy —
+      round 1 spent a count-aggregate *plus* a join-back on this;
+    - ``collect_list`` per bucket is bounded: buckets above
+      ``max_freq`` are dropped immediately after the aggregate.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    hashed = F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+    sh = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(hashed).alias("sh")
     )
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_freq"))
-        .filter(F.col("df_freq") <= max_freq)
-        .select("shingle")
+    return (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("docs"))
+        .filter(F.size("docs") <= max_freq)
     )
-    return sh.join(rare, "shingle")
+
+
+def _pair_combinations(docs: Column) -> Column:
+    """All (a, b) combinations with a < b from a sorted id array —
+    pure higher-order functions, generated JVM-side inside the bucket
+    row instead of via a self-join."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
 
 
 def jaccard_pairs(
@@ -96,17 +135,30 @@ def jaccard_pairs(
     """Candidate near-dup pairs with Jaccard over the rare-shingle sets.
 
     Returns (doc_a, doc_b, n_shared, jaccard) with doc_a < doc_b.
+
+    Dataflow: shingle buckets (one shuffle) → per-bucket pair
+    combinations generated in-row (``max_freq`` caps each bucket at
+    max_freq²/2 pairs, so no bucket can explode a task) → count shared
+    shingles per pair → join per-doc shingle counts. Round 1 did this
+    with a three-shuffle self-join that moved raw shingle strings and
+    pinned an un-unpersisted cache; this shape has neither problem and
+    both derived branches hang off the same bucket Exchange, which
+    Catalyst reuses (ReusedExchange) instead of recomputing the scan.
     """
-    idx = shingle_index(df, id_col, text_col, n=n, max_freq=max_freq).cache()
-    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = idx.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = idx.select(F.col(id_col).alias("doc_b"), "shingle")
+    buckets = shingle_buckets(df, id_col, text_col, n=n, max_freq=max_freq)
+    pair = F.explode(_pair_combinations(F.col("docs"))).alias("pair")
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.filter(F.size("docs") >= 2)
+        .select(pair)
+        .select(F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+    sizes = (
+        buckets.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
@@ -133,7 +185,7 @@ def minhash_signatures(
     hash functions, the minimum hash over the doc's shingle set.
     One explode + one groupBy — a single shuffle keyed by doc id.
     """
-    sh = df.select(
+    sh = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
     mins = [
@@ -160,29 +212,54 @@ def minhash_lsh_pairs(
     similarity = fraction of agreeing signature positions. Returns
     (doc_a, doc_b, est_sim) with doc_a < doc_b.
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
+            "otherwise trailing signature positions are silently excluded "
+            "from banding and candidate recall drops"
+        )
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).cache()
+    # No cache(): the signature aggregate feeds the band frames and the
+    # two signature-lookup joins within one action — ReuseExchange
+    # shares the shuffle instead of pinning storage (round 1 leaked
+    # this cache).
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cols = [f"mh_{i}" for i in range(n_hashes)]
 
-    band_frames = []
-    for band in range(bands):
-        band_cols = cols[band * rows : (band + 1) * rows]
-        bucket = F.xxhash64(F.lit(band), *[F.col(c) for c in band_cols])
-        band_frames.append(
-            sig.select(
-                F.col(id_col), F.lit(band).alias("band"), bucket.alias("bucket")
+    # One row per (doc, band): the band id + the band's bucket hash,
+    # generated in-row from an array literal — no union of per-band
+    # frames, so the signature aggregate is scanned once.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    F.lit(band), *[F.col(c) for c in cols[band * rows : (band + 1) * rows]]
+                ).alias("bucket"),
             )
-        )
-    buckets = reduce(lambda x, y: x.unionByName(y), band_frames)
-
-    left = buckets.select(
-        F.col(id_col).alias("doc_a"), "band", "bucket"
+            for band in range(bands)
+        ]
     )
-    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    memberships = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+    # Candidate pairs by grouping each (band, bucket) into its member
+    # list and emitting combinations in-row — same shape as
+    # jaccard_pairs: one shuffle, no self-join. Identical docs can
+    # produce huge buckets; collect_list is capped via slice to bound
+    # the per-bucket pair blow-up (cap² pairs max — everything in an
+    # over-full LSH bucket is near-identical anyway, and the first
+    # ``cap`` sorted members still chain the duplicates together).
+    cap = 1000
+    grouped = (
+        memberships.groupBy("band", "bucket")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, cap).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(_pair_combinations(F.col("docs"))).alias("pair"))
+        .select(F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b"))
         .distinct()
     )
 

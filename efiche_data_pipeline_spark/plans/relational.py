@@ -7,7 +7,7 @@ Every query is a pure function ``(spark, sf_dir) -> DataFrame`` with a
 paired ANSI-SQL oracle (DuckDB dialect) in ``ORACLES``. Conventions
 that make the DuckDB comparison exact:
 
-- money aggregates go through DECIMAL(38,4) and surface as DOUBLE
+- money aggregates go through DECIMAL(38,6) and surface as DOUBLE
   (see functions.numeric) — associative, so parallel partials match
   a single-threaded oracle bit-for-bit;
 - every computed column is aliased identically on both sides;

@@ -51,10 +51,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _normalize_nanos(df: DataFrame, col: str) -> DataFrame:
     """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
     which Spark surfaces as a nanosecond long under
-    ``spark.sql.legacy.parquet.nanosAsLong``. Truncate to microseconds
-    (identical to how micro-resolution engines read the same file)."""
+    ``spark.sql.legacy.parquet.nanosAsLong``. Floor to microseconds —
+    floor (not truncate-toward-zero) so pre-epoch (negative) nanos
+    agree with DuckDB's nanos→micros parquet read."""
     if isinstance(df.schema[col].dataType, T.LongType):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        df = df.withColumn(
+            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+        )
     return df
 
 
