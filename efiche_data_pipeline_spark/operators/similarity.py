@@ -69,12 +69,15 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine).
-    Centroids are broadcast; argmax via one window over the small
-    per-vector × per-centroid frame."""
+    """Assign each vector to its ``nprobe`` nearest centroids (max
+    cosine). Centroids are broadcast; argmax via one window over the
+    per-vector × per-centroid frame. ``nprobe > 1`` is the multi-probe
+    side: a query near a Voronoi boundary also searches the runner-up
+    cells, the standard IVF recall lever."""
     cent = centroids.select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
+        F.col("cell_id"), F.col(vec_col).alias("cent_vec")
     )
     scored = corpus.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
@@ -85,9 +88,62 @@ def assign_cells(
     w = W.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .drop("rn", "cell_sim")
     )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 10_000,
+) -> DataFrame:
+    """k-means-lite centroid training, all DataFrame ops.
+
+    Seeds are the ``k`` corpus vectors with the smallest seeded hash of
+    their id (deterministic, uniform — a cheap stand-in for k-means++
+    that needs no driver-side loop), then ``iters`` rounds of
+    assign → element-wise mean. Training runs on a hash-chosen sample
+    of at most ``sample_limit`` vectors: centroid quality converges
+    long before the full corpus is seen, so at 100 TB the training cost
+    is constant while assignment stays a full single pass.
+
+    Returns (cell_id, <vec_col>) with ``cell_id`` ∈ [1, k].
+    """
+    pool = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.xxhash64(F.lit(42), F.col(id_col)))
+        .limit(sample_limit)
+    )
+    cents = (
+        pool.orderBy(F.xxhash64(F.lit(7), F.col(id_col)))
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).alias("cell_id"),
+            F.col(vec_col),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_cells(pool, cents, id_col, vec_col)
+        # Element-wise mean per cell: posexplode → groupBy (cell, pos)
+        # avg → re-assemble sorted by position. Shuffles scalar rows of
+        # the bounded training sample only.
+        cents = (
+            assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias(vec_col)
+            )
+        )
+    return cents
 
 
 def ivf_topk(
@@ -97,14 +153,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: probe only the query's Voronoi cell.
+    """Approximate cosine top-k: probe only the query's ``nprobe``
+    nearest Voronoi cells. ``centroids`` is (cell_id, vec) as produced
+    by :func:`train_centroids`.
 
     Returns (query_id, neighbor_id, sim, rank). Recall < 1.0 by design;
-    tested against :func:`brute_force_topk` in the unit suite.
+    recall@k vs :func:`brute_force_topk` is asserted in
+    tests/test_similarity.py.
     """
     cells = assign_cells(corpus, centroids, id_col, vec_col)
-    q_cells = assign_cells(queries, centroids, id_col, vec_col).select(
+    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "cell_id",

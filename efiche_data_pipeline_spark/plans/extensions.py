@@ -37,7 +37,7 @@ from ..operators.dedup import (
     oracle_simhash_sql,
     simhash,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, train_centroids
 from ..sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -169,13 +169,18 @@ QUALIFY rank <= 5
 
 # ---------------------------------------------------------------------------
 # Q30 — IVF-bucketed approximate top-k (Spark-only; recall vs brute
-# force asserted in tests/test_similarity.py).
+# force asserted in tests/test_similarity.py). Centroids are k-means
+# trained on a deterministic sample; multi-probe recovers queries near
+# Voronoi boundaries. nprobe=8 of k=16 cells because the fixture
+# embeddings are isotropic random (no cluster structure — the
+# worst case for IVF); clustered corpora reach the same recall with
+# nprobe≈2 (see tests/test_similarity.py for both measurements).
 # ---------------------------------------------------------------------------
 def q30_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    centroids = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, centroids, "vec_id", "embedding", k=5)
+    centroids = train_centroids(emb, k=16, iters=3)
+    return ivf_topk(emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=8)
 
 
 # ---------------------------------------------------------------------------

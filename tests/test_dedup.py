@@ -1,0 +1,150 @@
+"""Planted-duplicate unit tests for the dedup operator family.
+
+The corpus is constructed so every true near-dup pair has a *known*
+shingle-set Jaccard: a base document of L distinct words and a variant
+with its last m words replaced shares (L-m-2) of its 3-shingles, giving
+J = (L-m-2) / (L+m-2). Families use disjoint vocabularies so there are
+no cross-family shared shingles at all.
+
+All hash functions involved (xxhash64, md5) are deterministic, so every
+assertion here is exact and stable — including the MinHash-LSH recall,
+which would only be probabilistic over a *random* choice of hash
+functions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from efiche_data_pipeline_spark.operators.dedup import (
+    bow_dedup,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+
+L = 30  # words per doc; 3-shingles per doc = L - 2
+
+
+def _doc(family: int, replaced: int = 0) -> str:
+    """A document of L distinct family-specific words, with the last
+    ``replaced`` words swapped for variant-specific ones."""
+    words = [f"f{family}w{j}" for j in range(L - replaced)]
+    words += [f"f{family}x{j}" for j in range(replaced)]
+    return " ".join(words)
+
+
+def true_jaccard(m: int) -> float:
+    """Shingle-set Jaccard between a base doc and its m-word variant."""
+    shared = L - m - 2
+    union = 2 * (L - 2) - shared
+    return shared / union
+
+
+N_FAMILIES = 12
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """N_FAMILIES families, each: base doc (id 10f), near-dup variant
+    with 2 words replaced (id 10f+1, J≈0.867). Family 0 additionally
+    has an exact copy (id 1000) and a token-shuffled copy (id 1001)."""
+    rows = []
+    for fam in range(N_FAMILIES):
+        rows.append((10 * fam, _doc(fam)))
+        rows.append((10 * fam + 1, _doc(fam, replaced=2)))
+    rows.append((1000, _doc(0)))  # exact copy of doc 0
+    shuffled = _doc(0).split()
+    shuffled = " ".join(shuffled[15:] + shuffled[:15])
+    rows.append((1001, shuffled))  # reordered copy of doc 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_docs(planted):
+    groups = {
+        r.keeper_doc_id: r.n_copies
+        for r in exact_dedup(planted, "doc_id", "text").collect()
+    }
+    assert groups[0] == 2  # doc 0 + its exact copy 1000
+    assert groups[1001] == 1  # the shuffled copy is NOT an exact dup
+    assert sum(groups.values()) == N_FAMILIES * 2 + 2
+
+
+def test_bow_dedup_catches_reordered_docs(planted):
+    groups = {
+        r.keeper_doc_id: r.n_docs
+        for r in bow_dedup(planted, "doc_id", "text").collect()
+    }
+    assert groups[0] == 3  # doc 0 + exact copy + shuffled copy
+    assert 1001 not in groups
+
+
+def test_jaccard_pairs_recovers_planted_values(planted):
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in jaccard_pairs(
+            planted, "doc_id", "text", n=3, max_freq=20, min_shared=2
+        ).collect()
+    }
+    expected_j = round(true_jaccard(2), 4)
+    for fam in range(N_FAMILIES):
+        pair = (10 * fam, 10 * fam + 1)
+        assert pair in out, f"planted pair {pair} missing"
+        assert out[pair].jaccard == expected_j
+        assert out[pair].n_shared == L - 2 - 2
+    # identical docs: J = 1.0
+    assert out[(0, 1000)].jaccard == 1.0
+    # no cross-family pairs (disjoint vocabularies)
+    for (a, b) in out:
+        fam_a = 0 if a >= 1000 else a // 10
+        fam_b = 0 if b >= 1000 else b // 10
+        assert fam_a == fam_b, f"false positive across families: {(a, b)}"
+
+
+def test_minhash_lsh_recovers_planted_pairs(planted):
+    """The claim from plans/extensions.py: planted near-duplicates are
+    recovered at (at least) the predicted banded-LSH collision rate.
+
+    For J=0.867, r=4 rows, b=4 bands: P(candidate) = 1-(1-J^4)^4 ≈ 0.96,
+    so over 12 planted pairs the expected recall is ≈0.96; we assert
+    the deterministic outcome clears the 0.8 floor, and that the
+    est_sim of every recovered pair is within 0.25 of true Jaccard
+    (σ of a 16-hash estimate at J=0.867 is ≈0.085)."""
+    out = {
+        (r.doc_a, r.doc_b): r.est_sim
+        for r in minhash_lsh_pairs(
+            planted, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5
+        ).collect()
+    }
+    planted_pairs = [(10 * f, 10 * f + 1) for f in range(N_FAMILIES)]
+    found = [p for p in planted_pairs if p in out]
+    recall = len(found) / len(planted_pairs)
+    assert recall >= 0.8, f"LSH recall {recall} below predicted rate"
+    tj = true_jaccard(2)
+    for p in found:
+        assert abs(out[p] - tj) <= 0.25, f"est_sim {out[p]} far from {tj}"
+    # identical docs always collide (every band agrees) with est_sim 1.0
+    assert out[(0, 1000)] == 1.0
+    # no cross-family candidates survive the similarity floor
+    for (a, b) in out:
+        fam_a = 0 if a >= 1000 else a // 10
+        fam_b = 0 if b >= 1000 else b // 10
+        assert fam_a == fam_b
+
+
+def test_minhash_lsh_rejects_indivisible_bands(planted):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(planted, "doc_id", "text", n_hashes=16, bands=5)
+
+
+def test_simhash_identical_docs_equal_fingerprints(planted):
+    out = {r.doc_id: r.simhash for r in simhash(planted, "doc_id", "text").collect()}
+    assert out[0] == out[1000]  # exact copy
+    assert out[0] == out[1001]  # simhash is bag-of-words: order-blind
+    # near-dup differs in few bits; unrelated family differs in many
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[0], out[1]) <= 6
+    assert hamming(out[0], out[110]) > hamming(out[0], out[1])
