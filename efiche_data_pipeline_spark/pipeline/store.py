@@ -1,0 +1,64 @@
+"""Parquet table store: the pipeline's persistence layer.
+
+A `Store` is a root directory with one parquet table per subdirectory
+— the Spark replacement for the reference's PostgreSQL schema
+(reference: sql/01_schema.sql, sql/03_warehouse.sql). Writes are
+whole-job atomic (Spark commits task output via a rename protocol), so
+the reference's per-500-row commit batching (etl_pipeline.py:106-107,
+193-195) has no equivalent here by design: K4 "batched commit" is the
+streaming `foreachBatch` path in streaming/incremental.py.
+
+Append-with-dedup (the ON CONFLICT DO NOTHING analogue, K1/K2) is the
+left-anti-join-then-append pattern; full idempotent rebuilds use
+overwrite mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Store:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        # _SUCCESS marker distinguishes a committed write from a
+        # partially-created directory.
+        return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append_new(self, df: DataFrame, table: str, key: str) -> None:
+        """Append only rows whose ``key`` is absent from the stored
+        table — the reference's ``INSERT … ON CONFLICT (key) DO
+        NOTHING`` (reference: etl_pipeline.py:93-98) as a left-anti
+        join. ``df`` must be key-unique already (dropDuplicates
+        upstream); existing-side scan reads only the key column
+        (column pruning keeps this cheap at scale)."""
+        if self.exists(table):
+            existing = self.read(table).select(key)
+            df = df.join(existing, key, "left_anti")
+        self.append(df, table)
+
+    def count(self, table: str) -> int:
+        return self.read(table).count() if self.exists(table) else 0
