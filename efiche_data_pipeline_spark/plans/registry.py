@@ -15,12 +15,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import extensions, relational
+from . import extensions, pipeline_queries, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-QUERIES: dict[str, QueryFn] = {**relational.QUERIES, **extensions.QUERIES}
-ORACLES: dict[str, str] = {**relational.ORACLES, **extensions.ORACLES}
+QUERIES: dict[str, QueryFn] = {
+    **relational.QUERIES,
+    **extensions.QUERIES,
+    **pipeline_queries.QUERIES,
+}
+ORACLES: dict[str, str] = {
+    **relational.ORACLES,
+    **extensions.ORACLES,
+    **pipeline_queries.ORACLES,
+}
 
 # Every oracle must belong to a registered query.
 _orphans = set(ORACLES) - set(QUERIES)
