@@ -1,0 +1,15 @@
+"""Structured Streaming / incremental processing."""
+
+from .incremental import (
+    batch_consume_increment,
+    hourly_event_counts,
+    run_incremental_stream,
+    stream_events,
+)
+
+__all__ = [
+    "batch_consume_increment",
+    "hourly_event_counts",
+    "run_incremental_stream",
+    "stream_events",
+]

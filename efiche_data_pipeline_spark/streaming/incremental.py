@@ -1,0 +1,164 @@
+"""Structured Streaming twin of the incremental batch pipeline
+(SURVEY §2.11) — what the reference's ``processed``-flag micro-batch
+loop (reference: etl_pipeline.py:125-132,184-188) becomes when the
+staging table is treated as what it actually is: a bounded stream.
+
+Three pieces:
+
+- :func:`stream_events` / :func:`hourly_event_counts` — file-source
+  ``readStream`` + ``withWatermark`` + tumbling ``F.window`` aggregate,
+  the streaming twin of the batch q34 (plans/extensions.py). The
+  watermark bounds aggregation state (late rows beyond it are dropped
+  and their windows finalized) — the scale lever that keeps state
+  finite on an unbounded stream.
+- :func:`run_incremental_stream` — drives the aggregate through
+  ``foreachBatch`` into an idempotent keyed parquet sink with
+  ``availableNow`` + ``maxFilesPerTrigger``: each micro-batch merges
+  (delete-by-key + insert) into the target, so replaying a batch after
+  a failure converges to the same table — the exactly-once-ish story
+  the reference approximates with ON CONFLICT + processed flags
+  (K4's streaming form).
+- :func:`batch_consume_increment` — the batch high-watermark mode
+  (S5/P8): consume only rows newer than the stored watermark, then
+  advance it; the checkpoint-free fallback when a scheduler (not a
+  streaming runtime) drives the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_sum
+from ..pipeline.store import Store
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts long, value double,"
+    " props string"
+)
+
+
+def stream_events(spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over event parquet files. ``ts`` arrives as
+    TIMESTAMP(NANOS) (read as long under ``nanosAsLong``, floored to
+    micros exactly like the batch catalog path, sources/catalog.py).
+    ``maxFilesPerTrigger`` bounds micro-batch size — the streaming
+    analogue of the reference's ``LIMIT 5000`` (etl_pipeline.py:131)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type — identical result columns
+    to the batch q34 (plans/extensions.py:q34_events_hourly_window), so
+    the batch≡stream equivalence is a frame comparison."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_incremental_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store: Store,
+    checkpoint_dir: str,
+    table: str = "hourly_event_counts",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Consume all currently-available files as a sequence of
+    micro-batches (``availableNow``) and merge each windowed-aggregate
+    update into ``table``. Returns the number of micro-batches run.
+
+    The sink is idempotent per key (hour_start, event_type): updated
+    windows replace their previous rows (delete+insert keyed merge), so
+    batch replays converge instead of double-counting — this plus the
+    checkpoint is the exactly-once-ish contract."""
+    agg = hourly_event_counts(
+        stream_events(spark, source_dir, max_files_per_trigger), watermark
+    )
+    n_batches = 0
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        if store.exists(table):
+            existing = store.read(table)
+            keep = existing.join(
+                batch.select("hour_start", "event_type"),
+                ["hour_start", "event_type"],
+                "left_anti",
+            )
+            # Write via an intermediate so the overwrite never reads
+            # the files it is replacing mid-job.
+            merged = keep.unionByName(batch).localCheckpoint(eager=True)
+        else:
+            merged = batch
+        store.overwrite(merged, table)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(merge)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
+
+
+def batch_consume_increment(
+    store: Store,
+    source_table: str,
+    ts_col: str,
+    process,
+    watermark_table: str | None = None,
+) -> int:
+    """Batch high-watermark incremental consumption (S5/P8): rows with
+    ``ts_col`` strictly above the stored watermark are handed to
+    ``process(batch)``; the watermark advances only AFTER ``process``
+    returns — at-least-once, so a failed run is simply re-run (the
+    reference's per-row ``processed`` UPDATE, etl_pipeline.py:184-188,
+    collapses to one tiny watermark-table overwrite instead of
+    rewriting a 100 TB source). Returns the number of rows consumed."""
+    wt = watermark_table or f"{source_table}_watermark"
+    src = store.read(source_table)
+    had_wt = store.exists(wt)
+    if had_wt:
+        hi = store.read(wt)
+        batch = src.join(
+            F.broadcast(hi), src[ts_col] > hi["hi_" + ts_col], "left_semi"
+        )
+    else:
+        batch = src
+    n = batch.count()
+    if n == 0:
+        return 0
+    process(batch)
+    new_hi = batch.agg(F.max(ts_col).alias("hi_" + ts_col))
+    if had_wt:
+        new_hi = new_hi.unionByName(store.read(wt)).agg(
+            F.max("hi_" + ts_col).alias("hi_" + ts_col)
+        )
+    # Decouple from the watermark files being overwritten mid-plan.
+    new_hi = new_hi.localCheckpoint(eager=True)
+    store.overwrite(new_hi, wt)
+    return n

@@ -1,0 +1,102 @@
+"""Streaming/incremental tests (SURVEY §5.3): N micro-batches ≡ one
+batch for the windowed aggregate, foreachBatch sink idempotency across
+checkpointed restarts, and the batch high-watermark mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.pipeline.store import Store
+from efiche_data_pipeline_spark.plans.extensions import q34_events_hourly_window
+from efiche_data_pipeline_spark.sources.catalog import load_table
+from efiche_data_pipeline_spark.streaming.incremental import (
+    batch_consume_increment,
+    run_incremental_stream,
+)
+
+from .conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """The events fixture split into several parquet files so the file
+    stream sees N distinct micro-batches (maxFilesPerTrigger=1)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    # Preserve the nanos-long physical type the stream reader expects:
+    # re-encode ts as long micros*1000.
+    out = events.withColumn(
+        "ts", (F.unix_micros("ts") * 1000).cast("long")
+    ).repartition(4)
+    out.write.mode("overwrite").parquet(src)
+    return src
+
+
+def _batch_expected(spark):
+    return q34_events_hourly_window(spark, SMOKE_SF_DIR)
+
+
+def test_stream_equals_batch(spark, tmp_path, event_files):
+    """The full streamed result (4 micro-batches) must equal the batch
+    q34 aggregate over the same events — the incremental-completeness
+    property, with a watermark wide enough that nothing is late."""
+    store = Store(spark, str(tmp_path / "sink"))
+    n = run_incremental_stream(
+        spark,
+        event_files,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark="3650 days",
+        max_files_per_trigger=1,
+    )
+    assert n >= 4  # one per file (+ possible empty finalization batch)
+    got = store.read("hourly_event_counts")
+    want = _batch_expected(spark)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path, event_files):
+    """Running the stream again over the same checkpoint consumes
+    nothing new and leaves the sink unchanged (exactly-once-ish)."""
+    store = Store(spark, str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")
+    run_incremental_stream(
+        spark, event_files, store, ckpt, watermark="3650 days"
+    )
+    before = sorted(map(tuple, store.read("hourly_event_counts").collect()))
+    run_incremental_stream(
+        spark, event_files, store, ckpt, watermark="3650 days"
+    )
+    after = sorted(map(tuple, store.read("hourly_event_counts").collect()))
+    assert after == before
+
+
+def test_batch_high_watermark_mode(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.overwrite(df1, "events_src")
+
+    seen: list[list[int]] = []
+
+    def process(batch):
+        seen.append(sorted(r.id for r in batch.collect()))
+
+    assert batch_consume_increment(store, "events_src", "ts", process) == 2
+    # nothing new -> no consumption, process not called
+    assert batch_consume_increment(store, "events_src", "ts", process) == 0
+    assert seen == [[1, 2]]
+
+    # append newer + older-than-watermark rows: only the newer one flows
+    df2 = spark.createDataFrame(
+        [(3, "2024-01-01 12:00:00"), (4, "2024-01-01 09:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.append(df2, "events_src")
+    assert batch_consume_increment(store, "events_src", "ts", process) == 1
+    assert seen == [[1, 2], [3]]
