@@ -15,14 +15,18 @@ views → a 12-query analytics corpus) as idiomatic Spark:
 Layout
 ------
 - ``session``    — tuned SparkSession builder
-- ``sources``    — parquet catalog, incremental staging, synthetic
-                   generator, multimodal (binary) columns
+- ``sources``    — parquet catalog over the fixture tables
 - ``functions``  — column-expression helpers (dates, text, vectors,
                    portable hashes, exact numeric aggregation)
 - ``operators``  — composite dataflow operators (dedup, similarity,
-                   window patterns)
-- ``plans``      — the query library + star-schema warehouse builder
-- ``streaming``  — Structured Streaming incremental pipeline
+                   multimodal binary columns)
+- ``plans``      — the query library (relational + extensions +
+                   write-side readback queries)
+- ``pipeline``   — write side: parquet store, synthetic generator,
+                   staging ingest, warehouse builder + MV refresh,
+                   analytics report runner
+- ``streaming``  — Structured Streaming incremental pipeline +
+                   batch high-watermark mode
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,174 @@
+"""Multimodal (binary) column operators: typed media columns, magic-byte
+type sniffing, content-hash dedup, and the Arrow-batched feature
+extraction plumbing for image-like payloads.
+
+Design for 100 TB of media: the binary payload is an opaque
+``binary`` column that is NEVER shuffled — every operator derives a
+small typed projection (length, 4-byte magic prefix, 128-bit content
+hash) map-side and aggregates/joins only those. Decode-heavy work runs
+through ``mapInPandas`` (Arrow batches, one Python round-trip per
+batch, not per row) and keeps its output schema explicit so the
+pipeline composes with plain relational operators.
+
+Reference analogue: the reference stores image *identifiers* only
+(``image_id``, reference: sql/01_schema.sql:106) and never touches
+pixel data; this family is the north-star extension (BASELINE.json)
+that makes media a first-class column.
+
+The actual image decode is STUBBED: the container has no image codec
+library (no PIL/cv2), so :func:`extract_image_features` uses a
+deterministic fake decoder over the content hash unless a real decoder
+is importable. The Spark-side contract — schema, batching, partition
+behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Magic-byte prefixes (first 4 bytes, hex) for the sniffer.
+MAGIC_PREFIXES: dict[str, str] = {
+    "png": "89504E47",
+    "jpeg": "FFD8FFE0",
+    "gif": "47494638",
+}
+
+
+def synthesize_content(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter: the driver's ``documents`` table has no binary
+    column, so derive one deterministically — a rotating magic-byte
+    header + the utf-8 text bytes. DuckDB reproduces it exactly with
+    ``unhex(header) || encode(text)``, which is what makes the
+    multimodal queries oracle-checkable."""
+    i = F.col(id_col)
+    header = (
+        F.when(F.pmod(i, 3) == 0, F.unhex(F.lit(MAGIC_PREFIXES["png"])))
+        .when(F.pmod(i, 3) == 1, F.unhex(F.lit(MAGIC_PREFIXES["jpeg"])))
+        .otherwise(F.unhex(F.lit(MAGIC_PREFIXES["gif"])))
+    )
+    return df.select(
+        i, F.concat(header, F.encode(F.col(text_col), "utf-8")).alias("content")
+    )
+
+
+def sniff_media_type(content: str | Column) -> Column:
+    """Magic-byte media-type sniff over the first 4 bytes. Hex-string
+    comparison (``hex`` is portable to any engine), evaluated map-side
+    on the scan — the binary itself never moves."""
+    c = F.col(content) if isinstance(content, str) else content
+    prefix = F.substring(F.hex(c), 1, 8)
+    out = F.lit("unknown")
+    expr = F.when(F.lit(False), "x")
+    for name, magic in MAGIC_PREFIXES.items():
+        expr = expr.when(prefix == magic, name)
+    return expr.otherwise(out)
+
+
+def content_fingerprint(content: str | Column) -> Column:
+    """128-bit content hash as md5 of the hex encoding — portable
+    (DuckDB: ``md5(hex(content))``) and computed before any shuffle."""
+    c = F.col(content) if isinstance(content, str) else content
+    return F.md5(F.hex(c))
+
+
+def binary_stats(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
+    """Typed per-item projection: media type, byte length, fingerprint."""
+    return df.select(
+        F.col(id_col),
+        sniff_media_type(content_col).alias("media_type"),
+        F.length(F.col(content_col)).alias("content_len"),
+        content_fingerprint(content_col).alias("fp"),
+    )
+
+
+def content_hash_dedup(
+    df: DataFrame, id_col: str, content_col: str = "content"
+) -> DataFrame:
+    """Exact binary dedup groups — same shape as the text
+    ``exact_dedup`` (operators/dedup.py): the shuffle key is the
+    32-char fingerprint, never the payload."""
+    return (
+        binary_stats(df, id_col, content_col)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("media_type").alias("media_type"),
+        )
+    )
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, decoder string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: width/height derived
+    from an md5 of the payload (stable across processes — builtin
+    ``hash`` is salted per interpreter). Replace with a real codec when
+    available."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+    return 64 + h % 1024, 64 + (h // 1024) % 1024
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas``: the generic shape for decode / resize /
+    frame-sample stages. Each Python worker receives columnar batches
+    (id + payload), emits one typed feature row per item, and holds at
+    most one batch in memory — at scale, parallelism is the parquet
+    split count and no shuffle is involved.
+
+    Decoding uses PIL when importable, otherwise the deterministic
+    fake (this container ships no codec; the fake keeps the pipeline
+    testable end-to-end)."""
+    try:  # pragma: no cover - codec not present in this container
+        from PIL import Image  # noqa: F401
+
+        decoder = "pil"
+    except ImportError:
+        decoder = "fake"
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[content_col]
+            if decoder == "pil":  # pragma: no cover
+                import io
+
+                from PIL import Image
+
+                sizes = []
+                for b in payloads:
+                    try:
+                        with Image.open(io.BytesIO(b)) as im:
+                            sizes.append(im.size)
+                    except Exception:
+                        sizes.append((0, 0))
+            else:
+                sizes = [_fake_decode(bytes(b)) for b in payloads]
+            hexes = payloads.map(lambda b: bytes(b)[:4].hex().upper())
+            magic_to_name = {v: k for k, v in MAGIC_PREFIXES.items()}
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": hexes.map(lambda h: magic_to_name.get(h, "unknown")),
+                    "n_bytes": payloads.map(len),
+                    "width": [w for w, _ in sizes],
+                    "height": [h for _, h in sizes],
+                    "decoder": decoder,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        batches, IMAGE_FEATURE_SCHEMA
+    )

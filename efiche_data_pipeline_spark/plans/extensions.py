@@ -37,6 +37,12 @@ from ..operators.dedup import (
     oracle_simhash_sql,
     simhash,
 )
+from ..operators.multimodal import (
+    binary_stats,
+    content_hash_dedup,
+    extract_image_features,
+    synthesize_content,
+)
 from ..operators.similarity import brute_force_topk, ivf_topk, train_centroids
 from ..sources.catalog import load_table
 
@@ -375,6 +381,127 @@ FROM (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q39 — multimodal: media-type stats over a binary content column
+# (magic-byte sniff + portable content fingerprint; the binary payload
+# itself is never shuffled — only its typed projection).
+# ---------------------------------------------------------------------------
+_CONTENT_SQL = """
+SELECT doc_id,
+       (CASE doc_id % 3 WHEN 0 THEN unhex('89504E47')
+                        WHEN 1 THEN unhex('FFD8FFE0')
+                        ELSE unhex('47494638') END) || encode(text) AS content
+FROM documents
+"""
+
+
+def q39_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = binary_stats(synthesize_content(docs, "doc_id", "text"), "doc_id")
+    return stats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("content_len").alias("total_bytes"),
+        F.countDistinct("fp").alias("n_distinct_contents"),
+    )
+
+
+ORACLES["q39_media_type_stats"] = f"""
+WITH c AS ({_CONTENT_SQL})
+SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+           AS media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT md5(hex(content))) AS BIGINT) AS n_distinct_contents
+FROM c
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q40 — multimodal: exact content-hash dedup over the binary column
+# (same digest-key pattern as q24; shuffle carries 32-char hashes).
+# ---------------------------------------------------------------------------
+def q40_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return content_hash_dedup(synthesize_content(docs, "doc_id", "text"), "doc_id")
+
+
+ORACLES["q40_binary_dedup"] = f"""
+WITH c AS ({_CONTENT_SQL})
+SELECT md5(hex(content)) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END)
+           AS media_type
+FROM c
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q41 — multimodal: Arrow-batched image feature extraction via
+# mapInPandas (Spark-only: the decode stage runs in Python workers —
+# deterministic fake decoder in this container; plumbing verified by
+# tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+def q41_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_features(synthesize_content(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Q42 — P2 date parsing: yyyyMMdd string → date, errors → null
+# (reference: etl_pipeline.py:81-85; ~1% planted malformed strings).
+# ---------------------------------------------------------------------------
+def q42_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    raw = F.when(F.pmod("o_orderkey", F.lit(97)) == 0, "NOT_A_DATE").otherwise(
+        F.date_format("o_orderdate", "yyyyMMdd")
+    )
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        F.try_to_date(raw, "yyyyMMdd").alias("parsed_date"),
+    ).withColumn("is_valid", F.col("parsed_date").isNotNull())
+
+
+ORACLES["q42_date_parse"] = """
+SELECT o_orderkey, raw_date,
+       CAST(try_strptime(raw_date, '%Y%m%d') AS DATE) AS parsed_date,
+       try_strptime(raw_date, '%Y%m%d') IS NOT NULL AS is_valid
+FROM (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'NOT_A_DATE'
+                ELSE strftime(o_orderdate, '%Y%m%d') END AS raw_date
+    FROM orders
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q43 — S6 random row sample, portable form: ORDER BY a seeded portable
+# hash LIMIT n (reference: etl_pipeline.py:142-146 ORDER BY RANDOM()).
+# Deterministic and oracle-reproducible; plans as TakeOrderedAndProject
+# (top-K, no full sort).
+# ---------------------------------------------------------------------------
+def q43_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("seed42#"), F.col("o_orderkey").cast("string")))
+    return (
+        o.select("o_orderkey", "o_orderdate", h.alias("h"))
+        .orderBy("h")
+        .limit(100)
+    )
+
+
+ORACLES["q43_random_sample"] = """
+SELECT o_orderkey, o_orderdate, md5('seed42#' || CAST(o_orderkey AS VARCHAR)) AS h
+FROM orders
+ORDER BY h
+LIMIT 100
 """
 
 

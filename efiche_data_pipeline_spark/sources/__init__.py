@@ -1,2 +1,2 @@
-"""Sources: parquet catalog, incremental staging, synthetic data,
-multimodal binary columns."""
+"""Sources: the parquet table catalog for the fixture tables (schema
+normalization for TIMESTAMP(NANOS), temp-view registration)."""
