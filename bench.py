@@ -40,13 +40,26 @@ HEADLINE = (
     "q31_token_stats",
     "q34_events_hourly_window",
     "q35_user_sessions",
+    # write side: full warehouse build (dims+fact+bridges+3 MVs, all
+    # written to parquet) + MV readback, measured once end-to-end
+    "q36_wh_monthly_encounters",
+    # multimodal binary column family (JVM-side sniff/fingerprint)
+    "q39_media_type_stats",
+    # Arrow-batched mapInPandas feature extraction (the Python path)
+    "q41_image_features",
 )
 
 
 def main() -> None:
     spark = get_spark(app_name="efiche-bench")
-    # Warm-up: JVM, codegen, parquet footer caches.
+    # Warm-up: JVM, codegen, and the parquet footer of EVERY table
+    # family, so the first timed query of a family doesn't pay
+    # footer/codegen cost inside its measurement.
+    from efiche_data_pipeline_spark.sources.catalog import TABLES, load_table
+
     QUERIES[FLAGSHIP](spark, SF_DIR).collect()
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

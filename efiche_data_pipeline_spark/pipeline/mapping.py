@@ -26,8 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from ..sources.catalog import load_table
-from .warehouse import assign_surrogate_key
 
 MODALITIES = ["DX", "CT", "MR"]
 PROJECTIONS = ["PA", "AP", "L"]
@@ -85,39 +86,46 @@ def map_operational(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     # The fixture's lineitem is TPC-H-*ish*: (l_orderkey, l_linenumber)
     # is NOT unique, but the operational schema requires a unique
-    # procedure/diagnosis PK (UUID in the reference). Dense surrogate
-    # ids give that; identical source rows are interchangeable, so the
-    # assignment is deterministic as a multiset and no oracle ever
-    # references these ids.
-    procedures = assign_surrogate_key(
+    # procedure/diagnosis PK (UUID in the reference). line_id*64 + a
+    # per-line_id row_number uniquifies with one partitioned window
+    # (parallel in |distinct line_id|); identical source rows are
+    # interchangeable, so the result is deterministic as a multiset and
+    # no oracle ever references these ids.
+    line_id = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id")
+    uniq_w = Window.partitionBy("line_id").orderBy("line_id")
+    procedures = (
         lineitem.select(
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+            line_id,
             F.col("l_orderkey").alias("encounter_id"),
             _choice_by_mod(F.col("l_partkey"), MODALITIES).alias("procedure_name"),
             _choice_by_mod(F.col("l_partkey"), MODALITIES).alias("modality"),
             _choice_by_mod(F.col("l_suppkey"), PROJECTIONS).alias("projection"),
             F.col("l_shipdate").alias("procedure_date"),
-        ),
-        "line_id",
-        "procedure_id",
-    ).drop("line_id")
+        )
+        .withColumn(
+            "procedure_id", F.col("line_id") * 64 + F.row_number().over(uniq_w)
+        )
+        .drop("line_id")
+    )
     diagnosis_codes = part.select(
         F.col("p_partkey").alias("code_id"),
         F.col("p_brand").alias("code"),
         F.col("p_type").alias("description"),
         F.lit("ICD-10").alias("code_system"),
     )
-    diagnoses = assign_surrogate_key(
+    diagnoses = (
         lineitem.select(
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+            line_id,
             F.col("l_orderkey").alias("encounter_id"),
             F.col("l_partkey").alias("code_id"),
             (F.col("l_linenumber") == 1).alias("is_primary"),
             F.col("l_shipdate").alias("diagnosis_date"),
-        ),
-        "line_id",
-        "diagnosis_id",
-    ).drop("line_id")
+        )
+        .withColumn(
+            "diagnosis_id", F.col("line_id") * 64 + F.row_number().over(uniq_w)
+        )
+        .drop("line_id")
+    )
     reports = orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     ).select(

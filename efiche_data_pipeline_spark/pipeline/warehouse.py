@@ -181,8 +181,13 @@ def build_fact_encounters(
     n_diag = diagnoses.groupBy("encounter_id").agg(F.count(F.lit(1)).alias("num_diagnoses"))
     has_rep = reports.select("encounter_id").distinct().withColumn("has_report", F.lit(True))
 
+    # dim_patient scales with the patient population (unbounded at
+    # 100 TB) — no broadcast hint; AQE converts to broadcast-hash at
+    # small SFs and shuffles on the key when it outgrows the threshold.
+    # dim_facility and dim_time are bounded (facilities, days) and stay
+    # explicitly broadcast.
     fact = (
-        encounters.join(F.broadcast(dim_patient.select("patient_id", "patient_key")), "patient_id")
+        encounters.join(dim_patient.select("patient_id", "patient_key"), "patient_id")
         .join(
             F.broadcast(dim_facility.select("facility_id", "facility_key")),
             "facility_id",
@@ -222,9 +227,12 @@ def build_bridges(
     dim_diagnosis: DataFrame,
 ) -> tuple[DataFrame, DataFrame]:
     fact_keys = fact.select("encounter_id", "encounter_key")
+    # dim_procedure is per-procedure (scales with the fact side) — no
+    # broadcast hint; dim_diagnosis is a bounded code list and stays
+    # broadcast.
     bep = (
         procedures.join(fact_keys, "encounter_id")
-        .join(F.broadcast(dim_procedure.select("procedure_id", "procedure_key")), "procedure_id")
+        .join(dim_procedure.select("procedure_id", "procedure_key"), "procedure_id")
         .select("encounter_key", "procedure_key", "procedure_date")
     )
     bed = (
@@ -259,7 +267,7 @@ def mv_diagnosis_by_age_group(
     """M2 (sql/03_warehouse.sql:129-141)."""
     return (
         bed.join(fact.select("encounter_key", "patient_key"), "encounter_key")
-        .join(F.broadcast(dim_patient.select("patient_key", "age_group")), "patient_key")
+        .join(dim_patient.select("patient_key", "age_group"), "patient_key")
         .join(
             F.broadcast(dim_diagnosis.select("diagnosis_key", "code", "description")),
             "diagnosis_key",

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dims up to ~64 MB broadcast instead of shuffling the fact
+        # side — cheap on executors with multi-GB heaps; joins whose
+        # build side outgrows this (per-procedure / per-patient dims at
+        # 100 TB) still degrade gracefully to shuffle joins via AQE
+        # rather than failing, which is why the code hints broadcast
+        # only for provably bounded dims.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow batches for the pandas_udf / toPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The oracle (DuckDB) is timezone-naive; pin UTC so timestamp
