@@ -1,0 +1,103 @@
+"""SparkSQL surface: the same queries expressed as SQL text over
+registered temp views — proving the engine exposes both API surfaces
+(DataFrame and SQL) over identical Catalyst plans (SURVEY §3: "each
+query becomes both a DataFrame-API function and a SparkSQL string").
+
+The strings here are Spark-dialect (they run through ``spark.sql``);
+differential equality against the DataFrame implementations is
+asserted in tests/test_sql_api.py. A representative slice is enough —
+both surfaces compile to the same logical plan, so one equality test
+per operator family (agg, window, star join, semi/anti join, explode)
+covers the wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import register_views
+
+# money_sum / money_avg in Spark-SQL form (functions/numeric.py).
+_MS = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+_MA = "ROUND(" + _MS + " / COUNT(*), {s})"
+
+
+def _ms(x: str) -> str:
+    return _MS.format(x=x)
+
+
+def _ma(x: str, s: int = 2) -> str:
+    return _MA.format(x=x, s=s)
+
+
+SQL_QUERIES: dict[str, str] = {
+    "q01_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_ms('l_quantity')} AS sum_qty,
+               {_ms('l_extendedprice')} AS sum_base_price,
+               {_ms('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_ms('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {_ma('l_quantity', 4)} AS avg_qty,
+               {_ma('l_extendedprice', 4)} AS avg_price,
+               {_ma('l_discount', 4)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q03_top_customers_per_segment": f"""
+        SELECT c_mktsegment, c_custkey, c_name, total_spent, n_orders, rank
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_name, total_spent, n_orders,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY total_spent DESC, c_custkey) AS rank
+            FROM (
+                SELECT c_mktsegment, c_custkey, c_name,
+                       {_ms('o_totalprice')} AS total_spent,
+                       COUNT(*) AS n_orders
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2, 3
+            )
+        )
+        WHERE rank <= 5
+    """,
+    "q07_star_join_revenue": f"""
+        SELECT r_name, n_name,
+               COUNT(DISTINCT c_custkey) AS unique_customers,
+               COUNT(*) AS n_orders,
+               {_ms('o_totalprice')} AS total_revenue,
+               {_ma('o_totalprice')} AS avg_order_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q10_urgent_customers_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    "q11_no_urgent_anti_join": """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    "q16_explode_part_tokens": """
+        SELECT token, COUNT(*) AS n_parts
+        FROM (SELECT EXPLODE(SPLIT(p_name, ' ')) AS token FROM part)
+        GROUP BY token
+    """,
+}
+
+
+def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Run one SQL-surface query (views registered on demand)."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_QUERIES[name])
