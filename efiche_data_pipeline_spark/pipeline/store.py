@@ -21,9 +21,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Store:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, audit: bool = False):
         self.spark = spark
         self.root = root
+        self.audit = audit
+
+    def _log(self, table: str, operation: str) -> None:
+        """Append one row to the append-only ``audit_log`` table — the
+        Spark form of the reference's audit_log (reference:
+        sql/01_schema.sql:122-131, declared there but never written).
+        JSON ``details`` instead of old/new row images: row-level
+        before/after capture is a CDC concern, not a batch-writer one."""
+        if not self.audit or table == "audit_log":
+            return
+        from pyspark.sql import functions as F
+
+        row = self.spark.createDataFrame(
+            [(table, operation)], "table_name string, operation string"
+        ).select(
+            F.expr("uuid()").alias("audit_id"),
+            "table_name",
+            "operation",
+            F.to_json(F.struct(F.lit(self.path(table)).alias("path"))).alias("details"),
+            F.current_timestamp().alias("changed_at"),
+        )
+        row.write.mode("append").parquet(self.path("audit_log"))
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -41,12 +63,14 @@ class Store:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        self._log(table, "overwrite")
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        self._log(table, "append")
 
     def append_new(self, df: DataFrame, table: str, key: str) -> None:
         """Append only rows whose ``key`` is absent from the stored

@@ -2,6 +2,7 @@
 
 from .incremental import (
     batch_consume_increment,
+    deduped_event_stream,
     hourly_event_counts,
     run_incremental_stream,
     stream_events,
@@ -9,6 +10,7 @@ from .incremental import (
 
 __all__ = [
     "batch_consume_increment",
+    "deduped_event_stream",
     "hourly_event_counts",
     "run_incremental_stream",
     "stream_events",

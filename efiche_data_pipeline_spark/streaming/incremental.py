@@ -125,6 +125,18 @@ def run_incremental_stream(
     return n_batches
 
 
+def deduped_event_stream(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once-ish dedup: drop rows whose ``key_cols``
+    were already seen within the watermark —
+    ``dropDuplicatesWithinWatermark`` keys the state store and expires
+    it as event time advances, so dedup state stays bounded on an
+    unbounded stream. The streaming twin of the reference's
+    ``ON CONFLICT (image_id) DO NOTHING`` (etl_pipeline.py:97)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def batch_consume_increment(
     store: Store,
     source_table: str,
