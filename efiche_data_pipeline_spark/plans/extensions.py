@@ -44,6 +44,7 @@ from ..operators.multimodal import (
     synthesize_content,
 )
 from ..operators.similarity import brute_force_topk, ivf_topk, train_centroids
+from ..operators.temporal import asof_join, range_join
 from ..sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -502,6 +503,121 @@ SELECT o_orderkey, o_orderdate, md5('seed42#' || CAST(o_orderkey AS VARCHAR)) AS
 FROM orders
 ORDER BY h
 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q44 — as-of join: attribute each purchase to the user's most recent
+# prior click (union + ordered-window formulation, one shuffle by
+# user_id; see operators/temporal.py). Oracle: DuckDB ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+def q44_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], value_cols=["click_id", "click_ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+        "click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).alias("gap_seconds"),
+    )
+
+
+ORACLES["q44_asof_purchase_attribution"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+       c.click_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+           AS gap_seconds
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q45 — bucketized range join: events falling inside 20 fixed 90-minute
+# maintenance windows (time-bucket equi-join + residual filter — the
+# rewrite that avoids a BroadcastNestedLoopJoin at scale).
+# ---------------------------------------------------------------------------
+_Q45_ANCHOR = 1704412800  # 2024-01-05 00:00:00 UTC
+
+
+def q45_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wins = spark.range(20).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_seconds(F.lit(_Q45_ANCHOR) + F.col("id") * 10800).alias("win_start"),
+        F.timestamp_seconds(
+            F.lit(_Q45_ANCHOR) + F.col("id") * 10800 + 5400
+        ).alias("win_end"),
+    )
+    joined = range_join(e, wins, left_ts="ts", bucket_seconds=3600)
+    return joined.groupBy("window_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+
+
+ORACLES["q45_range_join_windows"] = f"""
+WITH w AS (
+    SELECT k AS window_id,
+           TIMESTAMP '2024-01-05 00:00:00' + k * INTERVAL 3 HOUR AS ws,
+           TIMESTAMP '2024-01-05 00:00:00' + k * INTERVAL 3 HOUR
+               + INTERVAL 90 MINUTE AS we
+    FROM range(20) t(k)
+)
+SELECT w.window_id, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_money_sum('e.value')} AS total_value
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q46 — ROLLUP over the region→nation hierarchy (grouping-sets
+# extension; SURVEY §2.5 notes the reference has none — cube/rollup
+# are native Catalyst Expand plans, one pass over the fact side).
+# ---------------------------------------------------------------------------
+def q46_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_revenue"),
+    )
+
+
+ORACLES["q46_rollup_revenue"] = f"""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_money_sum('o_totalprice')} AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
 """
 
 
