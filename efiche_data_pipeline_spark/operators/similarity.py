@@ -146,6 +146,57 @@ def train_centroids(
     return cents
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine ≥ threshold.
+
+    Without ``centroids``: exact all-pairs via a self-join — the
+    correctness baseline, O(n²), fixture-scale only (and the form the
+    DuckDB oracle reproduces).
+
+    With ``centroids`` (from :func:`train_centroids`): candidates are
+    generated only within Voronoi cells — each vector is assigned to
+    its ``nprobe`` nearest cells and pairs form inside a cell. Near
+    -duplicates (cosine ≥ 0.9) lie close together, so cell-blocking
+    keeps recall high while cutting candidates from n² to Σ|cell|²;
+    multi-probing recovers pairs that straddle a Voronoi boundary.
+    Recall vs the exact baseline is asserted in
+    tests/test_similarity.py."""
+    if centroids is None:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=nprobe)
+        a = cells.select(
+            "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = cells.select(
+            "cell_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        # multi-probe assigns a vector to several cells; the same pair
+        # can meet in more than one — dedup before scoring so cosine is
+        # computed once per pair.
+        pairs = (
+            a.join(b, "cell_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

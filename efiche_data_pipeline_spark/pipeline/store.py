@@ -84,5 +84,21 @@ class Store:
             df = df.join(existing, key, "left_anti")
         self.append(df, table)
 
+    def merge_upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
+        """Keyed merge: rows matching on ``keys`` are replaced by their
+        update, unmatched updates are inserted — ``MERGE WHEN MATCHED
+        THEN UPDATE / WHEN NOT MATCHED THEN INSERT`` for plain parquet
+        (delete-by-key + insert). ``updates`` must be key-unique.
+        Idempotent: re-merging the same updates is a no-op. Used by the
+        streaming foreachBatch sink (streaming/incremental.py), where
+        idempotent batch replay is the exactly-once-ish contract."""
+        if self.exists(table):
+            keep = self.read(table).join(updates.select(*keys), keys, "left_anti")
+            # Pin before overwriting the files the plan reads from.
+            merged = keep.unionByName(updates).localCheckpoint(eager=True)
+        else:
+            merged = updates
+        self.overwrite(merged, table)
+
     def count(self, table: str) -> int:
         return self.read(table).count() if self.exists(table) else 0

@@ -43,7 +43,12 @@ from ..operators.multimodal import (
     extract_image_features,
     synthesize_content,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk, train_centroids
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+    train_centroids,
+)
 from ..operators.temporal import asof_join, range_join
 from ..sources.catalog import load_table
 
@@ -503,6 +508,28 @@ SELECT o_orderkey, o_orderdate, md5('seed42#' || CAST(o_orderkey AS VARCHAR)) AS
 FROM orders
 ORDER BY h
 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q47 — embedding-cosine near-dup pairs, exact all-pairs form (the
+# oracle-checkable baseline; the cell-blocked scale path with the same
+# semantics is covered by a recall test in tests/test_similarity.py).
+# Threshold 0.35 because the fixture embeddings are isotropic (max
+# pairwise cosine ≈ 0.51) — real near-dup corpora use ~0.9.
+# ---------------------------------------------------------------------------
+def q47_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+ORACLES["q47_cosine_neardup_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
 """
 
 

@@ -100,19 +100,7 @@ def run_incremental_stream(
     def merge(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        if store.exists(table):
-            existing = store.read(table)
-            keep = existing.join(
-                batch.select("hour_start", "event_type"),
-                ["hour_start", "event_type"],
-                "left_anti",
-            )
-            # Write via an intermediate so the overwrite never reads
-            # the files it is replacing mid-job.
-            merged = keep.unionByName(batch).localCheckpoint(eager=True)
-        else:
-            merged = batch
-        store.overwrite(merged, table)
+        store.merge_upsert(batch, table, keys=["hour_start", "event_type"])
 
     q = (
         agg.writeStream.outputMode("update")

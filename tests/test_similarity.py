@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from efiche_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    cosine_neardup_pairs,
     ivf_topk,
     train_centroids,
 )
@@ -103,6 +104,27 @@ def test_ivf_multiprobe_improves_recall(clustered):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 >= 0.9
+
+
+def test_cosine_neardup_blocked_recall(clustered):
+    """Cell-blocked near-dup pairs recover ≥0.9 of the exact pairs on
+    clustered data (near-dups are intra-cluster by construction), at a
+    fraction of the n² candidate count."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(clustered, threshold=0.9).collect()
+    }
+    assert exact  # jittered cluster members are near-dups of each other
+    cents = train_centroids(clustered, k=20, iters=2)
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            clustered, threshold=0.9, centroids=cents, nprobe=2
+        ).collect()
+    }
+    assert blocked <= exact  # blocking only removes candidates
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9, f"blocked near-dup recall {recall}"
 
 
 def test_ivf_recall_on_fixture_embeddings(spark):
