@@ -22,9 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 class Store:
     def __init__(self, spark: SparkSession, root: str, audit: bool = False):
+        import threading
+
         self.spark = spark
         self.root = root
         self.audit = audit
+        # Table writes from concurrent threads target distinct paths
+        # and are safe; the audit log is one shared append target, so
+        # its writes serialize (concurrent appends to one parquet path
+        # share a _temporary staging dir and can clobber each other).
+        self._audit_lock = threading.Lock()
 
     def _log(self, table: str, operation: str) -> None:
         """Append one row to the append-only ``audit_log`` table — the
@@ -45,7 +52,8 @@ class Store:
             F.to_json(F.struct(F.lit(self.path(table)).alias("path"))).alias("details"),
             F.current_timestamp().alias("changed_at"),
         )
-        row.write.mode("append").parquet(self.path("audit_log"))
+        with self._audit_lock:
+            row.write.mode("append").parquet(self.path("audit_log"))
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)

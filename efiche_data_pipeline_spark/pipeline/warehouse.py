@@ -300,23 +300,30 @@ def refresh_views(store: Store) -> None:
     """M4: full recompute + overwrite of the three MV tables
     (reference: sql/03_warehouse.sql:159-166,
     populate_warehouse.py:229-236)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     fact = store.read("fact_encounters")
-    store.overwrite(mv_monthly_encounters(fact, store.read("dim_time")), "mv_monthly_encounters")
-    store.overwrite(
-        mv_diagnosis_by_age_group(
+    mvs = {
+        "mv_monthly_encounters": lambda: mv_monthly_encounters(
+            fact, store.read("dim_time")
+        ),
+        "mv_diagnosis_by_age_group": lambda: mv_diagnosis_by_age_group(
             store.read("bridge_encounter_diagnosis"),
             fact,
             store.read("dim_patient"),
             store.read("dim_diagnosis"),
         ),
-        "mv_diagnosis_by_age_group",
-    )
-    store.overwrite(
-        mv_procedure_volume(
+        "mv_procedure_volume": lambda: mv_procedure_volume(
             store.read("bridge_encounter_procedure"), fact, store.read("dim_procedure")
         ),
-        "mv_procedure_volume",
-    )
+    }
+    with ThreadPoolExecutor(max_workers=len(mvs)) as pool:
+        futures = [
+            pool.submit(lambda n=name, f=fn: store.overwrite(f(), n))
+            for name, fn in mvs.items()
+        ]
+        for f in futures:
+            f.result()
 
 
 def build_warehouse(store: Store) -> dict[str, int]:
@@ -332,16 +339,26 @@ def build_warehouse(store: Store) -> dict[str, int]:
     diagnoses = store.read("diagnoses")
     reports = store.read("reports")
 
-    dim_time = build_dim_time(encounters)
-    dim_patient = build_dim_patient(store.read("patients"))
-    dim_facility = build_dim_facility(store.read("facilities"))
-    dim_procedure = build_dim_procedure(procedures)
-    dim_diagnosis = build_dim_diagnosis(store.read("diagnosis_codes"))
-    store.overwrite(dim_time, "dim_time")
-    store.overwrite(dim_patient, "dim_patient")
-    store.overwrite(dim_facility, "dim_facility")
-    store.overwrite(dim_procedure, "dim_procedure")
-    store.overwrite(dim_diagnosis, "dim_diagnosis")
+    # The five dim builds are independent jobs — submit them
+    # concurrently (Spark's scheduler interleaves them across the
+    # executor pool; sequential submission leaves cores idle during
+    # each job's tail and commit phase).
+    from concurrent.futures import ThreadPoolExecutor
+
+    dims = {
+        "dim_time": lambda: build_dim_time(encounters),
+        "dim_patient": lambda: build_dim_patient(store.read("patients")),
+        "dim_facility": lambda: build_dim_facility(store.read("facilities")),
+        "dim_procedure": lambda: build_dim_procedure(procedures),
+        "dim_diagnosis": lambda: build_dim_diagnosis(store.read("diagnosis_codes")),
+    }
+    with ThreadPoolExecutor(max_workers=len(dims)) as pool:
+        futures = {
+            name: pool.submit(lambda n=name, f=fn: store.overwrite(f(), n))
+            for name, fn in dims.items()
+        }
+        for f in futures.values():
+            f.result()
 
     fact = build_fact_encounters(
         encounters, procedures, diagnoses, reports,
@@ -358,8 +375,10 @@ def build_warehouse(store: Store) -> dict[str, int]:
         procedures, diagnoses, fact_stored,
         store.read("dim_procedure"), store.read("dim_diagnosis"),
     )
-    store.overwrite(bep, "bridge_encounter_procedure")
-    store.overwrite(bed, "bridge_encounter_diagnosis")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(store.overwrite, bep, "bridge_encounter_procedure")
+        fd = pool.submit(store.overwrite, bed, "bridge_encounter_diagnosis")
+        fb.result(), fd.result()
 
     refresh_views(store)
 

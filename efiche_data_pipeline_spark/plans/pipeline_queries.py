@@ -31,9 +31,17 @@ _BUILT: dict[str, Store] = {}
 def warehouse_store(spark: SparkSession, sf_dir: str) -> Store:
     store = _BUILT.get(sf_dir)
     if store is None:
+        from concurrent.futures import ThreadPoolExecutor
+
         store = Store(spark, tempfile.mkdtemp(prefix="efiche_wh_"))
-        for name, df in map_operational(spark, sf_dir).items():
-            store.overwrite(df, name)
+        tables = map_operational(spark, sf_dir)
+        # Independent writes to distinct paths — submit concurrently.
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            futures = [
+                pool.submit(store.overwrite, df, name) for name, df in tables.items()
+            ]
+            for f in futures:
+                f.result()
         build_warehouse(store)
         _BUILT[sf_dir] = store
     return store
