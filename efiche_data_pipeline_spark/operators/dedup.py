@@ -184,6 +184,16 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``n_hashes`` seeded
     hash functions, the minimum hash over the doc's shingle set.
     One explode + one groupBy — a single shuffle keyed by doc id.
+
+    Measured note (round 2): an in-row formulation
+    (``array_min(transform(shingles, s -> xxhash64(seed, s)))``) is
+    2-3× SLOWER despite avoiding the shuffle — higher-order functions
+    evaluate outside whole-stage codegen, projection collapse
+    re-inlines the shingle-array expression into all 16 min columns,
+    and without an Exchange the three downstream consumers of the
+    signature frame each recompute it from raw text. Explode +
+    hash-aggregate is fully codegen'd and its output Exchange is
+    reused (ReusedExchange) by every consumer.
     """
     sh = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
