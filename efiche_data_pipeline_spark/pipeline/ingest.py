@@ -113,7 +113,21 @@ def process_staging_to_production(
     patient_pool = sample_exact(store.read("patients").select("patient_id"), 1000, seed)
     facility_pool = sample_exact(store.read("facilities").select("facility_id"), 5, seed)
 
-    enc = _hash_pick_join(batch, patient_pool, F.col("image_id"), "patient_id", seed + 1)
+    # Crash convergence: every write below is individually idempotent,
+    # so a run that died between steps simply re-runs. Parents are
+    # created only for batch rows with no parent yet (anti-join on the
+    # lineage key), children only for parents with no children yet —
+    # the marker append comes last, so an unmarked-but-written batch
+    # converges instead of duplicating (the reference gets the same
+    # property from per-record transactions, etl_pipeline.py:197-200).
+    to_create = batch
+    if store.exists("encounters_raw"):
+        existing_parents = store.read("encounters_raw").select(
+            F.col("source_image_id").alias("image_id")
+        )
+        to_create = batch.join(existing_parents, "image_id", "left_anti")
+
+    enc = _hash_pick_join(to_create, patient_pool, F.col("image_id"), "patient_id", seed + 1)
     enc = _hash_pick_join(enc, facility_pool, F.col("image_id"), "facility_id", seed + 2)
     enc = enc.select(
         F.expr("uuid()").alias("encounter_id"),
@@ -139,27 +153,36 @@ def process_staging_to_production(
         batch.select("image_id"), F.col("source_image_id") == F.col("image_id")
     )
 
-    store.append(
-        written.select(
-            F.expr("uuid()").alias("procedure_id"),
-            "encounter_id",
-            F.format_string("%s Chest Imaging", F.col("modality")).alias("procedure_name"),
-            "modality",
-            "projection",
-            F.col("encounter_date").alias("procedure_date"),
-        ),
-        "procedures_raw",
+    proc = written.select(
+        F.expr("uuid()").alias("procedure_id"),
+        "encounter_id",
+        F.format_string("%s Chest Imaging", F.col("modality")).alias("procedure_name"),
+        "modality",
+        "projection",
+        F.col("encounter_date").alias("procedure_date"),
     )
-    store.append(
-        written.select(
-            F.expr("uuid()").alias("report_id"),
+    if store.exists("procedures_raw"):
+        proc = proc.join(
+            store.read("procedures_raw").select("encounter_id"),
             "encounter_id",
-            F.lit("radiology").alias("report_type"),
-            "report_text",
-            F.lit("en").alias("language"),
-        ),
-        "reports_raw",
+            "left_anti",
+        )
+    store.append(proc, "procedures_raw")
+
+    rep = written.select(
+        F.expr("uuid()").alias("report_id"),
+        "encounter_id",
+        F.lit("radiology").alias("report_type"),
+        "report_text",
+        F.lit("en").alias("language"),
     )
+    if store.exists("reports_raw"):
+        rep = rep.join(
+            store.read("reports_raw").select("encounter_id"),
+            "encounter_id",
+            "left_anti",
+        )
+    store.append(rep, "reports_raw")
 
     consumed = batch.select("image_id").withColumn("processed_at", F.current_timestamp())
     store.append(consumed, "staging_markers")

@@ -73,6 +73,25 @@ SQL_QUERIES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
+    "q04_qoq_growth": """
+        SELECT o_year, o_quarter, n_orders,
+               LAG(n_orders) OVER w AS prev_orders,
+               ROUND((n_orders - LAG(n_orders) OVER w) * 100.0
+                     / NULLIF(LAG(n_orders) OVER w, 0), 2) AS growth_pct
+        FROM (
+            SELECT YEAR(o_orderdate) AS o_year, QUARTER(o_orderdate) AS o_quarter,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        )
+        WINDOW w AS (ORDER BY o_year, o_quarter)
+    """,
+    "q05_pct_of_total_by_priority": """
+        SELECT o_orderpriority, n_orders,
+               ROUND(n_orders * 100.0 / SUM(n_orders) OVER (), 2) AS pct_of_total
+        FROM (
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
+        )
+    """,
     "q10_urgent_customers_semi_join": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer

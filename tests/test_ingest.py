@@ -108,6 +108,29 @@ def test_incremental_completeness_property(spark, tmp_path):
     assert many == one
 
 
+def test_crash_recovery_converges(spark, store):
+    """Simulate a run that died after writing parents+procedures but
+    before reports/markers: re-running the batch must not duplicate
+    parents or children, and must complete the missing writes."""
+    import shutil
+
+    load_to_staging(store, gen_staging(spark, 200, seed=4))
+    total = store.count("staging")
+    process_staging_to_production(store, batch_limit=10**6)
+    n_enc = store.count("encounters_raw")
+    assert n_enc == total
+
+    # wind back to the mid-crash state
+    shutil.rmtree(store.path("reports_raw"))
+    shutil.rmtree(store.path("staging_markers"))
+
+    process_staging_to_production(store, batch_limit=10**6)
+    assert store.count("encounters_raw") == n_enc  # no duplicate parents
+    assert store.count("procedures_raw") == n_enc  # no duplicate children
+    assert store.count("reports_raw") == n_enc  # missing write completed
+    assert pipeline_stats(store)["unprocessed_staging"] == 0
+
+
 def test_sample_exact_deterministic(spark):
     df = gen_patients(spark, 500, seed=3)
     a = sample_exact(df, 50, seed=7)
