@@ -648,6 +648,103 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q48 — per-session detail rows (the batch twin of the
+# applyInPandasWithState streaming sessionizer, streaming/sessions.py;
+# the stream≡batch differential lives in tests/test_sessions.py).
+# ---------------------------------------------------------------------------
+def q48_session_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import sessionize_batch
+
+    s = sessionize_batch(load_table(spark, sf_dir, "events"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )
+
+
+ORACLES["q48_session_detail"] = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q49 — CUBE over (l_returnflag, l_linestatus): all four grouping-set
+# combinations in ONE scan via Catalyst's Expand (each input row is
+# replicated per grouping set map-side, then partially aggregated —
+# no re-scan per set, unlike the UNION-of-GROUP-BYs a SQL engine
+# without grouping sets would need).
+# ---------------------------------------------------------------------------
+def q49_cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum("l_extendedprice").alias("total_price"),
+    )
+
+
+ORACLES["q49_cube_lineitem_status"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {oracle_money_sum('l_extendedprice')} AS total_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q50 — exact percentiles (linear interpolation) of order totals per
+# priority. `F.percentile` is the exact sort-based path (one shuffle,
+# per-group sort inside the aggregate); both Spark and DuckDB
+# (quantile_cont) use the same (1-f)*lo + f*hi interpolation in
+# double, rounded to 4 to absorb last-ulp divergence.
+# ---------------------------------------------------------------------------
+def q50_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(price, 0.25), 4).alias("p25"),
+        F.round(F.percentile(price, 0.5), 4).alias("p50"),
+        F.round(F.percentile(price, 0.75), 4).alias("p75"),
+        F.round(F.percentile(price, 0.99), 4).alias("p99"),
+    )
+
+
+ORACLES["q50_order_price_percentiles"] = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 4) AS p50,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

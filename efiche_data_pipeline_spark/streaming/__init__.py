@@ -7,11 +7,19 @@ from .incremental import (
     run_incremental_stream,
     stream_events,
 )
+from .sessions import (
+    run_session_stream,
+    sessionize_batch,
+    sessionize_stream,
+)
 
 __all__ = [
     "batch_consume_increment",
     "deduped_event_stream",
     "hourly_event_counts",
     "run_incremental_stream",
+    "run_session_stream",
+    "sessionize_batch",
+    "sessionize_stream",
     "stream_events",
 ]
