@@ -38,6 +38,8 @@ HEADLINE = (
     "q28_minhash_lsh_pairs",
     "q29_cosine_topk",
     "q31_token_stats",
+    # curation chain: lang gate → quality gate → dedup keep-first
+    "q51_curation_pipeline",
     "q34_events_hourly_window",
     "q35_user_sessions",
     # write side: full warehouse build (dims+fact+bridges+3 MVs, all

@@ -74,6 +74,36 @@ def word_shingles(text: str | Column, n: int) -> Column:
     return F.array_distinct(shingle)
 
 
+def predict_lang(text: str | Column) -> Column:
+    """Heuristic language ID: CJK-codepoint detection wins outright,
+    otherwise the language with the most stopword hits; ties resolve in
+    LANG_STOPWORDS order (en > es > de > fr). The oracle reproduces the
+    identical CASE ladder (see q33/q51 in plans/extensions.py)."""
+    c = F.col(text) if isinstance(text, str) else text
+    hits = {lang: stopword_count(c, words) for lang, words in LANG_STOPWORDS.items()}
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    return (
+        F.when(c.rlike(r"[一-鿿]"), "zh")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+
+
+def quality_score_raw(text: str | Column) -> Column:
+    """Unrounded document quality in [0, 1]: half English-stopword
+    density (fluency proxy), half saturating length credit at 200
+    tokens. Both terms are exact IEEE double ops on integer inputs, so
+    any engine computing the same formula produces bit-identical
+    doubles — thresholding on the raw score is oracle-safe."""
+    n_tok = token_count(text)
+    stop = stopword_count(text, LANG_STOPWORDS["en"])
+    return F.lit(0.5) * (stop.cast("double") / n_tok) + F.lit(0.5) * (
+        F.least(n_tok, F.lit(200)).cast("double") / 200.0
+    )
+
+
 def bow_fingerprint(text: str | Column) -> Column:
     """Bag-of-words document fingerprint: md5 of the sorted distinct
     token set. Detects shuffled/reordered duplicates that exact-hash

@@ -362,14 +362,16 @@ def refresh_mv_monthly_incremental(store: Store, changed: DataFrame) -> int:
     return n_months
 
 
-def build_warehouse(store: Store) -> dict[str, int]:
+def build_warehouse(store: Store, stats: bool = True) -> dict[str, int]:
     """Full warehouse population in dependency order (reference:
     populate_warehouse.py:255-297): dims → fact → bridges → MVs.
     Reads operational tables from ``store``; writes every warehouse
     table with overwrite (idempotent). The fact table is partitioned
     by encounter year for partition pruning on the dominant
-    time-filtered access path. Returns per-table row counts
-    (reference: get_warehouse_stats, :238-253)."""
+    time-filtered access path. With ``stats=True`` returns per-table
+    row counts (reference: get_warehouse_stats, :238-253) — 11 extra
+    count jobs; pass ``stats=False`` when the caller only needs the
+    tables (e.g. an MV readback query path)."""
     encounters = store.read("encounters")
     procedures = store.read("procedures")
     diagnoses = store.read("diagnoses")
@@ -418,6 +420,8 @@ def build_warehouse(store: Store) -> dict[str, int]:
 
     refresh_views(store)
 
+    if not stats:
+        return {}
     return {
         t: store.count(t)
         for t in (

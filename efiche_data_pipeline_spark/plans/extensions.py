@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 from ..functions.numeric import money_sum, oracle_money_sum
 from ..functions.text import (
     LANG_STOPWORDS,
+    predict_lang,
     punct_count,
+    quality_score_raw,
     stopword_count,
     token_count,
     tokens,
+    word_shingles,
 )
 from ..operators.dedup import (
     bow_dedup,
@@ -49,6 +52,8 @@ from ..operators.similarity import (
     ivf_topk,
     train_centroids,
 )
+from ..functions.hashing import oracle_hash60, portable_hash60
+from ..operators.skew import salted_join
 from ..operators.temporal import asof_join, range_join
 from ..sources.catalog import load_table
 
@@ -233,11 +238,7 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_count("text").cast("double") / F.length("text"), 4
     )
     stop_ratio = F.round(stop.cast("double") / n_tok, 4)
-    quality = F.round(
-        F.lit(0.5) * (stop.cast("double") / n_tok)
-        + F.lit(0.5) * (F.least(n_tok, F.lit(200)).cast("double") / 200.0),
-        4,
-    )
+    quality = F.round(quality_score_raw("text"), 4)
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -273,20 +274,8 @@ FROM (
 # ---------------------------------------------------------------------------
 def q33_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hits = {
-        lang: stopword_count("text", words) for lang, words in LANG_STOPWORDS.items()
-    }
-    has_cjk = F.col("text").rlike(r"[一-鿿]")
-    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
-    pred = (
-        F.when(has_cjk, "zh")
-        .when((en >= es) & (en >= de) & (en >= fr), "en")
-        .when((es >= de) & (es >= fr), "es")
-        .when(de >= fr, "de")
-        .otherwise("fr")
-    )
     return (
-        docs.select(F.col("lang"), pred.alias("pred_lang"))
+        docs.select(F.col("lang"), predict_lang("text").alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -745,8 +734,236 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q51 — end-to-end curation pipeline: the canonical training-data
+# filter chain (language gate → quality gate → exact dedup keep-first)
+# composed from the q32/q33/q24 building blocks in ONE dataflow — a
+# single scan, one narrow filter stage, and one shuffle keyed on the
+# 32-char md5 (never the document body). The quality threshold compares
+# the UNROUNDED score: both engines compute the identical IEEE-double
+# formula on integer inputs, so the comparison is deterministic even
+# for docs landing exactly on the threshold (see quality_score_raw).
+# ---------------------------------------------------------------------------
+def q51_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id",
+        "text",
+        token_count("text").alias("n_tokens"),
+        quality_score_raw("text").alias("_q"),
+        predict_lang("text").alias("pred_lang"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("_q") >= 0.18))
+    keep_first = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(keep_first))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", F.round("_q", 4).alias("quality_score"))
+    )
+
+
+ORACLES["q51_curation_pipeline"] = f"""
+WITH feat AS (
+    SELECT doc_id, text,
+           length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           {_hits_sql('en')} AS en,
+           {_hits_sql('es')} AS es,
+           {_hits_sql('de')} AS de,
+           {_hits_sql('fr')} AS fr
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, text, n_tokens,
+           0.5 * (CAST(en AS DOUBLE) / n_tokens)
+               + 0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) AS q,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es >= de AND es >= fr THEN 'es'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM feat
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(q, 4) AS quality_score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM scored
+    WHERE pred_lang = 'en' AND q >= 0.18
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q52 — GROUPING SETS with *disjoint* sets ((n_name), (o_orderpriority)):
+# two independent one-dimensional aggregates in a single scan via
+# Catalyst's Expand (neither ROLLUP q46 nor CUBE q49 can express this
+# shape — it is the general grouping-sets form).
+# ---------------------------------------------------------------------------
+def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return joined.groupingSets(
+        [["n_name"], ["o_orderpriority"]], "n_name", "o_orderpriority"
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_revenue"),
+    )
+
+
+ORACLES["q52_grouping_sets"] = f"""
+SELECT n_name, o_orderpriority,
+       CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_money_sum('o_totalprice')} AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q53 — sliding-window token chunking (chunk 120 tokens, stride 80):
+# the standard long-document → training-sample split. One tokenize, a
+# sequence() of chunk starts exploded per doc (fan-out = ceil(n/80),
+# bounded per row — no shuffle at all: tokenize, explode, and slice are
+# all narrow), then a JVM-side slice+join per chunk.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 120, 80
+
+
+def q53_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_STRIDE))
+    return (
+        docs.select(
+            "doc_id",
+            tokens("text").alias("_t"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.concat_ws(
+                " ", F.slice("_t", F.col("chunk_start"), F.lit(_CHUNK))
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(_CHUNK), F.size("_t") - F.col("chunk_start") + F.lit(1)
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+ORACLES["q53_doc_chunks"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(gs AS INTEGER) AS chunk_start,
+       array_to_string(list_slice(t, gs, gs + {_CHUNK - 1}), ' ') AS chunk_text,
+       CAST(least({_CHUNK}, length(t) - gs + 1) AS INTEGER) AS n_chunk_tokens
+FROM toks, UNNEST(range(1, greatest(length(t), 1) + 1, {_STRIDE})) AS u(gs)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q54 — corpus-level n-gram statistics: top-20 bigrams by document
+# frequency (distinct per doc, so a doc repeating a bigram counts
+# once). Explode → partial-aggregated groupBy on the bigram string →
+# TakeOrderedAndProject top-k; ties at the cut break on the bigram
+# itself so the selected row SET is deterministic.
+# ---------------------------------------------------------------------------
+def q54_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "bigram")
+        .limit(20)
+    )
+
+
+ORACLES["q54_top_bigrams"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS bigram
+    FROM toks, UNNEST(range(1, greatest(length(t), 1))) AS u(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sh
+GROUP BY bigram
+ORDER BY n_docs DESC, bigram
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q55 — skew-salted join, verified against the plain-join oracle: the
+# lineitem (large, potentially hot-keyed) side spreads each supplier
+# key over 16 salts keyed off l_orderkey, the supplier side replicates
+# 16× via an in-row explode, and the result aggregates per nation —
+# bit-identical to the unsalted join, which is exactly the property
+# that makes salting a safe drop-in at 100 TB when one key goes hot.
+# ---------------------------------------------------------------------------
+def q55_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, on="s_suppkey", salt_from="l_orderkey", n_salts=16)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum("l_extendedprice").alias("total_price"),
+    )
+
+
+ORACLES["q55_salted_supplier_revenue"] = f"""
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {oracle_money_sum('l_extendedprice')} AS total_price
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q56 — deterministic train/val/test split (80/10/10) by portable hash
+# of the document id: the standard leakage-safe dataset split. Hashing
+# (not rand()) makes the assignment a pure function of the id — stable
+# across runs, engines, partitionings, and re-shards, so a document
+# can never migrate between splits as the corpus grows. Narrow
+# (per-row) — no shuffle at all.
+# ---------------------------------------------------------------------------
+def q56_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+ORACLES["q56_train_val_test_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {oracle_hash60('CAST(doc_id AS VARCHAR)')} % 100 < 80 THEN 'train'
+            WHEN {oracle_hash60('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
-    if name.startswith("q") and callable(fn)
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
 }

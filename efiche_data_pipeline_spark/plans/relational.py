@@ -744,5 +744,5 @@ GROUP BY 1, 2
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
-    if name.startswith("q") and callable(fn)
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
 }

@@ -81,3 +81,26 @@ def fetch_external(
         pass
 
     return gen_staging(spark, n=sample_size, seed=seed), "synthetic"
+
+
+def materialize_snapshot(
+    spark: SparkSession,
+    snapshot_dir: str,
+    dataset_name: str = "external/cxr-sample",
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> str:
+    """Resolve the external dataset once and persist it as a parquet
+    snapshot at ``snapshot_dir`` — the scale path's *write* half: at
+    100 TB the external corpus is snapshotted to object storage exactly
+    once, and every subsequent :func:`fetch_external` call resolves to
+    a columnar scan (predicate pushdown, column pruning, parallel
+    splits) instead of a driver-side library fetch. Returns the source
+    kind the snapshot was materialized FROM ("datasets" or
+    "synthetic"). Overwrite-idempotent: re-materializing with the same
+    inputs produces an identical snapshot."""
+    df, kind = fetch_external(
+        spark, dataset_name=dataset_name, sample_size=sample_size, seed=seed
+    )
+    df.write.mode("overwrite").parquet(snapshot_dir)
+    return kind
