@@ -340,3 +340,59 @@ FROM (
     GROUP BY {id_col}
 )
 """
+
+
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph:
+    (node, component) where component = the minimum id reachable from
+    the node. This is the missing half of pairwise dedup — pairs only
+    say "these two are similar"; components let a pipeline keep ONE
+    representative per duplicate *cluster* (min id) even when A~B~C
+    but A≁C directly.
+
+    Distributed min-label propagation (the Pregel formulation): every
+    round each node takes the min of its own label and its neighbors',
+    one join + one min-aggregate per round — all bulk DataFrame ops,
+    nothing driver-side except the O(1) convergence aggregate.
+    Converges in graph-diameter rounds; near-dup clusters are dense and
+    shallow (diameter 2-4 in practice), so the loop runs a handful of
+    rounds regardless of corpus size. Labels decrease monotonically, so
+    an unchanged SUM(label) is an exact fixpoint test. Each round is
+    ``localCheckpoint``-ed: it truncates the otherwise exponentially
+    nested join lineage AND materializes the only state the next round
+    needs (the label frame — bounded at two longs per node).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        neighbor = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select("node", F.col("label").alias("component"))

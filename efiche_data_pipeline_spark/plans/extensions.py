@@ -34,6 +34,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     bow_dedup,
+    dedup_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -104,8 +105,10 @@ def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", n=3, max_freq=20, min_shared=2)
 
 
-ORACLES["q26_jaccard_pairs"] = """
-WITH toks AS (
+# Shared CTE chain producing the rare-shingle candidate pairs — used by
+# the q26 oracle and re-used (under WITH RECURSIVE) by the q57
+# connected-components oracle.
+_SHINGLE_PAIR_CTES = """toks AS (
     SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
 ),
 sh AS (
@@ -123,7 +126,10 @@ pairs AS (
     FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
-)
+)"""
+
+ORACLES["q26_jaccard_pairs"] = f"""
+WITH {_SHINGLE_PAIR_CTES}
 SELECT doc_a, doc_b, n_shared,
        ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
 FROM pairs
@@ -959,6 +965,157 @@ SELECT doc_id,
             WHEN {oracle_hash60('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q57 — near-dup cluster assignment: connected components (distributed
+# min-label propagation, operators/dedup.py:dedup_components) over the
+# q26 candidate-pair graph. The oracle replays the same pair CTEs and
+# computes components via a recursive transitive closure — tractable at
+# oracle scale, while the Spark side is the bulk-iteration formulation
+# that works at corpus scale.
+# ---------------------------------------------------------------------------
+def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, max_freq=20, min_shared=2)
+    comp = dedup_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+ORACLES["q57_neardup_components"] = f"""
+WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component_id
+FROM reach
+GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q58 — stratified exact-N sampling: 20 documents per language, chosen
+# by portable-hash order (not rand()), so the sample is a deterministic
+# pure function of the ids — reproducible across engines and runs, and
+# stable under corpus repartitioning. One window per stratum.
+# ---------------------------------------------------------------------------
+def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    order = portable_hash60(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+ORACLES["q58_stratified_sample"] = f"""
+SELECT doc_id, lang
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {oracle_hash60('CAST(doc_id AS VARCHAR)')}, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q59 — 30-day moving average of daily revenue: a RANGE-frame window
+# (interval framing, not row counting — days missing from the data
+# still shrink the frame correctly). The moving SUM runs in
+# decimal(38,6) (exact, associative — DuckDB's segment-tree window
+# accumulation and Spark's running accumulation would disagree in the
+# last ulps over doubles), and only the final single division happens
+# in double. The window is global but its input is the per-DAY
+# aggregate — bounded by the calendar, not the fact table, so the
+# one-task window stage is safe at any corpus scale.
+# ---------------------------------------------------------------------------
+def q59_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        money_sum("o_totalprice").alias("daily_revenue")
+    )
+    # o_orderdate is a (midnight-aligned) timestamp in the fixture;
+    # range framing needs a day-grained numeric order key.
+    w = W.orderBy(F.unix_date(F.col("o_orderdate").cast("date"))).rangeBetween(-29, 0)
+    msum = F.sum(F.col("daily_revenue").cast("decimal(38,6)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "daily_revenue",
+        F.round(msum.cast("double") / n, 4).alias("ma30"),
+    )
+
+
+ORACLES["q59_moving_avg_revenue"] = f"""
+WITH daily AS (
+    SELECT o_orderdate,
+           {oracle_money_sum('o_totalprice')} AS daily_revenue
+    FROM orders GROUP BY 1
+)
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       daily_revenue,
+       ROUND(CAST(SUM(CAST(daily_revenue AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 4) AS ma30
+FROM daily
+WINDOW w AS (ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q60 — customer revenue deciles (ntile) with per-decile aggregates.
+# The ntile runs over the per-CUSTOMER aggregate (≪ fact table) with a
+# (revenue, custkey) total order so tie placement is deterministic;
+# min/max are exact selections and the decile sum goes back through
+# decimal, so every output value is engine-exact.
+# ---------------------------------------------------------------------------
+def q60_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("revenue"))
+    w = W.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("revenue").alias("decile_revenue"),
+            F.min("revenue").alias("min_revenue"),
+            F.max("revenue").alias("max_revenue"),
+        )
+    )
+
+
+ORACLES["q60_customer_revenue_deciles"] = f"""
+WITH rev AS (
+    SELECT o_custkey, {oracle_money_sum('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {oracle_money_sum('revenue')} AS decile_revenue,
+       MIN(revenue) AS min_revenue,
+       MAX(revenue) AS max_revenue
+FROM (
+    SELECT revenue, ntile(10) OVER (ORDER BY revenue, o_custkey) AS decile
+    FROM rev
+)
+GROUP BY 1
 """
 
 

@@ -148,3 +148,30 @@ def test_simhash_identical_docs_equal_fingerprints(planted):
 
     assert hamming(out[0], out[1]) <= 6
     assert hamming(out[0], out[110]) > hamming(out[0], out[1])
+
+
+def test_dedup_components_chain_and_isolated_pair(spark):
+    from efiche_data_pipeline_spark.operators.dedup import dedup_components
+
+    # Chain 1-2-3-4 (1~2, 2~3, 3~4 but 1 NOT directly ~ 4) plus an
+    # isolated pair 10-11: transitive closure must pull the whole chain
+    # into component 1 without merging the 10-11 pair into it.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["component"]) for r in dedup_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_components_direction_independent(spark):
+    from efiche_data_pipeline_spark.operators.dedup import dedup_components
+
+    # Min label must propagate AGAINST edge direction too: (5,1) with
+    # doc_a > doc_b handed in reversed order.
+    pairs = spark.createDataFrame([(5, 1), (5, 9)], "doc_a long, doc_b long")
+    got = {
+        (r["node"], r["component"]) for r in dedup_components(pairs).collect()
+    }
+    assert got == {(1, 1), (5, 1), (9, 1)}
