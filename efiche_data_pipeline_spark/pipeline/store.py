@@ -110,3 +110,63 @@ class Store:
 
     def count(self, table: str) -> int:
         return self.read(table).count() if self.exists(table) else 0
+
+    def overwrite_sorted(
+        self, df: DataFrame, table: str, sort_by: list[str], partitions: int | None = None
+    ) -> None:
+        """Overwrite with rows range-clustered on ``sort_by``: a
+        repartitionByRange + sortWithinPartitions before the write, so
+        every output file covers a narrow ``sort_by`` interval and its
+        parquet row-group min/max statistics become selective. At scale
+        this is the data-skipping half of partitioning: range filters on
+        the sort key skip whole files/row-groups without any partition
+        directories (the poor man's Z-order for the 1-key case)."""
+        n = partitions or df.sparkSession.sparkContext.defaultParallelism
+        clustered = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        self.overwrite(clustered, table)
+
+    def compact(self, table: str, target_files: int) -> int:
+        """Rewrite ``table`` into ``target_files`` files and return the
+        new file count. Small-file compaction is routine maintenance at
+        scale: streaming/incremental appends accumulate per-batch files
+        whose open/footer overhead eventually dominates scan time.
+        ``coalesce`` (no shuffle) merges read-splits in-task; content is
+        unchanged as a multiset. The rewrite goes through a temp
+        directory + atomic swap so a crash mid-compact leaves either the
+        old or the new table, never a partial one."""
+        import shutil
+
+        df = self.read(table).coalesce(target_files)
+        tmp = self.path(f"_compact_{table}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._log(table, "compact")
+        return sum(
+            1 for f in os.listdir(final) if f.endswith(".parquet")
+        )
+
+    def append_evolved(self, df: DataFrame, table: str) -> None:
+        """Append a frame whose schema is a SUPERSET of the stored
+        table's (new columns allowed; existing columns must keep their
+        types). Readers opt into the merged view with
+        ``read_merged``; old rows surface NULL for the new columns —
+        the parquet-native form of ``ALTER TABLE ADD COLUMN`` (the
+        reference evolves its schema with ALTER statements,
+        sql/01_schema.sql)."""
+        if self.exists(table):
+            existing = set(self.read(table).columns)
+            missing = existing - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"append_evolved to {table}: frame is missing stored "
+                    f"columns {sorted(missing)} — only ADDing columns is "
+                    "schema evolution; dropping requires a rewrite"
+                )
+        self.append(df, table)
+
+    def read_merged(self, table: str) -> DataFrame:
+        """Read with parquet schema merging (union of every file's
+        schema; files predating a column yield NULLs for it)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path(table))

@@ -113,6 +113,37 @@ SQL_QUERIES: dict[str, str] = {
         FROM (SELECT EXPLODE(SPLIT(p_name, ' ')) AS token FROM part)
         GROUP BY token
     """,
+    "q50_order_price_percentiles": """
+        SELECT o_orderpriority,
+               ROUND(PERCENTILE(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+               ROUND(PERCENTILE(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+               ROUND(PERCENTILE(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75,
+               ROUND(PERCENTILE(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS p99
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "q52_grouping_sets": f"""
+        SELECT n_name, o_orderpriority,
+               CAST(GROUPING_ID(n_name, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               {_ms('o_totalprice')} AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
+    """,
+    "q59_moving_avg_revenue": f"""
+        SELECT DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS order_date,
+               daily_revenue,
+               ROUND(CAST(SUM(CAST(daily_revenue AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w), 4) AS ma30
+        FROM (
+            SELECT o_orderdate, {_ms('o_totalprice')} AS daily_revenue
+            FROM orders GROUP BY 1
+        )
+        WINDOW w AS (ORDER BY UNIX_DATE(CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
 }
 
 
