@@ -172,3 +172,66 @@ def extract_image_features(
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         batches, IMAGE_FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset int, frame_len int, frame_fp string"
+)
+
+
+def sample_media_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_size: int = 256,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling over binary payloads — the 1:N ``mapInPandas``
+    shape (one input item → many frame rows) that video/audio
+    pipelines need, as opposed to the 1:1 feature-extraction shape of
+    :func:`extract_image_features`. Every ``stride``-th ``frame_size``
+    pseudo-frame is emitted with its offset and content fingerprint.
+
+    The frame *decode* is stubbed (no codec in this container): frames
+    are fixed-size byte segments of the payload. A real demuxer (pyav,
+    ffmpeg) slots into ``_frames`` without touching the Spark contract:
+    Arrow batches in, a typed frame table out, fan-out bounded by
+    payload_len / (frame_size × stride) per item, no shuffle anywhere.
+
+    ``frame_fp`` follows the repo's portable-fingerprint convention
+    (:func:`content_fingerprint`): md5 over the UPPERCASE hex encoding
+    of the frame bytes, reproducible in any engine as
+    ``md5(substring(hex(content), off*2+1, frame_size*2))``.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def _frames(payload: bytes):
+        n = max((len(payload) + frame_size - 1) // frame_size, 1)
+        for idx in range(0, n, stride):
+            seg = payload[idx * frame_size : (idx + 1) * frame_size]
+            fp = hashlib.md5(seg.hex().upper().encode("ascii")).hexdigest()
+            yield idx, idx * frame_size, len(seg), fp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_offset": [],
+                "frame_len": [],
+                "frame_fp": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                for idx, off, ln, fp in _frames(bytes(payload)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(off)
+                    rows["frame_len"].append(ln)
+                    rows["frame_fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        batches, FRAME_SCHEMA
+    )

@@ -45,6 +45,7 @@ from ..operators.multimodal import (
     binary_stats,
     content_hash_dedup,
     extract_image_features,
+    sample_media_frames,
     synthesize_content,
 )
 from ..operators.similarity import (
@@ -1116,6 +1117,34 @@ FROM (
     FROM rev
 )
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q61 — multimodal frame sampling: 1:N mapInPandas fan-out over the
+# binary content column (every 2nd 64-byte pseudo-frame with offset +
+# portable fingerprint — the video/audio frame-sample shape with the
+# codec stubbed; operators/multimodal.py::sample_media_frames). The
+# oracle reproduces the byte-exact framing on the hex encoding:
+# frame k covers hex chars [k*128+1, k*128+128].
+# ---------------------------------------------------------------------------
+def q61_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    content = synthesize_content(docs, "doc_id", "text")
+    return sample_media_frames(content, frame_size=64, stride=2)
+
+
+ORACLES["q61_media_frames"] = f"""
+WITH c AS ({_CONTENT_SQL}),
+h AS (SELECT doc_id, hex(content) AS hx FROM c)
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(idx * 64 AS INTEGER) AS frame_offset,
+       CAST(length(substring(hx, idx * 128 + 1, 128)) / 2 AS INTEGER) AS frame_len,
+       md5(substring(hx, idx * 128 + 1, 128)) AS frame_fp
+FROM h, LATERAL unnest(
+    range(0, CAST(ceil(length(hx) / 128.0) AS BIGINT), 2)
+) AS t(idx)
 """
 
 

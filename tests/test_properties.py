@@ -88,3 +88,71 @@ def test_surrogate_keys_always_dense(spark, keys, buckets):
     df = spark.createDataFrame([(k,) for k in keys], "nk long")
     out = [r.sk for r in assign_surrogate_key(df, "nk", "sk", buckets=buckets).collect()]
     assert sorted(out) == list(range(1, len(keys) + 1))
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@SET
+def test_dedup_components_matches_union_find(spark, edges):
+    from efiche_data_pipeline_spark.operators.dedup import dedup_components
+
+    # reference: plain union-find over the same undirected edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert got == expected
+
+
+token_lists = st.lists(
+    st.integers(min_value=0, max_value=9).map(lambda i: f"w{i}"),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(toks=token_lists, chunk=st.integers(2, 8), stride=st.integers(1, 8))
+@SET
+def test_chunking_covers_every_token(spark, toks, chunk, stride):
+    """Sliding-window chunking invariant: with stride <= chunk, every
+    token position falls inside at least one chunk, and every chunk is
+    the exact token slice [start, start+chunk)."""
+    if stride > chunk:
+        stride = chunk  # gap-free configurations only
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(F.split("text", r"\s+")), F.lit(1)), F.lit(stride))
+    out = (
+        df.select("doc_id", F.split("text", r"\s+").alias("t"),
+                  F.explode(starts).alias("s"))
+        .select("s", F.concat_ws(" ", F.slice("t", F.col("s"), F.lit(chunk))).alias("c"))
+        .collect()
+    )
+    covered = set()
+    for r in out:
+        s = r["s"]
+        expect = " ".join(toks[s - 1 : s - 1 + chunk])
+        assert r["c"] == expect
+        covered.update(range(s - 1, min(s - 1 + chunk, len(toks))))
+    assert covered == set(range(len(toks)))
