@@ -56,6 +56,7 @@ from ..operators.similarity import (
 )
 from ..functions.hashing import oracle_hash60, portable_hash60
 from ..operators.skew import salted_join
+from ..pipeline.scd import cdc_compact, scd2_apply, scd2_init
 from ..operators.temporal import asof_join, range_join
 from ..sources.catalog import load_table
 
@@ -1145,6 +1146,81 @@ SELECT doc_id,
 FROM h, LATERAL unnest(
     range(0, CAST(ceil(length(hx) / 128.0) AS BIGINT), 2)
 ) AS t(idx)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q62 — SCD Type-2 dimension merge (pipeline/scd.py::scd2_apply): init
+# the customer dimension as of 1995-01-01, then apply an update batch
+# (every 7th key changes segment; all other rows are no-op updates that
+# must NOT produce versions) effective 1996-06-01. Output is the full
+# versioned dimension: closed rows + new versions + untouched rows.
+# ---------------------------------------------------------------------------
+def q62_scd2_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    attrs = ["c_mktsegment", "c_nationkey"]
+    dim = scd2_init(c.select("c_custkey", *attrs), "c_custkey", attrs, "1995-01-01")
+    updates = c.select(
+        "c_custkey",
+        F.when(F.pmod("c_custkey", 7) == 0, F.lit("MACHINERY-X"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+    )
+    return scd2_apply(dim, updates, "c_custkey", attrs, "1996-06-01")
+
+
+ORACLES["q62_scd2_dim_customer"] = """
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       DATE '1995-01-01' AS valid_from,
+       CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM customer WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       DATE '1995-01-01', DATE '1996-06-01', FALSE
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, 'MACHINERY-X', c_nationkey,
+       DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q63 — CDC log compaction (pipeline/scd.py::cdc_compact): treat the
+# events table as a per-user change log (every 11th event id is a
+# delete), collapse to latest state per user, drop users whose final
+# operation is the delete.
+# ---------------------------------------------------------------------------
+def q63_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.pmod("event_id", 11) == 0, "D").otherwise("U").alias("op"),
+    )
+    latest = cdc_compact(log, keys=["user_id"], seq_cols=["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_at"),
+        "event_type",
+    )
+
+
+ORACLES["q63_cdc_latest_state"] = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_at, event_type
+FROM (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+    FROM events
+)
+WHERE rn = 1 AND op <> 'D'
 """
 
 
