@@ -73,6 +73,26 @@ class Store:
         w.parquet(self.path(table))
         self._log(table, "overwrite")
 
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        present in ``df``, leave every other partition untouched — the
+        parquet-native ``INSERT OVERWRITE … PARTITION`` / Delta
+        ``replaceWhere``. At scale this is how an incremental fact load
+        touches 2 year-partitions of a 10-year table without rewriting
+        (or even listing) the other 8. The caller must supply the FULL
+        intended content of each touched partition; if the new content
+        derives from reading those same partitions, pin it
+        (``localCheckpoint``) before calling."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(table))
+        )
+        self._log(table, "overwrite_partitions")
+
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("append")
         if partition_by:

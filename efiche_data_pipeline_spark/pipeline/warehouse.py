@@ -296,10 +296,12 @@ def mv_procedure_volume(
     )
 
 
-def refresh_views(store: Store) -> None:
+def refresh_views(store: Store, skip: tuple[str, ...] = ()) -> None:
     """M4: full recompute + overwrite of the three MV tables
     (reference: sql/03_warehouse.sql:159-166,
-    populate_warehouse.py:229-236)."""
+    populate_warehouse.py:229-236). ``skip`` names MVs already
+    refreshed by the caller (build_warehouse overlaps the
+    bridge-independent monthly MV with the bridge writes)."""
     from concurrent.futures import ThreadPoolExecutor
 
     fact = store.read("fact_encounters")
@@ -317,6 +319,8 @@ def refresh_views(store: Store) -> None:
             store.read("bridge_encounter_procedure"), fact, store.read("dim_procedure")
         ),
     }
+    for name in skip:
+        mvs.pop(name, None)
     with ThreadPoolExecutor(max_workers=len(mvs)) as pool:
         futures = [
             pool.submit(lambda n=name, f=fn: store.overwrite(f(), n))
@@ -360,6 +364,140 @@ def refresh_mv_monthly_incremental(store: Store, changed: DataFrame) -> int:
     fresh = mv_monthly_encounters(affected, store.read("dim_time"))
     store.merge_upsert(fresh, "mv_monthly_encounters", keys=["year", "month"])
     return n_months
+
+
+def load_fact_incremental(
+    store: Store,
+    encounters_batch: DataFrame,
+    procedures_batch: DataFrame,
+    diagnoses_batch: DataFrame,
+    reports_batch: DataFrame,
+) -> dict[str, int]:
+    """Incremental fact load: merge one ingest batch into an already
+    built warehouse WITHOUT a full rebuild — the K3 path at 100 TB,
+    where "reload the fact table" is not an option.
+
+    Per batch, this touches only what the batch touches:
+
+    1. ``dim_time`` — append any days the batch introduces (anti-join
+       on date_key; the dim is derived, so extension is pure compute);
+    2. ``dim_patient`` — append patients not yet in the dim, surrogate
+       keys offset past the current max (dense overall);
+    3. ``dim_procedure`` — per-procedure rows (this dim scales with
+       the fact side), appended with offset keys like patients;
+    4. ``fact_encounters`` — encounters already loaded are dropped
+       (left-anti on encounter_id ⇒ replaying a batch is a no-op, the
+       idempotency contract K1); survivors get keys offset past the
+       current max and are merged via DYNAMIC PARTITION OVERWRITE:
+       only the year-partitions the batch lands in are rewritten
+       (existing rows of those years union new rows; other years are
+       never read or written);
+    5. bridges — rows derived from the *surviving* fact rows only,
+       appended;
+    6. MVs — the monthly MV refreshes incrementally (only touched
+       months, refresh_mv_monthly_incremental); the two global-group
+       MVs (modality / age-group spaces are bounded) recompute fully.
+
+    Child-table frames must be the batch's children (same ingest
+    slice), and the operational ``patients`` table must already
+    include the batch's patients (ingest appends them first).
+    dim_facility / dim_diagnosis are assumed covering (bounded
+    facility/code catalogs — extend with ``Store.append_new`` upstream
+    if not). Returns per-step row counts.
+    """
+    existing_fact = store.read("fact_encounters")
+
+    # 1. extend dim_time to cover the batch's date span.
+    new_days = build_dim_time(encounters_batch)
+    store.append_new(new_days, "dim_time", "date_key")
+
+    # 2. append new patients with offset surrogate keys.
+    dim_patient = store.read("dim_patient")
+    new_patients = (
+        store.read("patients")
+        .join(encounters_batch.select("patient_id").distinct(), "patient_id", "left_semi")
+        .join(dim_patient.select("patient_id"), "patient_id", "left_anti")
+    )
+    patient_base = dim_patient.agg(F.max("patient_key")).collect()[0][0] or 0
+    new_dim_patient = build_dim_patient(new_patients).withColumn(
+        "patient_key", (F.col("patient_key") + F.lit(patient_base)).cast("long")
+    )
+    n_new_patients = new_dim_patient.count()
+    if n_new_patients:
+        store.append(new_dim_patient, "dim_patient")
+
+    # 3. append new per-procedure dim rows with offset keys.
+    dim_procedure = store.read("dim_procedure")
+    new_procs = procedures_batch.join(
+        dim_procedure.select("procedure_id"), "procedure_id", "left_anti"
+    )
+    proc_base = dim_procedure.agg(F.max("procedure_key")).collect()[0][0] or 0
+    new_dim_procedure = build_dim_procedure(new_procs).withColumn(
+        "procedure_key", (F.col("procedure_key") + F.lit(proc_base)).cast("long")
+    )
+    if new_dim_procedure.count():
+        store.append(new_dim_procedure, "dim_procedure")
+
+    # 4. fact rows for not-yet-loaded encounters, keys offset past max.
+    fresh_encounters = encounters_batch.join(
+        existing_fact.select("encounter_id"), "encounter_id", "left_anti"
+    ).localCheckpoint(eager=True)  # consumed by fact build + MV refresh
+    fact_base = existing_fact.agg(F.max("encounter_key")).collect()[0][0] or 0
+    # Pinned: consumed by the partition write, the bridge build (which
+    # must see the same keys AFTER the fact files are replaced), and
+    # the count.
+    new_fact = (
+        build_fact_encounters(
+            fresh_encounters,
+            procedures_batch,
+            diagnoses_batch,
+            reports_batch,
+            store.read("dim_patient"),
+            store.read("dim_facility"),
+            store.read("dim_time"),
+        )
+        .withColumn(
+            "encounter_key", (F.col("encounter_key") + F.lit(fact_base)).cast("long")
+        )
+        .withColumn("enc_year", F.year("encounter_date"))
+        .localCheckpoint(eager=True)
+    )
+
+    years = [r[0] for r in new_fact.select("enc_year").distinct().collect()]
+    n_new_fact = new_fact.count()
+    if n_new_fact:
+        # Full new content of ONLY the touched year partitions, pinned
+        # because it reads the files the write will replace.
+        merged = (
+            existing_fact.filter(F.col("enc_year").isin(years))  # partition-pruned
+            .unionByName(new_fact)
+            .localCheckpoint(eager=True)
+        )
+        store.overwrite_partitions(merged, "fact_encounters", partition_by=["enc_year"])
+
+    # 5. bridge rows for the surviving fact rows only.
+    if n_new_fact:
+        bep, bed = build_bridges(
+            procedures_batch,
+            diagnoses_batch,
+            new_fact,
+            store.read("dim_procedure"),
+            store.read("dim_diagnosis"),
+        )
+        store.append(bep, "bridge_encounter_procedure")
+        store.append(bed, "bridge_encounter_diagnosis")
+
+    # 6. MVs: incremental for the monthly continuous aggregate, full
+    # recompute for the two bounded-group MVs.
+    n_months = refresh_mv_monthly_incremental(store, fresh_encounters)
+    refresh_views(store, skip=("mv_monthly_encounters",))
+
+    return {
+        "new_patients": n_new_patients,
+        "new_fact_rows": n_new_fact,
+        "touched_years": len(years) if n_new_fact else 0,
+        "refreshed_months": n_months,
+    }
 
 
 def build_warehouse(store: Store, stats: bool = True) -> dict[str, int]:
@@ -413,12 +551,21 @@ def build_warehouse(store: Store, stats: bool = True) -> dict[str, int]:
         procedures, diagnoses, fact_stored,
         store.read("dim_procedure"), store.read("dim_diagnosis"),
     )
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    # mv_monthly_encounters depends only on the (already written) fact
+    # + dim_time — overlap it with the two bridge writes; the
+    # bridge-dependent MVs refresh after.
+    with ThreadPoolExecutor(max_workers=3) as pool:
         fb = pool.submit(store.overwrite, bep, "bridge_encounter_procedure")
         fd = pool.submit(store.overwrite, bed, "bridge_encounter_diagnosis")
-        fb.result(), fd.result()
+        fm = pool.submit(
+            lambda: store.overwrite(
+                mv_monthly_encounters(fact_stored, store.read("dim_time")),
+                "mv_monthly_encounters",
+            )
+        )
+        fb.result(), fd.result(), fm.result()
 
-    refresh_views(store)
+    refresh_views(store, skip=("mv_monthly_encounters",))
 
     if not stats:
         return {}

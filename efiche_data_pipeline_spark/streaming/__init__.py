@@ -7,6 +7,10 @@ from .incremental import (
     run_incremental_stream,
     stream_events,
 )
+from .joins import (
+    purchase_click_attribution,
+    stream_interval_join,
+)
 from .sessions import (
     run_session_stream,
     sessionize_batch,
@@ -17,9 +21,11 @@ __all__ = [
     "batch_consume_increment",
     "deduped_event_stream",
     "hourly_event_counts",
+    "purchase_click_attribution",
     "run_incremental_stream",
     "run_session_stream",
     "sessionize_batch",
     "sessionize_stream",
     "stream_events",
+    "stream_interval_join",
 ]
