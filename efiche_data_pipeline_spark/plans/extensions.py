@@ -55,6 +55,7 @@ from ..operators.similarity import (
     train_centroids,
 )
 from ..functions.hashing import oracle_hash60, portable_hash60
+from ..operators.packing import pack_sequences
 from ..operators.skew import salted_join
 from ..pipeline.scd import cdc_compact, scd2_apply, scd2_init
 from ..operators.temporal import asof_join, range_join
@@ -1221,6 +1222,97 @@ FROM (
     FROM events
 )
 WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q64 — sequence packing (concat-and-chunk): every doc's offset in the
+# packed token stream and the 2048-token packs it spans. The global
+# prefix sum runs as the two-level bucketed scheme
+# (operators/packing.py) — NO single-partition sort — yet is
+# bit-identical to the oracle's plain SUM() OVER (ORDER BY doc_id).
+# ---------------------------------------------------------------------------
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    return pack_sequences(lens, "doc_id", "n_tokens", budget=2048).select(
+        "doc_id", "n_tokens", "start_offset", "pack_first", "pack_last", "n_packs"
+    )
+
+
+ORACLES["q64_sequence_packing"] = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+p AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 2048) AS BIGINT) AS pack_first,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048) AS BIGINT)
+           AS pack_last,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048)
+            - floor(start_offset / 2048) + 1 AS BIGINT) AS n_packs
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q65 — PII redaction: planted emails/phones (deterministic injection on
+# every 5th doc so the oracle sees identical input), regex redaction +
+# match counting — the masking pass of a curation pipeline. Spark
+# regexp_replace is global by default; the DuckDB twin needs the 'g'
+# flag.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\d{3}-\\d{4}"
+
+
+def q65_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.pmod("doc_id", 5) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-0100"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+ORACLES["q65_pii_redaction"] = """
+WITH inj AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 555-0100'
+                ELSE text END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_emails,
+       CAST(length(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_fp
+FROM inj
 """
 
 

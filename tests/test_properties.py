@@ -156,3 +156,47 @@ def test_chunking_covers_every_token(spark, toks, chunk, stride):
         assert r["c"] == expect
         covered.update(range(s - 1, min(s - 1 + chunk, len(toks))))
     assert covered == set(range(len(toks)))
+
+
+id_len_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=id_len_lists, bucket=st.integers(1, 50), budget=st.integers(1, 300))
+@SET
+def test_prefix_sum_and_packing_match_sequential(spark, rows, bucket, budget):
+    """global_prefix_sum must equal the sequential exclusive cumsum for
+    ANY ids/lengths/bucket size, and pack spans must tile the stream."""
+    from efiche_data_pipeline_spark.operators.packing import (
+        global_prefix_sum,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = {
+        r.id: r.prefix
+        for r in global_prefix_sum(df, "id", "n", bucket_size=bucket).collect()
+    }
+    acc, want = 0, {}
+    for i, n in sorted(rows):
+        want[i] = acc
+        acc += n
+    assert got == want
+
+    packed = {
+        r.id: (r.start_offset, r.pack_first, r.pack_last, r.n_packs)
+        for r in pack_sequences(df, "id", "n", budget, bucket_size=bucket).collect()
+    }
+    for i, n in rows:
+        start, first, last, span = packed[i]
+        assert start == want[i]
+        end = start + max(n, 1) - 1
+        assert first == start // budget and last == end // budget
+        assert span == last - first + 1
