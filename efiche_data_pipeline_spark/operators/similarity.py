@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 
 
 def brute_force_topk(
@@ -72,25 +72,47 @@ def assign_cells(
     nprobe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (max
-    cosine). Centroids are broadcast; argmax via one window over the
-    per-vector × per-centroid frame. ``nprobe > 1`` is the multi-probe
-    side: a query near a Voronoi boundary also searches the runner-up
-    cells, the standard IVF recall lever."""
-    cent = centroids.select(
-        F.col("cell_id"), F.col(vec_col).alias("cent_vec")
+    cosine, ties to the lower cell_id). ``nprobe > 1`` is the
+    multi-probe side: a query near a Voronoi boundary also searches the
+    runner-up cells, the standard IVF recall lever.
+
+    Zero-shuffle shape: the ``k`` centroids collapse to ONE row holding
+    an array of (cell_id, vec, norm) structs, broadcast onto every
+    corpus partition; top-``nprobe`` is computed per row with
+    higher-order functions (transform → array_sort → slice → explode).
+    The corpus — and in particular the embedding payload — never enters
+    an exchange, which is what makes this viable at 768-dim × 100 TB
+    (the earlier window-over-crossJoin formulation shuffled every
+    vector k times)."""
+    cents = centroids.select(
+        F.struct(
+            F.col("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+            norm(vec_col).alias("cent_norm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("_cents"))
+    # Per-row candidate list, sorted by (sim desc, cell_id asc) via the
+    # natural ascending struct order on (-sim, cell_id).
+    vnorm = norm(vec_col)
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        -dot(F.col(vec_col), c.getField("cent_vec"))
+                        / (vnorm * c.getField("cent_norm"))
+                    ).alias("neg_sim"),
+                    c.getField("cell_id").alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell_id"),
-        cosine(vec_col, "cent_vec").alias("cell_sim"),
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .drop("rn", "cell_sim")
-    )
+    return corpus.join(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.explode(ranked).alias("_top")
+    ).select(id_col, vec_col, F.col("_top.cell_id").alias("cell_id"))
 
 
 def train_centroids(

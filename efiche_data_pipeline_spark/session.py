@@ -53,10 +53,6 @@ def get_spark(
         # The oracle (DuckDB) is timezone-naive; pin UTC so timestamp
         # semantics agree.
         .config("spark.sql.session.timeZone", "UTC")
-        # Some fixture files carry parquet TIMESTAMP(NANOS) which Spark
-        # rejects by default; read them as long and let the catalog
-        # convert to micros (matching how nanos-unaware engines truncate).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

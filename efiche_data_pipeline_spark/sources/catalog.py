@@ -38,10 +38,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (parquet footers carry the schema)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # Runtime-settable; required even when the caller's session was
-        # not built by session.get_spark (e.g. the verify driver's).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_nanos(df, "ts")
@@ -49,11 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_nanos(df: DataFrame, col: str) -> DataFrame:
-    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark surfaces as a nanosecond long under
-    ``spark.sql.legacy.parquet.nanosAsLong``. Floor to microseconds —
-    floor (not truncate-toward-zero) so pre-epoch (negative) nanos
-    agree with DuckDB's nanos→micros parquet read."""
+    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS).
+    Spark 4.1 reads it directly as ``TIMESTAMP_NTZ`` (micro precision,
+    nanos floored) — which is exactly the timezone-naive semantics the
+    DuckDB oracle uses, so NTZ is kept as-is for the batch/query
+    surface. Older Sparks surface a nanosecond long under
+    ``spark.sql.legacy.parquet.nanosAsLong``; that legacy path is
+    floored (not truncated toward zero) to micros so pre-epoch nanos
+    agree with DuckDB's nanos→micros read. Event-time streaming ops
+    need TIMESTAMP (LTZ) instead — see
+    streaming.incremental.ensure_event_time."""
     if isinstance(df.schema[col].dataType, T.LongType):
         df = df.withColumn(
             col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))

@@ -28,37 +28,50 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.numeric import money_sum
 from ..pipeline.store import Store
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, user_id long, event_type string, ts long, value double,"
-    " props string"
+    "event_id long, user_id long, event_type string, ts timestamp_ntz,"
+    " value double, props string"
 )
+
+
+def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Make ``col`` usable as a Spark event-time column.
+
+    The fixture/catalog surface keeps timestamps as TIMESTAMP_NTZ
+    (timezone-naive, matching the DuckDB oracle — sources/catalog.py),
+    but ``withWatermark`` requires TIMESTAMP (LTZ):
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on Spark 4.1. Interpret the
+    naive value as UTC — an exact micros-preserving relabel, not a
+    clock shift — and leave LTZ/other types untouched."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+    return df
 
 
 def stream_events(spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over event parquet files. ``ts`` arrives as
-    TIMESTAMP(NANOS) (read as long under ``nanosAsLong``, floored to
-    micros exactly like the batch catalog path, sources/catalog.py).
+    TIMESTAMP_NTZ (parquet TIMESTAMP with or without UTC adjustment)
+    and is relabelled to event-time LTZ via :func:`ensure_event_time`.
     ``maxFilesPerTrigger`` bounds micro-batch size — the streaming
     analogue of the reference's ``LIMIT 5000`` (etl_pipeline.py:131)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return ensure_event_time(raw, "ts")
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour window per event_type — identical result columns
     to the batch q34 (plans/extensions.py:q34_events_hourly_window), so
     the batch≡stream equivalence is a frame comparison."""
+    events = ensure_event_time(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -122,6 +135,7 @@ def deduped_event_stream(
     it as event time advances, so dedup state stays bounded on an
     unbounded stream. The streaming twin of the reference's
     ``ON CONFLICT (image_id) DO NOTHING`` (etl_pipeline.py:97)."""
+    events = ensure_event_time(events, "ts")
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .incremental import ensure_event_time
+
 
 def stream_interval_join(
     left: DataFrame,
@@ -42,8 +44,8 @@ def stream_interval_join(
     other than ``key`` must be disjoint between the sides. Works
     unchanged on batch frames (the watermark is a no-op there), which
     is what the equivalence test exploits."""
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_gap}"))

@@ -48,7 +48,8 @@ def test_scd2_apply_closes_and_inserts(spark):
     assert rows[(3, date(2020, 1, 1), None, True)].segment == "C"
     # id 4: fresh insert
     assert rows[(4, date(2021, 6, 1), None, True)].segment == "D"
-    assert len(rows) == 6
+    # 5 versions total: id 1 closed + id 1 reopened, id 2, id 3, id 4.
+    assert len(rows) == 5
 
 
 def test_scd2_apply_is_idempotent_on_replay(spark):

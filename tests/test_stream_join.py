@@ -6,7 +6,6 @@ which is what the cross-batch state buffering exists for."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from efiche_data_pipeline_spark.sources.catalog import load_table
 from efiche_data_pipeline_spark.streaming.incremental import stream_events
@@ -19,10 +18,9 @@ from .conftest import SMOKE_SF_DIR
 def event_files(spark, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("events_join_src"))
     events = load_table(spark, SMOKE_SF_DIR, "events")
-    # nanos-long physical type, 4 files -> 4 micro-batches; repartition
+    # TIMESTAMP_NTZ parquet, 4 files -> 4 micro-batches; repartition
     # by round-robin so purchase/click pairs split across batches.
-    out = events.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).repartition(4)
-    out.write.mode("overwrite").parquet(src)
+    events.repartition(4).write.mode("overwrite").parquet(src)
     return src
 
 

@@ -24,12 +24,10 @@ def event_files(spark, tmp_path_factory):
     stream sees N distinct micro-batches (maxFilesPerTrigger=1)."""
     src = str(tmp_path_factory.mktemp("events_src"))
     events = load_table(spark, SMOKE_SF_DIR, "events")
-    # Preserve the nanos-long physical type the stream reader expects:
-    # re-encode ts as long micros*1000.
-    out = events.withColumn(
-        "ts", (F.unix_micros("ts") * 1000).cast("long")
-    ).repartition(4)
-    out.write.mode("overwrite").parquet(src)
+    # ts is TIMESTAMP_NTZ (sources/catalog.py) and is written back as
+    # such — EVENTS_STREAM_SCHEMA reads it NTZ and stream_events
+    # relabels to event-time LTZ.
+    events.repartition(4).write.mode("overwrite").parquet(src)
     return src
 
 
