@@ -1,0 +1,132 @@
+"""Scalable global ranking — row_number / ntile over a total order
+WITHOUT a single-partition window.
+
+``ROW_NUMBER() OVER (ORDER BY …)`` (and ntile, which is row_number
+plus arithmetic) funnels every row through one task — the
+classic unbounded-window scale-killer. The shape here is the
+order-preserving cousin of the hash-bucketed surrogate-key assigner
+(pipeline/warehouse.py:assign_surrogate_key) and the prefix-sum
+bucketing in operators/packing.py:
+
+1. Approximate quantile boundaries of the leading order column split
+   the value axis into ``buckets`` intervals (percentile_approx — a
+   deterministic aggregate returning actual data values, so bucket
+   assignment is reproducible and near-uniform even on skewed
+   distributions).
+2. Each row's bucket id = how many boundaries lie strictly below its
+   value (a per-row higher-order fold over the broadcast boundary
+   array — no shuffle). Equal values always share a bucket, so bucket
+   order extends the value order.
+3. Rows get ``row_number`` within their bucket (bounded window), and
+   the per-bucket counts — a ``buckets``-row frame — turn into
+   broadcast cumulative offsets. Global rank = offset + local rank.
+
+The result is bit-identical to the single-window form whenever the
+composite ``order_cols`` is a total order (ties would make both forms
+nondeterministic). Cost: one bounded window + two tiny broadcasts; the
+only single-partition window runs over ≤ ``buckets`` rows.
+
+Reference analogue: none (the reference's ntile-style analytics run
+inside PostgreSQL); this is the 100 TB re-design of that capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_ids(df: DataFrame, lead_col: str, buckets: int) -> DataFrame:
+    """Attach an order-preserving ``_b`` bucket id derived from
+    approx-quantile boundaries of ``lead_col``. Ties on a boundary
+    value stay in one bucket (strict ``>`` comparison)."""
+    if buckets <= 1:
+        # Degenerate single bucket — no boundaries to compute (an empty
+        # percentile list returns NULL, which would null out _b and
+        # drop every row at the offsets join).
+        return df.withColumn("_b", F.lit(0))
+    probs = [i / buckets for i in range(1, buckets)]
+    bnds = df.agg(
+        F.percentile_approx(lead_col, probs, 10_000).alias("_bnds")
+    )
+    return (
+        df.join(F.broadcast(bnds))
+        .withColumn(
+            "_b",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col(lead_col) > x, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    buckets: int = 64,
+) -> DataFrame:
+    """1-based dense global rank over ``order_cols`` (ascending; must
+    form a total order — include a unique tiebreaker column)."""
+    lead = order_cols[0]
+    with_b = _bucket_ids(df, lead, buckets)
+    offsets = (
+        with_b.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_off")
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_b").orderBy(*[F.col(c).asc() for c in order_cols])
+    )
+    return (
+        with_b.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, (F.col("_off") + local).cast("long"))
+        .drop("_b", "_off")
+    )
+
+
+def ntile_from_rank(rn: Column, n_rows: Column, n_tiles: int) -> Column:
+    """SQL NTILE bucket from a 1-based global rank and the total row
+    count — pure arithmetic, no window. The first ``n_rows % n_tiles``
+    tiles hold ``ceil(n/k)`` rows, the rest ``floor(n/k)`` (the
+    standard NTILE split Spark and DuckDB share)."""
+    size = F.floor(n_rows / n_tiles)
+    rem = n_rows % n_tiles
+    big_span = rem * (size + 1)
+    return (
+        F.when(rn <= big_span, F.ceil(rn / (size + 1)))
+        .otherwise(rem + F.ceil((rn - big_span) / size))
+        .cast("int")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    buckets: int = 64,
+) -> DataFrame:
+    """NTILE(``n_tiles``) over a global ``order_cols`` order with no
+    single-partition pass over the data — global_row_number plus a
+    broadcast total count and the closed-form tile assignment."""
+    ranked = global_row_number(df, order_cols, "_rn", buckets)
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(out_col, ntile_from_rank(F.col("_rn"), F.col("_total"), n_tiles))
+        .drop("_rn", "_total")
+    )

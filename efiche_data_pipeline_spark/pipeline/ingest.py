@@ -37,11 +37,17 @@ from .store import Store
 BATCH_LIMIT = 5000  # reference: etl_pipeline.py:131
 
 
-def sample_exact(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+def sample_exact(
+    df: DataFrame, n: int, seed: int = 42, key_col: str | None = None
+) -> DataFrame:
     """Exact-N random sample: ``ORDER BY RANDOM() LIMIT n`` (reference:
-    etl_pipeline.py:142,146) with a seeded, reproducible order. TakeOrdered
-    keeps this a top-K, not a full sort."""
-    return df.orderBy(F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns[:1]])).limit(n)
+    etl_pipeline.py:142,146) with a seeded, reproducible order keyed on
+    ``key_col`` (default: the first column — callers with multi-column
+    frames should name their unique key explicitly so the sample does
+    not depend on column position). TakeOrdered keeps this a top-K,
+    not a full sort."""
+    key = key_col or df.columns[0]
+    return df.orderBy(F.xxhash64(F.lit(seed), F.col(key))).limit(n)
 
 
 def clean_staging(raw: DataFrame) -> DataFrame:
@@ -110,8 +116,12 @@ def process_staging_to_production(
         .limit(batch_limit)
     )
 
-    patient_pool = sample_exact(store.read("patients").select("patient_id"), 1000, seed)
-    facility_pool = sample_exact(store.read("facilities").select("facility_id"), 5, seed)
+    patient_pool = sample_exact(
+        store.read("patients").select("patient_id"), 1000, seed, key_col="patient_id"
+    )
+    facility_pool = sample_exact(
+        store.read("facilities").select("facility_id"), 5, seed, key_col="facility_id"
+    )
 
     # Crash convergence: every write below is individually idempotent,
     # so a run that died between steps simply re-runs. Parents are
@@ -208,9 +218,13 @@ def run_ingest(
     store: Store, raw: DataFrame, batch_limit: int = BATCH_LIMIT, seed: int = 42
 ) -> dict[str, int]:
     """Full ingest pass: staging load then one production micro-batch
-    (reference: run_etl_pipeline, etl_pipeline.py:236-273)."""
+    (reference: run_etl_pipeline, etl_pipeline.py:236-273).
+
+    The production step runs even when the staging load added nothing:
+    a crash after a previous run's staging append but before its
+    production batch leaves staged-but-unconsumed rows, and a replay
+    of the same input loads 0 — skipping the batch then would strand
+    those rows until the next non-empty load."""
     load_stats = load_to_staging(store, raw)
-    consumed = 0
-    if load_stats["loaded"] > 0:
-        consumed = process_staging_to_production(store, batch_limit, seed)
+    consumed = process_staging_to_production(store, batch_limit, seed)
     return {**load_stats, "consumed": consumed, **pipeline_stats(store)}

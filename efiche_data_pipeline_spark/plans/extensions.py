@@ -56,6 +56,7 @@ from ..operators.similarity import (
 )
 from ..functions.hashing import oracle_hash60, portable_hash60
 from ..operators.packing import pack_sequences
+from ..operators.ranking import global_ntile
 from ..operators.skew import salted_join
 from ..pipeline.scd import cdc_compact, scd2_apply, scd2_init
 from ..operators.temporal import asof_join, range_join
@@ -1083,17 +1084,22 @@ WINDOW w AS (ORDER BY CAST(o_orderdate AS DATE)
 
 # ---------------------------------------------------------------------------
 # Q60 — customer revenue deciles (ntile) with per-decile aggregates.
-# The ntile runs over the per-CUSTOMER aggregate (≪ fact table) with a
-# (revenue, custkey) total order so tie placement is deterministic;
-# min/max are exact selections and the decile sum goes back through
-# decimal, so every output value is engine-exact.
+# The input is the per-CUSTOMER aggregate — smaller than the fact
+# table but NOT bounded (customers grow with the corpus), so a plain
+# ntile window would be a single-task global sort at scale. Instead
+# the decile comes from operators/ranking.py:global_ntile —
+# quantile-bucketed global row_number + closed-form NTILE arithmetic,
+# bit-identical to the window form under the (revenue, custkey) total
+# order (deterministic tie placement), with no unbounded
+# SinglePartition window anywhere in the plan. min/max are exact
+# selections and the decile sum goes back through decimal, so every
+# output value is engine-exact.
 # ---------------------------------------------------------------------------
 def q60_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("revenue"))
-    w = W.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
     return (
-        rev.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(rev, ["revenue", "o_custkey"], 10, out_col="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -18,6 +18,7 @@ from efiche_data_pipeline_spark.pipeline.ingest import (
     load_to_staging,
     pipeline_stats,
     process_staging_to_production,
+    run_ingest,
     sample_exact,
 )
 from efiche_data_pipeline_spark.pipeline.store import Store
@@ -131,6 +132,24 @@ def test_crash_recovery_converges(spark, store):
     assert pipeline_stats(store)["unprocessed_staging"] == 0
 
 
+def test_replay_after_staging_crash_drains_staging(spark, store):
+    """A crash after the staging append but before the production batch
+    leaves staged-but-unconsumed rows. Replaying the SAME input loads 0
+    new staging rows — run_ingest must still attempt the production
+    batch so those rows drain instead of waiting for the next
+    non-empty load."""
+    raw = gen_staging(spark, 200, seed=5)
+    # Crash point: staging written, production batch never ran.
+    load_to_staging(store, raw)
+    assert pipeline_stats(store)["unprocessed_staging"] > 0
+
+    # Operator replays the identical input end-to-end.
+    stats = run_ingest(store, raw, batch_limit=10**6)
+    assert stats["loaded"] == 0  # dedup: nothing new staged
+    assert stats["consumed"] > 0  # but the stranded batch drained
+    assert stats["unprocessed_staging"] == 0
+
+
 def test_sample_exact_deterministic(spark):
     df = gen_patients(spark, 500, seed=3)
     a = sample_exact(df, 50, seed=7)
@@ -139,3 +158,7 @@ def test_sample_exact_deterministic(spark):
     assert a.exceptAll(b).count() == 0
     c = sample_exact(df, 50, seed=8)
     assert a.exceptAll(c).count() > 0  # different seed, different sample
+    # explicit key_col must agree with the positional default when the
+    # key IS the first column (determinism is keyed, not positional)
+    d = sample_exact(df, 50, seed=7, key_col=df.columns[0])
+    assert a.exceptAll(d).count() == 0

@@ -1,0 +1,71 @@
+"""Differential tests for operators/ranking.py: the bucketed global
+row_number / ntile must be bit-identical to the single-partition
+window forms on any input where the order columns form a total order —
+including skewed, duplicate-heavy, and tiny (< n_tiles) inputs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+)
+
+
+def _frame(spark, values):
+    # id is the unique tiebreaker; v deliberately carries duplicates.
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+
+
+@given(
+    values=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    buckets=st.sampled_from([1, 2, 7]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_row_number_matches_window(spark, values, buckets):
+    df = _frame(spark, values)
+    got = global_row_number(df, ["v", "id"], "rn", buckets=buckets)
+    want = df.withColumn("rn", F.row_number().over(W.orderBy("v", "id")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(
+    values=st.lists(st.integers(min_value=-9, max_value=9), min_size=1, max_size=45),
+    n_tiles=st.sampled_from([1, 3, 10]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_ntile_matches_window(spark, values, n_tiles):
+    df = _frame(spark, values)
+    got = global_ntile(df, ["v", "id"], n_tiles, out_col="t", buckets=4)
+    want = df.withColumn("t", F.ntile(n_tiles).over(W.orderBy("v", "id")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_no_unbounded_single_partition_window(spark):
+    """The executed plan's only single-partition exchange feeds the
+    bucket-offsets frame (≤ buckets rows), never the data itself: the
+    data-side window is partitioned by the bucket id."""
+    df = _frame(spark, list(range(1000)))
+    plan = (
+        global_row_number(df, ["v", "id"], "rn", buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The per-row window must be hash-partitioned on the bucket id.
+    assert "hashpartitioning(_b" in plan
