@@ -31,6 +31,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local[N] runs everything in the driver JVM; the 1 GB default
+        # heap starves 32 concurrent tasks (parquet writers were
+        # observed scaling row groups down under heap pressure). Only
+        # effective when this call actually launches the JVM.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
