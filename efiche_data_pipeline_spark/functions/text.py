@@ -51,8 +51,9 @@ def punct_count(text: str | Column) -> Column:
     return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
 
 
-def word_shingles(text: str | Column, n: int) -> Column:
-    """Distinct n-gram word shingles → array<string>.
+def word_ngrams(text: str | Column, n: int) -> Column:
+    """ALL overlapping word n-grams in document order (repeats kept)
+    → array<string>.
 
     Built from ``transform`` over token index positions (JVM-side), so
     the oracle can reproduce it with list comprehensions. Joins the n
@@ -65,13 +66,18 @@ def word_shingles(text: str | Column, n: int) -> Column:
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
         F.array().cast("array<int>")
     )
-    shingle = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(shingle)
+
+
+def word_shingles(text: str | Column, n: int) -> Column:
+    """Distinct n-gram word shingles → array<string> (set semantics —
+    the dedup/blocking form of :func:`word_ngrams`)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def predict_lang(text: str | Column) -> Column:

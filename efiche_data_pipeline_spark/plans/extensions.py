@@ -30,6 +30,7 @@ from ..functions.text import (
     stopword_count,
     token_count,
     tokens,
+    word_ngrams,
     word_shingles,
 )
 from ..operators.dedup import (
@@ -1319,6 +1320,148 @@ SELECT doc_id,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_fp
 FROM inj
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q66 — benchmark decontamination: flag training documents that share
+# any word 5-gram with a held-out benchmark set (here: every 20th doc
+# stands in for the eval suite). The standard pre-training hygiene
+# step: n-gram shingle both sides, DISTINCT per doc, join on the
+# shingle and count overlaps per training doc. Scale shape: shingles
+# ride the shuffle as 8-byte xxhash64 keys (the q26 lever — the join
+# is on the hash, collisions at 64 bits are ~zero and the oracle joins
+# the strings themselves); the benchmark side is DISTINCT'd before the
+# join so its size is its vocabulary, not its corpus.
+# ---------------------------------------------------------------------------
+_DECON_N = 5
+
+
+def q66_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.pmod("doc_id", 20) == 0
+    sh = docs.select(
+        "doc_id",
+        is_bench.alias("_b"),
+        F.explode(word_shingles("text", _DECON_N)).alias("g"),
+    ).select("doc_id", "_b", F.xxhash64("g").alias("gh"))
+    bench = sh.filter("_b").select("gh").distinct()
+    overlaps = (
+        sh.filter(~F.col("_b"))
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n", F.lit(0)).cast("int").alias("n_overlap_ngrams"),
+            (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+ORACLES["q66_benchmark_decontamination"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(t, i, i + {_DECON_N - 1}), ' ') AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - {_DECON_N - 1}, 0) + 1)) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+ov AS (
+    SELECT doc_id, COUNT(*) AS n
+    FROM sh JOIN bench USING (g)
+    WHERE doc_id % 20 != 0
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ov.n, 0) AS INTEGER) AS n_overlap_ngrams,
+       COALESCE(ov.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.doc_id % 20 != 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q67 — repetition-based quality metrics (the Gopher-rule family):
+# duplicate-word fraction and most-frequent-bigram fraction per doc.
+# Zero-shuffle: both metrics are computed IN-ROW with higher-order
+# functions — the bigram mode comes from a sorted-array run-length
+# fold (aggregate over array_sort), not an explode+groupBy, so the
+# token payload never enters an exchange. Flags threshold the raw
+# (unrounded) doubles — identical IEEE ops in DuckDB, so boolean
+# parity is exact; displayed fractions round to 4.
+# ---------------------------------------------------------------------------
+def q67_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    bi = F.array_sort(word_ngrams("text", 2))
+    n_bi = F.size(bi)
+    # Longest equal-run in the sorted bigram array == max bigram count.
+    run_state = F.aggregate(
+        bi,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    dup_raw = F.lit(1.0) - n_distinct.cast("double") / n_tok
+    top_raw = F.when(n_bi > 0, run_state.cast("double") / n_bi).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(dup_raw, 4).alias("dup_word_frac"),
+        F.round(top_raw, 4).alias("top_bigram_frac"),
+        ((dup_raw > 0.5) | (top_raw > 0.2)).alias("repetitive"),
+    )
+
+
+ORACLES["q67_repetition_metrics"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+words AS (
+    SELECT doc_id, t[i] AS w
+    FROM toks, UNNEST(range(1, length(t) + 1)) AS u(i)
+),
+wstats AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_distinct
+    FROM words GROUP BY 1
+),
+bi AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - 1, 0) + 1)) AS u(i)
+),
+bstats AS (
+    SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bi
+    FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(w.n_tokens AS INTEGER) AS n_tokens,
+       ROUND(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_tokens, 4) AS dup_word_frac,
+       ROUND(COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0), 4) AS top_bigram_frac,
+       (1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_tokens) > 0.5
+           OR COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0) > 0.2 AS repetitive
+FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
 """
 
 

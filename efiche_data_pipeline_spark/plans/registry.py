@@ -58,6 +58,9 @@ _DRIVER_PRIORITY = [
     "q63_cdc_latest_state",
     "q64_sequence_packing",
     "q65_pii_redaction",
+    # new this round — no driver row exists yet by definition:
+    "q66_benchmark_decontamination",
+    "q67_repetition_metrics",
 ]
 _ROTATED_OUT = [
     "q05_pct_of_total_by_priority",
@@ -75,6 +78,8 @@ _ROTATED_OUT = [
     "q21_weekend_orders",
     "q23_segment_priority_mv",
     "q25_bow_fingerprint_dedup",
+    "q52_grouping_sets",
+    "q53_doc_chunks",
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT

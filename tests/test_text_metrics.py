@@ -1,0 +1,47 @@
+"""Planted-value tests for the repetition metrics (q67's in-row
+run-length fold) and the word_ngrams/word_shingles split — the oracle
+parity test covers the fixture distribution; these pin the arithmetic
+on documents whose right answers are known by construction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.functions.text import word_ngrams, word_shingles
+
+
+CASES = [
+    # (text, n_tokens, dup_word_frac, top_bigram_frac)
+    ("a b c d", 4, 0.0, 0.3333),  # all unique: top bigram appears 1 of 3
+    ("a a a a", 4, 0.75, 1.0),  # one word: every bigram is "a a"
+    ("a b a b a", 5, 0.6, 0.5),  # "a b" twice of 4 bigrams
+    ("x", 1, 0.0, 0.0),  # no bigrams at all
+]
+
+
+@pytest.mark.parametrize("text,n_tok,dup,top", CASES)
+def test_repetition_metrics_planted(spark, tmp_path, text, n_tok, dup, top):
+    from efiche_data_pipeline_spark.plans.extensions import q67_repetition_metrics
+
+    # Route the planted doc through the real query by materializing a
+    # one-row documents table in the q67 input schema.
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, text, "en", "unit", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    row = q67_repetition_metrics(spark, sf_dir).collect()[0]
+    assert row.n_tokens == n_tok
+    assert row.dup_word_frac == pytest.approx(dup, abs=1e-9)
+    assert row.top_bigram_frac == pytest.approx(top, abs=1e-9)
+
+
+def test_word_ngrams_keeps_repeats_shingles_dedup(spark):
+    df = spark.createDataFrame([("a b a b",)], "text string").select(
+        word_ngrams("text", 2).alias("all"),
+        word_shingles("text", 2).alias("distinct"),
+    )
+    row = df.collect()[0]
+    assert row["all"] == ["a b", "b a", "a b"]
+    assert sorted(row["distinct"]) == ["a b", "b a"]
