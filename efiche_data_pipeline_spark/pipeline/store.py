@@ -37,8 +37,9 @@ class Store:
         """Append one row to the append-only ``audit_log`` table — the
         Spark form of the reference's audit_log (reference:
         sql/01_schema.sql:122-131, declared there but never written).
-        JSON ``details`` instead of old/new row images: row-level
-        before/after capture is a CDC concern, not a batch-writer one."""
+        Operation-level only; row-level before/after images live in the
+        separate ``audit_row_images`` table (:meth:`_log_row_images`),
+        keeping each audit table's schema fixed."""
         if not self.audit or table == "audit_log":
             return
         from pyspark.sql import functions as F
@@ -54,6 +55,48 @@ class Store:
         )
         with self._audit_lock:
             row.write.mode("append").parquet(self.path("audit_log"))
+
+    def _log_row_images(
+        self,
+        table: str,
+        operation: str,
+        keys: list[str],
+        old: DataFrame | None,
+        new: DataFrame,
+    ) -> None:
+        """Row-level before/after capture — the reference's
+        ``old_values/new_values JSONB`` columns (reference:
+        sql/01_schema.sql:129-130), populated here for keyed merges:
+        one row per affected key with both images as JSON strings
+        (``old_values`` NULL for inserts). Cost is O(changed rows) and
+        fully distributed; gated behind ``audit`` like the op log."""
+        if not self.audit or table in ("audit_log", "audit_row_images"):
+            return
+        from pyspark.sql import functions as F
+
+        n = new.select(
+            *keys, F.to_json(F.struct(*new.columns)).alias("new_values")
+        )
+        if old is not None:
+            o = old.select(
+                *keys, F.to_json(F.struct(*old.columns)).alias("old_values")
+            )
+            img = n.join(o, keys, "left")
+        else:
+            img = n.withColumn("old_values", F.lit(None).cast("string"))
+        img = img.select(
+            F.expr("uuid()").alias("audit_id"),
+            F.lit(table).alias("table_name"),
+            F.lit(operation).alias("operation"),
+            F.to_json(F.struct(*keys)).alias("row_key"),
+            "old_values",
+            "new_values",
+            F.current_timestamp().alias("changed_at"),
+        )
+        # Pin before the caller overwrites the files the old side reads.
+        img = img.localCheckpoint(eager=True)
+        with self._audit_lock:
+            img.write.mode("append").parquet(self.path("audit_row_images"))
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -121,11 +164,15 @@ class Store:
         streaming foreachBatch sink (streaming/incremental.py), where
         idempotent batch replay is the exactly-once-ish contract."""
         if self.exists(table):
-            keep = self.read(table).join(updates.select(*keys), keys, "left_anti")
+            existing = self.read(table)
+            keep = existing.join(updates.select(*keys), keys, "left_anti")
             # Pin before overwriting the files the plan reads from.
             merged = keep.unionByName(updates).localCheckpoint(eager=True)
+            replaced = existing.join(updates.select(*keys), keys, "left_semi")
+            self._log_row_images(table, "merge_upsert", keys, replaced, updates)
         else:
             merged = updates
+            self._log_row_images(table, "merge_upsert", keys, None, updates)
         self.overwrite(merged, table)
 
     def count(self, table: str) -> int:

@@ -20,6 +20,34 @@ def test_store_audit_log(spark, tmp_path):
     assert all(len(r.audit_id) == 36 and r.changed_at is not None for r in log)
 
 
+def test_merge_upsert_row_images(spark, tmp_path):
+    """merge_upsert with audit on records one before/after image per
+    affected key (reference: audit_log.old_values/new_values JSONB,
+    sql/01_schema.sql:129-130): updated keys carry both images,
+    inserted keys a NULL old image, untouched keys no row at all."""
+    import json
+
+    store = Store(spark, str(tmp_path / "ri"), audit=True)
+    store.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "t"
+    )
+    store.merge_upsert(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string"),
+        "t",
+        keys=["id"],
+    )
+    imgs = {
+        json.loads(r.row_key)["id"]: r
+        for r in store.read("audit_row_images").collect()
+    }
+    assert set(imgs) == {1, 3}  # key 2 untouched -> unlogged
+    assert json.loads(imgs[1].old_values)["v"] == "a"
+    assert json.loads(imgs[1].new_values)["v"] == "a2"
+    assert imgs[3].old_values is None
+    assert json.loads(imgs[3].new_values)["v"] == "c"
+    assert all(r.operation == "merge_upsert" for r in imgs.values())
+
+
 def test_store_audit_disabled_by_default(spark, tmp_path):
     store = Store(spark, str(tmp_path / "b"))
     store.overwrite(spark.range(3), "t1")
