@@ -132,6 +132,45 @@ SQL_QUERIES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
     """,
+    "q09_copurchase_pairs_theta": """
+        SELECT n_cooccur, COUNT(*) AS n_pairs
+        FROM (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_cooccur
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        GROUP BY n_cooccur
+    """,
+    "q34_events_hourly_window": f"""
+        SELECT DATE_FORMAT(win.start, 'yyyy-MM-dd HH:mm:ss') AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {_ms('value')} AS total_value
+        FROM (SELECT WINDOW(ts, '1 hour') AS win, event_type, value FROM events)
+        GROUP BY win, event_type
+    """,
+    "q46_rollup_revenue": f"""
+        SELECT r_name, n_name,
+               CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               {_ms('o_totalprice')} AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "q49_cube_lineitem_status": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_lines,
+               {_ms('l_extendedprice')} AS total_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "q59_moving_avg_revenue": f"""
         SELECT DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS order_date,
                daily_revenue,
