@@ -32,6 +32,21 @@ def tokens(text: str | Column) -> Column:
     return F.split(c, r"\s+")
 
 
+# Subword-ish lexer classes, shared verbatim with the DuckDB oracle
+# (both regex engines treat this alternation identically): letter runs,
+# digit runs, single non-alphanumeric marks. A BPE tokenizer's
+# pre-tokenization split — the cheap, model-free approximation of a
+# real BPE vocab count (which would need the merges table).
+BPE_ISH_PATTERN = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+
+def bpe_ish_count(text: str | Column) -> Column:
+    """Subword-ish token count via :data:`BPE_ISH_PATTERN`.
+    Oracle: ``length(regexp_extract_all(text, pattern))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(1)))
+
+
 def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 

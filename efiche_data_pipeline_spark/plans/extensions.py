@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import money_sum, oracle_money_sum
 from ..functions.text import (
+    BPE_ISH_PATTERN,
     LANG_STOPWORDS,
+    bpe_ish_count,
     predict_lang,
     punct_count,
     quality_score_raw,
@@ -221,17 +223,20 @@ def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(tokens("text"))).alias("n_uniq_tokens"),
+        bpe_ish_count("text").alias("n_bpe_tokens"),
         F.round(
             F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tok, 4
         ).alias("avg_token_len"),
     )
 
 
-ORACLES["q31_token_stats"] = """
+ORACLES["q31_token_stats"] = f"""
 SELECT doc_id,
        CAST(length(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens,
        CAST(length(list_distinct(regexp_split_to_array(text, '\\s+')))
             AS INTEGER) AS n_uniq_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+            AS INTEGER) AS n_bpe_tokens,
        ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
              / length(regexp_split_to_array(text, '\\s+')), 4) AS avg_token_len
 FROM documents

@@ -37,6 +37,23 @@ def test_repetition_metrics_planted(spark, tmp_path, text, n_tok, dup, top):
     assert row.top_bigram_frac == pytest.approx(top, abs=1e-9)
 
 
+def test_bpe_ish_count_planted(spark):
+    from efiche_data_pipeline_spark.functions.text import bpe_ish_count
+
+    cases = [
+        ("hello world", 2),  # two letter runs
+        ("don't stop", 4),  # don / ' / t / stop
+        ("v2.0-beta", 6),  # v / 2 / . / 0 / - / beta
+        ("a1b2", 4),  # alternating letter/digit runs
+        ("", 0),
+    ]
+    df = spark.createDataFrame(cases, "text string, want int").select(
+        "want", bpe_ish_count("text").alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want
+
+
 def test_word_ngrams_keeps_repeats_shingles_dedup(spark):
     df = spark.createDataFrame([("a b a b",)], "text string").select(
         word_ngrams("text", 2).alias("all"),
