@@ -1470,6 +1470,69 @@ FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q68 — per-source corpus health rollup: the curation dashboard a
+# training-data pipeline keys filtering decisions off. One aggregate
+# over documents grouped by provenance: volume, exact-duplicate rate
+# (docs minus distinct md5 fingerprints), language spread, token
+# mass, and mean quality — every input expression map-side, one
+# exchange on `source`. The md5/token/quality expressions are the
+# same oracle-shared ones q24/q31/q32 already verify individually.
+# ---------------------------------------------------------------------------
+def q68_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.md5("text").alias("_fp"),
+            token_count("text").alias("_nt"),
+            quality_score_raw("text").alias("_q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("_fp")).cast("int").alias("n_exact_dups"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("_nt").alias("total_tokens"),
+            # Decimal-summed mean: order-independent (float avg would
+            # differ in the last ulp across partition orders, and the
+            # oracle hash is exact) — the money_sum lever applied to a
+            # score column.
+            F.round(
+                (
+                    F.sum(F.col("_q").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                4,
+            ).alias("mean_quality"),
+        )
+    )
+
+
+ORACLES["q68_source_quality_rollup"] = """
+WITH scored AS (
+    SELECT source, lang, md5(text) AS fp,
+           length(regexp_split_to_array(text, '\\s+')) AS nt,
+           0.5 * (CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                  / length(regexp_split_to_array(text, '\\s+')))
+           + 0.5 * (CAST(least(length(regexp_split_to_array(text, '\\s+')), 200)
+                         AS DOUBLE) / 200.0) AS q
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS INTEGER) AS n_exact_dups,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE), 4)
+           AS mean_quality
+FROM scored
+GROUP BY source
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
