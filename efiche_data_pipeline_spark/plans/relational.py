@@ -333,13 +333,29 @@ HAVING COUNT(*) >= 15
 # the co-occurrence histogram so the result stays small at any scale.
 # ---------------------------------------------------------------------------
 def q09_copurchase_pairs_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same result as the naive self-join (a ⋈ b ON ok AND pa < pb) the
+    # oracle runs, but with the q26 in-row lever: group lines per
+    # order (bounded fan-in — parts per order), generate the strict
+    # value-pair combinations inside the row with higher-order
+    # functions, and only then shuffle the pairs. One lineitem
+    # exchange instead of two plus a join; pair multiplicity is
+    # preserved (duplicate parts in an order contribute one pair per
+    # occurrence combination, equal-value pairs are excluded — exactly
+    # the `pa < pb` semantics).
+    from ..operators.dedup import _pair_combinations
+
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
-    per_pair = pairs.groupBy("part_a", "part_b").agg(
-        F.count(F.lit(1)).alias("n_cooccur")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
     )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(_pair_combinations(F.col("parts")), lambda p: p.a != p.b)
+        ).alias("p")
+    )
+    per_pair = pairs.groupBy(
+        F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
+    ).agg(F.count(F.lit(1)).alias("n_cooccur"))
     return per_pair.groupBy("n_cooccur").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
