@@ -37,6 +37,30 @@ def test_repetition_metrics_planted(spark, tmp_path, text, n_tok, dup, top):
     assert row.top_bigram_frac == pytest.approx(top, abs=1e-9)
 
 
+def test_decontamination_planted(spark, tmp_path):
+    """q66 on a constructed corpus: doc 20 (benchmark — id % 20 == 0)
+    shares a full 5-gram with doc 1, doc 2 shares none. Only doc 1 may
+    be flagged, with exactly one overlapping shingle."""
+    from efiche_data_pipeline_spark.plans.extensions import (
+        q66_benchmark_decontamination,
+    )
+
+    leak = "alpha bravo charlie delta echo"
+    rows = [
+        (20, leak + " foxtrot golf", "en", "bench", 0),
+        (1, "intro words " + leak, "en", "train", 0),
+        (2, "totally unrelated text with many different words here", "en", "train", 0),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {r.doc_id: r for r in q66_benchmark_decontamination(spark, sf_dir).collect()}
+    assert set(got) == {1, 2}  # doc 20 is benchmark-side, not scored
+    assert got[1].contaminated and got[1].n_overlap_ngrams == 1
+    assert not got[2].contaminated and got[2].n_overlap_ngrams == 0
+
+
 def test_bpe_ish_count_planted(spark):
     from efiche_data_pipeline_spark.functions.text import bpe_ish_count
 
