@@ -1,0 +1,91 @@
+"""Mergeable distinct-count sketch — KMV (k-minimum-values).
+
+The classic bottom-k sketch: hash every value with a fixed hash, keep
+the k smallest distinct hashes per group, and estimate the distinct
+count from the k-th smallest as ``(k-1) / normalized(h_k)`` (exact
+when fewer than k distinct values were seen). Standard error is
+≈ 1/√(k−2).
+
+Why this shape scales — and is still oracle-checkable:
+
+- **Bounded state.** The per-group top-k-smallest runs as a
+  ``row_number`` window that Catalyst executes with partial
+  ``WindowGroupLimit``: every map-side partition forwards at most k
+  rows per group, so the shuffle carries O(groups × k) 8-byte hashes
+  regardless of corpus size — the mergeability of the sketch,
+  executed by the engine (same lever as the q03/q29 top-K audit).
+- **Deterministic, engine-portable.** Unlike HLL
+  (``approx_count_distinct``), KMV over :func:`portable_hash60`
+  (md5-derived, bit-identical in DuckDB) gives the SAME estimate in
+  any engine: the estimator is a handful of IEEE double ops on
+  integer hashes. The DuckDB oracle replays it exactly — an
+  *approximate* operator with an *exact* correctness gate.
+
+Reference analogue: none (the reference computes all distinct counts
+exactly in PostgreSQL); this is the 100 TB path for distinct-count
+dashboards where exactness isn't worth a full shuffle of the key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60
+
+# portable_hash60 is uniform on [0, 2^60) — the normalization constant
+# for the estimator, shared verbatim with the oracle SQL.
+HASH_SPACE = float(2**60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value_col) via a bottom-k
+    hash sketch. Returns (group_cols..., kmv_estimate) with the exact
+    count whenever a group has < k distinct values."""
+    hashed = (
+        df.select(*group_cols, portable_hash60(value_col).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    bottom = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return bottom.groupBy(*group_cols).agg(
+        F.when(
+            F.count(F.lit(1)) < k,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.round(F.lit(k - 1) * F.lit(HASH_SPACE) / F.max("_h"), 0))
+        .cast("long")
+        .alias("kmv_estimate")
+    )
+
+
+def oracle_kmv_sql(
+    table: str, group_expr: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` — identical hash, identical
+    estimator arithmetic, so the result hash-matches exactly."""
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT {group_expr} AS g,
+           CAST('0x' || substring(md5({value_expr}), 1, 15) AS BIGINT) AS h
+    FROM {table}
+),
+bottom AS (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed
+)
+SELECT g,
+       CAST(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE ROUND(({k} - 1) * {HASH_SPACE!r} / MAX(h), 0)
+            END AS BIGINT) AS kmv_estimate
+FROM bottom
+WHERE rn <= {k}
+GROUP BY g
+"""

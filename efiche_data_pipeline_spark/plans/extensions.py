@@ -60,6 +60,7 @@ from ..operators.similarity import (
 from ..functions.hashing import oracle_hash60, portable_hash60
 from ..operators.packing import pack_sequences
 from ..operators.ranking import global_ntile
+from ..operators.sketch import kmv_distinct, oracle_kmv_sql
 from ..operators.skew import salted_join
 from ..pipeline.scd import cdc_compact, scd2_apply, scd2_init
 from ..operators.temporal import asof_join, range_join
@@ -1530,6 +1531,55 @@ SELECT source,
            AS mean_quality
 FROM scored
 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q69 — KMV distinct-count sketch vs the exact count, per order
+# priority: the bounded-state approximate COUNT(DISTINCT) path
+# (operators/sketch.py) next to its exact twin, so the relative error
+# is part of the checked result. The sketch is deterministic over the
+# portable md5 hash, which is what lets an *approximate* operator
+# carry an *exact* DuckDB oracle.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+
+def q69_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    approx = kmv_distinct(
+        o.select("o_orderpriority", F.col("o_custkey").cast("string").alias("ck")),
+        ["o_orderpriority"],
+        "ck",
+        k=_KMV_K,
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_distinct",
+        "kmv_estimate",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+ORACLES["q69_kmv_distinct_customers"] = f"""
+WITH exact AS (
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+    FROM orders GROUP BY 1
+),
+approx AS ({oracle_kmv_sql("orders", "o_orderpriority", "CAST(o_custkey AS VARCHAR)", _KMV_K)})
+SELECT o_orderpriority,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       kmv_estimate,
+       ROUND(CAST(abs(kmv_estimate - exact_distinct) AS DOUBLE)
+             / exact_distinct, 4) AS rel_error
+FROM exact JOIN approx ON o_orderpriority = g
 """
 
 
