@@ -1583,6 +1583,44 @@ FROM exact JOIN approx ON o_orderpriority = g
 """
 
 
+# ---------------------------------------------------------------------------
+# Q70 — per-label embedding centroids, exploded to (label, pos, value)
+# scalar rows: the vector aggregate behind cluster-based curation
+# (class prototypes, diversity sampling, IVF seeding). posexplode →
+# decimal-summed mean per (label, position) — one exchange carrying
+# scalar rows, exact under any partition order, and a scalar output
+# schema so the driver's value-hash comparison stays well-defined
+# (returning array<double> would hash through pandas object dtype).
+# ---------------------------------------------------------------------------
+def q70_label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+ORACLES["q70_label_embedding_centroids"] = """
+SELECT label,
+       CAST(i AS INTEGER) AS pos,
+       ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+                  / COUNT(*) AS DOUBLE), 6) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
