@@ -63,6 +63,12 @@ def main() -> None:
     if args.only:
         only = set(args.only.split(","))
         names = [n for n in names if any(n.startswith(o) for o in only)]
+    else:
+        # The driver's smoke check: entry(spark) must run on the
+        # sf0.001 fixtures and yield rows under a vanilla session.
+        smoke = entry.entry(spark).collect()
+        print(f"entry  smoke: {len(smoke)} rows")
+        assert len(smoke) > 0, "entry() returned no rows"
 
     results: dict[str, dict] = {}
     for name in names:
