@@ -1621,6 +1621,69 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q71 — split-leakage detection: near-duplicate pairs (the q26
+# candidate graph at jaccard ≥ 0.5) whose endpoints land in DIFFERENT
+# train/val/test splits (the q56 hash split). A benchmark answer
+# near-duplicated into the training split is the leakage dedup exists
+# to prevent — this query makes it a counted, oracle-checked metric
+# per split boundary. Pure composition of two verified operators plus
+# two doc_id equi-joins; the pair frame (≪ corpus) drives the joins.
+# ---------------------------------------------------------------------------
+def q71_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, max_freq=20, min_shared=2
+    ).filter(F.col("jaccard") >= 0.5)
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    splits = docs.select("doc_id", split.alias("split"))
+    j = pairs.join(
+        splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")),
+        "doc_a",
+    ).join(
+        splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")),
+        "doc_b",
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+ORACLES["q71_split_leakage"] = f"""
+WITH {_SHINGLE_PAIR_CTES},
+jp AS (
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN {oracle_hash60('CAST(doc_id AS VARCHAR)')} % 100 < 80 THEN 'train'
+                WHEN {oracle_hash60('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT least(a.split, b.split) AS split_lo,
+       greatest(a.split, b.split) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+       least(a.split, b.split) != greatest(a.split, b.split) AS is_leak
+FROM jp
+JOIN sp a ON doc_a = a.doc_id
+JOIN sp b ON doc_b = b.doc_id
+WHERE jaccard >= 0.5
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
