@@ -1684,6 +1684,70 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q72 — n-gram novelty per document: the fraction of a doc's distinct
+# 3-gram shingles that occur in NO other document — the per-doc signal
+# corpus-level dedup thresholds get tuned against (novelty ≈ 0 means
+# boilerplate/duplicate; ≈ 1 means unique content). Two exchanges,
+# both on 8-byte hashed shingles (the q26/q66 wire lever): the global
+# doc-frequency aggregate and the per-doc ratio aggregate. Shingle-
+# less docs (< 3 tokens) surface with zero counts and NULL novelty.
+# ---------------------------------------------------------------------------
+def q72_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    dfreq = shh.groupBy("gh").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        shh.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.nullif("n_shingles", F.lit(0)), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLES["q72_ngram_novelty"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1),
+per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN dfreq USING (g)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE)
+             / NULLIF(COALESCE(n_shingles, 0), 0), 4) AS novelty
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
