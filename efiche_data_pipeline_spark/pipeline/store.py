@@ -237,3 +237,100 @@ class Store:
         """Read with parquet schema merging (union of every file's
         schema; files predating a column yield NULLs for it)."""
         return self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
+
+    # ------------------------------------------------------------------
+    # Versioned snapshots — parquet-native time travel.
+    #
+    # Layout: <table>/_v<N>/ holds immutable snapshot data; the single
+    # small file <table>/_CURRENT names the live version. A write lands
+    # fully in its own _v directory FIRST, then the pointer swaps via
+    # atomic rename — readers see the old or the new snapshot, never a
+    # partial one, and a crash mid-write leaves the pointer untouched
+    # (the orphaned _v directory is vacuumed later). This is the core
+    # mechanism of table formats (Delta/Iceberg metadata pointers)
+    # reduced to the single-writer case the Store already assumes.
+    # ------------------------------------------------------------------
+
+    def _vdir(self, table: str, version: int) -> str:
+        return os.path.join(self.path(table), f"_v{version}")
+
+    def _current_file(self, table: str) -> str:
+        return os.path.join(self.path(table), "_CURRENT")
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._current_file(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def versions(self, table: str) -> list[int]:
+        """Committed snapshot versions (those at or below the pointer,
+        plus any older ones not yet vacuumed)."""
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return []
+        found = sorted(
+            int(d[2:])
+            for d in os.listdir(root)
+            if d.startswith("_v") and d[2:].isdigit()
+            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        )
+        return found
+
+    def write_version(self, df: DataFrame, table: str) -> int:
+        """Commit ``df`` as the next snapshot of ``table`` and return
+        its version number. The previous snapshot stays readable via
+        ``read_version`` until vacuumed."""
+        cur = self.current_version(table)
+        nxt = (cur or 0) + 1
+        df.write.mode("overwrite").parquet(self._vdir(table, nxt))
+        tmp = self._current_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._current_file(table))  # atomic pointer swap
+        self._log(table, f"write_version:{nxt}")
+        return nxt
+
+    def read_version(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a snapshot — the current one by default, or any
+        still-vacuumed-in historical ``version`` (time travel)."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"{table}: no versioned snapshots")
+        return self.spark.read.parquet(self._vdir(table, v))
+
+    def rollback(self, table: str, version: int) -> None:
+        """Point the table back at an older snapshot (the newer
+        snapshots remain until vacuumed — rollback of the rollback is
+        possible)."""
+        if not os.path.exists(os.path.join(self._vdir(table, version), "_SUCCESS")):
+            raise FileNotFoundError(f"{table}: no committed snapshot _v{version}")
+        tmp = self._current_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_file(table))
+        self._log(table, f"rollback:{version}")
+
+    def vacuum_versions(self, table: str, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshots (never the
+        current one); returns the dropped versions. Also removes
+        uncommitted (crash-orphaned) _v directories."""
+        import shutil
+
+        cur = self.current_version(table)
+        committed = self.versions(table)
+        keep = set(committed[-keep_last:]) | ({cur} if cur is not None else set())
+        dropped = []
+        root = self.path(table)
+        for d in os.listdir(root):
+            if not (d.startswith("_v") and d[2:].isdigit()):
+                continue
+            v = int(d[2:])
+            committed_dir = os.path.exists(os.path.join(root, d, "_SUCCESS"))
+            if v not in keep or not committed_dir:
+                shutil.rmtree(os.path.join(root, d))
+                if committed_dir:
+                    dropped.append(v)
+        self._log(table, f"vacuum_versions:keep{keep_last}")
+        return sorted(dropped)

@@ -1,0 +1,66 @@
+"""Versioned-snapshot (time travel) tests for the Store: snapshot
+isolation across writes, historical reads, rollback (and rollback of
+the rollback), vacuum retention, and crash-orphan cleanup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.pipeline.store import Store
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(F.col("id"), F.lit(tag).alias("tag"))
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return Store(spark, str(tmp_path / "vs"))
+
+
+def test_versioned_write_read_and_time_travel(spark, store):
+    v1 = store.write_version(_df(spark, 3, "a"), "t")
+    v2 = store.write_version(_df(spark, 5, "b"), "t")
+    assert (v1, v2) == (1, 2)
+    assert store.current_version("t") == 2
+    assert store.read_version("t").count() == 5  # current
+    old = store.read_version("t", v1)
+    assert old.count() == 3 and old.first().tag == "a"  # time travel
+
+
+def test_rollback_and_forward(spark, store):
+    store.write_version(_df(spark, 3, "a"), "t")
+    store.write_version(_df(spark, 5, "b"), "t")
+    store.rollback("t", 1)
+    assert store.read_version("t").count() == 3
+    # the newer snapshot is still there: roll forward again
+    store.rollback("t", 2)
+    assert store.read_version("t").count() == 5
+    with pytest.raises(FileNotFoundError):
+        store.rollback("t", 99)
+
+
+def test_vacuum_keeps_recent_and_current(spark, store):
+    for i, n in enumerate([2, 3, 4, 5], start=1):
+        assert store.write_version(_df(spark, n, f"v{i}"), "t") == i
+    dropped = store.vacuum_versions("t", keep_last=2)
+    assert dropped == [1, 2]
+    assert store.versions("t") == [3, 4]
+    assert store.read_version("t").count() == 5  # current untouched
+
+
+def test_vacuum_removes_crash_orphans(spark, store):
+    store.write_version(_df(spark, 3, "a"), "t")
+    # Simulate a crash mid-write: data directory without _SUCCESS and
+    # the pointer never swapped.
+    orphan = store._vdir("t", 2)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert store.current_version("t") == 1  # pointer untouched by crash
+    store.vacuum_versions("t", keep_last=2)
+    assert not os.path.exists(orphan)
+    assert store.read_version("t").count() == 3
