@@ -150,3 +150,47 @@ def cdc_compact(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn", op_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive a CDC change feed from two table snapshots — the inverse
+    of :func:`cdc_compact`, and the bridge from the Store's versioned
+    snapshots (pipeline/store.py:write_version) to every downstream
+    change consumer (SCD2 merges, incremental MV refresh, streaming
+    replication).
+
+    Output: ``key`` + ``attrs`` (the NEW image; the OLD image for
+    deletes) + ``op_col`` ∈ {I, U, D}. Unchanged rows are absent, so
+    the feed size scales with the change set. One full-outer equi-join
+    on ``key``; change detection is the same map-side null-safe
+    attr-hash SCD2 uses, so NULL↔sentinel confusions can't happen."""
+    o = old.select(key, *attrs).alias("o")
+    n = new.select(key, *attrs).alias("n")
+    oh = _attr_hash([f"o.{a}" for a in attrs])
+    nh = _attr_hash([f"n.{a}" for a in attrs])
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    op = (
+        F.when(F.col(f"o.{key}").isNull(), "I")
+        .when(F.col(f"n.{key}").isNull(), "D")
+        .when(oh != nh, "U")
+    )
+    picked = [
+        F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+        *[
+            F.when(F.col(f"n.{key}").isNull(), F.col(f"o.{a}"))
+            .otherwise(F.col(f"n.{a}"))
+            .alias(a)
+            for a in attrs
+        ],
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*picked, op_col)
+    )

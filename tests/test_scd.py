@@ -140,3 +140,30 @@ def test_cdc_compact_partition_independent(spark):
         )
     )
     assert a == b
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    from efiche_data_pipeline_spark.pipeline.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "id long, segment string, nation int",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 NULL->"" (must be a change), 4 deleted,
+        # 5 inserted
+        [(1, "a", 10), (2, "b2", 20), (3, "", 30), (5, "e", 50)],
+        "id long, segment string, nation int",
+    )
+    diff = snapshot_diff(old, new, "id", ["segment", "nation"])
+    ops = {r.id: r.op for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}  # id 1 absent
+
+    # Applying the feed to `old` must reproduce `new` exactly.
+    changed_keys = diff.filter(F.col("op").isin("U", "D")).select("id")
+    applied = old.join(changed_keys, "id", "left_anti").unionByName(
+        diff.filter(F.col("op").isin("I", "U")).drop("op")
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
