@@ -64,3 +64,41 @@ def test_vacuum_removes_crash_orphans(spark, store):
     store.vacuum_versions("t", keep_last=2)
     assert not os.path.exists(orphan)
     assert store.read_version("t").count() == 3
+
+
+def test_versions_to_cdc_to_scd2_chain(spark, store):
+    """The full change-management story end-to-end: two committed table
+    versions -> snapshot_diff change feed -> SCD2 merge; the dimension's
+    current slice must equal the new snapshot for surviving keys."""
+    from efiche_data_pipeline_spark.pipeline.scd import (
+        scd2_apply,
+        scd2_init,
+        snapshot_diff,
+    )
+
+    v1_data = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "id long, tier string"
+    )
+    v2_data = spark.createDataFrame(
+        [(1, "gold"), (2, "platinum"), (4, "silver")], "id long, tier string"
+    )
+    store.write_version(v1_data, "cust")
+    store.write_version(v2_data, "cust")
+
+    feed = snapshot_diff(
+        store.read_version("cust", 1), store.read_version("cust", 2), "id", ["tier"]
+    )
+    dim = scd2_init(store.read_version("cust", 1), "id", ["tier"], "2024-01-01")
+    upserts = feed.filter(F.col("op").isin("I", "U")).drop("op")
+    dim2 = scd2_apply(dim, upserts, "id", ["tier"], "2024-02-01")
+
+    current = {
+        r.id: r.tier for r in dim2.filter(F.col("is_current")).collect()
+    }
+    # id 2 re-tiered, id 4 inserted, id 1 untouched; id 3 (deleted
+    # upstream) stays current in the dimension -- SCD2 keeps history,
+    # deletion policy is a separate close-out decision.
+    assert current == {1: "gold", 2: "platinum", 3: "bronze", 4: "silver"}
+    # and id 2's old tier is preserved as a closed version
+    closed = dim2.filter(~F.col("is_current")).collect()
+    assert [(r.id, r.tier) for r in closed] == [(2, "silver")]
