@@ -167,3 +167,47 @@ def test_snapshot_diff_classifies_and_roundtrips(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_snapshot_diff_roundtrip_property(spark):
+    """Property (randomized frames): for ANY old/new snapshots keyed by
+    id, old + snapshot_diff(old, new) reproduces new exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from efiche_data_pipeline_spark.pipeline.scd import snapshot_diff
+
+    vals = st.one_of(st.none(), st.sampled_from(["", "x", "y"]))
+    frame = st.dictionaries(
+        st.integers(min_value=0, max_value=12), st.tuples(vals, vals), max_size=10
+    )
+
+    @given(old_d=frame, new_d=frame)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(old_d, new_d):
+        schema = "id long, a string, b string"
+        old = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in old_d.items()], schema
+        )
+        new = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in new_d.items()], schema
+        )
+        diff = snapshot_diff(old, new, "id", ["a", "b"])
+        changed = diff.filter(F.col("op").isin("U", "D")).select("id")
+        applied = old.join(changed, "id", "left_anti").unionByName(
+            diff.filter(F.col("op").isin("I", "U")).drop("op")
+        )
+        assert sorted(map(tuple, applied.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+        # unchanged keys never appear in the feed
+        same = {
+            k for k in old_d.keys() & new_d.keys() if old_d[k] == new_d[k]
+        }
+        assert not same & {r.id for r in diff.collect()}
+
+    check()
