@@ -1748,6 +1748,61 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q73 — weekly active users + 1-week retention: the cohort/retention
+# family of behavioral analytics (not previously covered by any §2 or
+# extension row). Distinct (user, week) pairs once — one exchange —
+# then a self-equi-join on week+1 over the per-week user sets and a
+# per-week aggregate. Weeks are epoch-anchored 7-day buckets
+# (floor(unix_date / 7)), identical arithmetic in both engines —
+# ISO-week functions would disagree across engines at year borders.
+# ---------------------------------------------------------------------------
+def q73_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.floor(F.unix_date(F.col("ts").cast("date")) / 7).alias("week"),
+    ).distinct()
+    nxt = uw.select("user_id", (F.col("week") - 1).alias("week"))
+    retained = uw.join(nxt, ["user_id", "week"], "left_semi")
+    active = uw.groupBy("week").agg(F.count(F.lit(1)).alias("n_active"))
+    ret = retained.groupBy("week").agg(F.count(F.lit(1)).alias("n_retained"))
+    return (
+        active.join(ret, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double") / F.col("n_active"),
+                4,
+            ).alias("retention_rate"),
+        )
+    )
+
+
+ORACLES["q73_weekly_retention"] = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)
+                AS BIGINT) AS week
+    FROM events
+),
+ret AS (
+    SELECT a.week, COUNT(*) AS n_retained
+    FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.week = a.week + 1
+    GROUP BY 1
+)
+SELECT uw.week,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COALESCE(MAX(ret.n_retained), 0) AS BIGINT) AS n_retained,
+       ROUND(CAST(COALESCE(MAX(ret.n_retained), 0) AS DOUBLE) / COUNT(*), 4)
+           AS retention_rate
+FROM uw LEFT JOIN ret ON uw.week = ret.week
+GROUP BY uw.week
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
