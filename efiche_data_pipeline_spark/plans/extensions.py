@@ -1803,6 +1803,78 @@ GROUP BY uw.week
 """
 
 
+# ---------------------------------------------------------------------------
+# Q74 — ordered funnel conversion (view → click → purchase): per user,
+# the earliest view, the earliest click AT OR AFTER that view, and the
+# earliest purchase at or after that click — the sequence constraint
+# is what distinguishes a funnel from three independent counts. One
+# conditional aggregate per step over a per-user min-reduced frame;
+# each step's frame is one row per qualifying user, so the two step
+# joins are user-keyed and AQE-broadcastable. Output is a single
+# summary row with per-step user counts and conversion rates.
+# ---------------------------------------------------------------------------
+def q74_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("_v")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_p"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 4).alias(
+            "view_to_click"
+        ),
+        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 4).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+ORACLES["q74_funnel_conversion"] = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS v FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS c
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v
+    WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 4) AS view_to_click,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c), 4) AS click_to_purchase
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
