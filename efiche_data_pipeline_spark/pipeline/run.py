@@ -21,9 +21,37 @@ from pyspark.sql import functions as F
 from ..sources.external import fetch_external
 from .generate import generate_operational
 from .ingest import BATCH_LIMIT, load_to_staging, pipeline_stats, process_staging_to_production
+from .quality import assert_quality, check_fk, check_rules, in_range, in_set, not_null
 from .report import render_report
 from .store import Store
 from .warehouse import build_warehouse
+
+
+def verify_contracts(store: Store) -> dict[str, int]:
+    """The reference's DDL contracts (CHECK age 0-120, CHECK sex IN
+    set — sql/01_schema.sql:11-12; FK REFERENCES :33-35,50-51) as
+    executed assertion steps: one aggregate pass per table plus one
+    anti-join per FK. Raises on any violation; returns the (all-zero)
+    report otherwise."""
+    patients = store.read("patients")
+    report = check_rules(
+        patients,
+        [
+            not_null("patient_id"),
+            in_range("age", 0, 120),
+            in_set("sex", ["M", "F", "Other", "Unknown"]),
+        ],
+        unique_key=["patient_id"],
+    )
+    enc = store.read("encounters")
+    report["fk_encounters.patient_id"] = check_fk(
+        enc, "patient_id", patients, "patient_id"
+    )
+    report["fk_procedures.encounter_id"] = check_fk(
+        store.read("procedures"), "encounter_id", enc, "encounter_id"
+    )
+    assert_quality(report)
+    return report
 
 
 def promote_ingested(store: Store) -> None:
@@ -76,14 +104,19 @@ def run_all(
     ingest_stats = {**load_stats, "source": source_kind, "batches": batches}
     promote_ingested(store)
 
-    # 3. warehouse + MV refresh (reference: populate_warehouse.py:255-297)
+    # 3. contract gate: CHECK + FK assertions before the warehouse
+    #    consumes the operational tables (raises on violation).
+    quality = verify_contracts(store)
+
+    # 4. warehouse + MV refresh (reference: populate_warehouse.py:255-297)
     warehouse_stats = build_warehouse(store)
 
-    # 4. report (reference: run_analytics.py:25-173)
+    # 5. report (reference: run_analytics.py:25-173)
     report = render_report(store)
 
     return {
         "ingest": {**ingest_stats, **pipeline_stats(store)},
+        "quality": quality,
         "warehouse": warehouse_stats,
         "report": report,
     }
