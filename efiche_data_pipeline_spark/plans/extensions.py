@@ -1875,6 +1875,66 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+# ---------------------------------------------------------------------------
+# Q75 — time-series regularization: per-priority daily revenue on a
+# DENSE calendar spine (every day from the priority's first to last
+# order) with gaps filled by last-observation-carried-forward. The
+# spine is generated in-row (sequence + explode — no driver loop), the
+# observation join is keyed (priority, day), and the LOCF window is
+# per-priority ordered by day — its input is calendar-bounded per key,
+# the same boundedness argument as q59. `last(..., ignorenulls)` and
+# DuckDB's `LAST_VALUE(x IGNORE NULLS)` share frame semantics under
+# ROWS UNBOUNDED PRECEDING.
+# ---------------------------------------------------------------------------
+def q75_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    spine = (
+        daily.groupBy("o_orderpriority")
+        .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence("_lo", "_hi")).alias("day"),
+        )
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = spine.join(daily, ["o_orderpriority", "day"], "left")
+    return joined.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("revenue", ignorenulls=True).over(w).alias("filled_revenue"),
+        F.col("revenue").isNull().alias("was_gap"),
+    )
+
+
+ORACLES["q75_gap_filled_daily_revenue"] = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {oracle_money_sum('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1, 2
+),
+spine AS (
+    SELECT o_orderpriority, CAST(gs AS DATE) AS day
+    FROM (SELECT o_orderpriority, MIN(day) lo, MAX(day) hi FROM daily GROUP BY 1),
+         UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(gs)
+)
+SELECT s.o_orderpriority,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+           PARTITION BY s.o_orderpriority ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue,
+       d.revenue IS NULL AS was_gap
+FROM spine s LEFT JOIN daily d
+  ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
