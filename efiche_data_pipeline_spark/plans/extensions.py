@@ -1935,6 +1935,93 @@ FROM spine s LEFT JOIN daily d
 """
 
 
+# ---------------------------------------------------------------------------
+# Q76 — pivot (long → wide): order revenue per nation, one column per
+# order priority. The priority values are passed EXPLICITLY so Spark
+# skips the extra distinct-scan pass and the output schema is fixed
+# (a pivot with discovered values has a data-dependent schema — wrong
+# for a contract surface). Plans as a single conditional aggregate;
+# the DuckDB twin is the same CASE-filtered aggregation, which is
+# what any engine's PIVOT desugars to.
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_COLS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def q76_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    wide = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(money_sum("o_totalprice"))
+    )
+    renamed = wide.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(a)
+            for p, a in zip(_PRIORITIES, _PRIO_COLS)
+        ],
+    )
+    return renamed
+
+
+ORACLES["q76_revenue_pivot"] = f"""
+SELECT n_name,
+       {', '.join(
+           "COALESCE(" + oracle_money_sum(
+               f"CASE WHEN o_orderpriority = '{p}' THEN o_totalprice END"
+           ) + f", 0.0) AS {a}"
+           for p, a in zip(_PRIORITIES, _PRIO_COLS)
+       )}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q77 — unpivot (wide → long): melt the q76 pivot back to
+# (nation, priority, revenue) rows. Spark's native `unpivot` is a
+# zero-shuffle Expand over the wide frame; the oracle recomputes the
+# long form directly from the base tables, so the pivot→unpivot
+# round-trip is verified against first principles, not against q76.
+# ---------------------------------------------------------------------------
+def q77_revenue_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q76_revenue_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["n_name"],
+        values=_PRIO_COLS,
+        variableColumnName="priority",
+        valueColumnName="revenue",
+    )
+
+
+ORACLES["q77_revenue_unpivot"] = f"""
+WITH base AS (
+    SELECT n_name, o_orderpriority,
+           {oracle_money_sum('o_totalprice')} AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+labels(o_orderpriority, priority) AS (
+    VALUES {', '.join(f"('{p}', '{a}')" for p, a in zip(_PRIORITIES, _PRIO_COLS))}
+),
+nations AS (SELECT DISTINCT n_name FROM base)
+SELECT n.n_name, l.priority, COALESCE(b.rev, 0.0) AS revenue
+FROM nations n
+CROSS JOIN labels l
+LEFT JOIN base b ON b.n_name = n.n_name AND b.o_orderpriority = l.o_orderpriority
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
