@@ -2022,6 +2022,48 @@ LEFT JOIN base b ON b.n_name = n.n_name AND b.o_orderpriority = l.o_orderpriorit
 """
 
 
+# ---------------------------------------------------------------------------
+# Q78 — INTERSECT / EXCEPT set operations (completing U1's UNION ALL
+# family; the reference has neither): the customer-key sets with
+# urgent vs low-priority orders, combined with genuine set operators
+# (`intersect`, `exceptAll` — both plan as aggregate/hash-join
+# shapes, and the EXCEPT here is on distinct keys so bag vs set
+# semantics coincide). One summary row of the four cardinalities.
+# ---------------------------------------------------------------------------
+def q78_setops_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    ).distinct()
+    both = urgent.intersect(low)
+    urgent_only = urgent.exceptAll(low)
+    return (
+        urgent.agg(F.count(F.lit(1)).alias("n_urgent"))
+        .join(low.agg(F.count(F.lit(1)).alias("n_low")))
+        .join(both.agg(F.count(F.lit(1)).alias("n_both")))
+        .join(urgent_only.agg(F.count(F.lit(1)).alias("n_urgent_only")))
+    )
+
+
+ORACLES["q78_setops_urgent_low"] = """
+WITH urgent AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+low AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+SELECT CAST((SELECT COUNT(*) FROM urgent) AS BIGINT) AS n_urgent,
+       CAST((SELECT COUNT(*) FROM low) AS BIGINT) AS n_low,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM urgent INTERSECT SELECT * FROM low))
+            AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low))
+            AS BIGINT) AS n_urgent_only
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
