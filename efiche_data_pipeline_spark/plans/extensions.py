@@ -59,7 +59,7 @@ from ..operators.similarity import (
 )
 from ..functions.hashing import oracle_hash60, portable_hash60
 from ..operators.packing import pack_sequences
-from ..operators.ranking import global_ntile
+from ..operators.ranking import global_ntile, global_row_number
 from ..operators.sketch import kmv_distinct, oracle_kmv_sql
 from ..operators.skew import salted_join
 from ..pipeline.scd import cdc_compact, scd2_apply, scd2_init
@@ -2061,6 +2061,45 @@ SELECT CAST((SELECT COUNT(*) FROM urgent) AS BIGINT) AS n_urgent,
             AS BIGINT) AS n_both,
        CAST((SELECT COUNT(*) FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low))
             AS BIGINT) AS n_urgent_only
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q79 — percent_rank / cume_dist without their single-partition
+# windows: under the (revenue, custkey) TOTAL order (no ties),
+# percent_rank = (rn-1)/(n-1) and cume_dist = rn/n are pure arithmetic
+# over the bucketed global row_number (operators/ranking.py) and a
+# broadcast count — the same replacement q60 demonstrated for ntile,
+# here for the remaining rank-family window functions. Output is the
+# top-20 customers by revenue (TakeOrdered, bounded) with their
+# positions; the oracle computes the SQL window forms directly.
+# ---------------------------------------------------------------------------
+def q79_revenue_percentile_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("revenue"))
+    ranked = global_row_number(rev, ["revenue", "o_custkey"], "_rn")
+    total = rev.agg(F.count(F.lit(1)).alias("_n"))
+    pos = ranked.join(F.broadcast(total)).select(
+        "o_custkey",
+        "revenue",
+        F.round((F.col("_rn") - 1) / (F.col("_n") - 1), 6).alias("pct_rank"),
+        F.round(F.col("_rn") / F.col("_n"), 6).alias("cume_dist"),
+    )
+    return pos.orderBy(F.desc("revenue"), "o_custkey").limit(20)
+
+
+ORACLES["q79_revenue_percentile_positions"] = f"""
+WITH rev AS (
+    SELECT o_custkey, {oracle_money_sum('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT o_custkey, revenue,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume_dist
+FROM rev
+WINDOW w AS (ORDER BY revenue, o_custkey)
+ORDER BY revenue DESC, o_custkey
+LIMIT 20
 """
 
 
