@@ -2103,6 +2103,57 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q80 — equi-width histogram of order totals: the data-profiling
+# staple behind the quality layer's range rules. Bucket assignment is
+# integer arithmetic on fixed literal bounds (floor((x-lo)/width),
+# clamped) — one map-side projection + one aggregate on the bucket id,
+# deterministic in any engine, with explicit bucket range labels so
+# the result is self-describing. Values outside [lo, hi) clamp into
+# the edge buckets (underflow/overflow accounting).
+# ---------------------------------------------------------------------------
+_H_LO, _H_HI, _H_BUCKETS = 0.0, 600_000.0, 12
+_H_W = (_H_HI - _H_LO) / _H_BUCKETS
+
+
+def q80_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - F.lit(_H_LO)) / F.lit(_H_W)), F.lit(0)
+        ),
+        F.lit(_H_BUCKETS - 1),
+    ).cast("int")
+    return (
+        o.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(F.lit(_H_LO) + F.col("bucket") * F.lit(_H_W), 2).alias("bucket_lo"),
+            F.round(F.lit(_H_LO) + (F.col("bucket") + 1) * F.lit(_H_W), 2).alias(
+                "bucket_hi"
+            ),
+            "n_orders",
+        )
+    )
+
+
+ORACLES["q80_price_histogram"] = f"""
+WITH b AS (
+    SELECT CAST(least(greatest(floor((o_totalprice - {_H_LO}) / {_H_W}), 0),
+                      {_H_BUCKETS - 1}) AS INTEGER) AS bucket
+    FROM orders
+)
+SELECT bucket,
+       ROUND({_H_LO} + bucket * {_H_W}, 2) AS bucket_lo,
+       ROUND({_H_LO} + (bucket + 1) * {_H_W}, 2) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b
+GROUP BY bucket
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
