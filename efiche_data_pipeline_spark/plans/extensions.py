@@ -2154,6 +2154,52 @@ GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Q81 — fuzzy string matching (entity-resolution shape): near-identical
+# part names within a brand by Levenshtein distance ≤ 1. The join is
+# BLOCKED on p_brand — the standard fuzzy-join lever: candidates form
+# only inside a block, so cost is Σ|block|² instead of n², and the
+# expensive edit-distance runs post-equi-join as a residual filter
+# (same plan shape as the theta join J6). Output aggregates per brand
+# (bounded rows). Spark's `levenshtein` and DuckDB's agree on the
+# standard unit-cost edit distance.
+# ---------------------------------------------------------------------------
+def q81_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_fuzzy_pairs"),
+        F.countDistinct("key_a").alias("n_left_parts"),
+    )
+
+
+ORACLES["q81_fuzzy_part_names"] = """
+SELECT a.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_fuzzy_pairs,
+       CAST(COUNT(DISTINCT a.p_partkey) AS BIGINT) AS n_left_parts
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND levenshtein(a.p_name, b.p_name) <= 1
+GROUP BY a.p_brand
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
