@@ -2200,6 +2200,53 @@ GROUP BY a.p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Q82 — SLIDING (hopping) event-time windows: 1-hour windows every 30
+# minutes, so each event contributes to exactly 2 windows (completing
+# the window family next to tumbling q34 and session q35). Spark's
+# `window(ts, '1 hour', '30 minutes')` plans as an in-task Expand
+# (window replication happens before the aggregate's exchange); the
+# oracle reproduces the same assignment from first principles: an
+# event at epoch-second e lands in the windows starting at
+# floor(e/1800)*1800 and that minus 1800.
+# ---------------------------------------------------------------------------
+def q82_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLES["q82_events_sliding_window"] = f"""
+WITH assigned AS (
+    SELECT event_type, value,
+           to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS ws
+    FROM events, UNNEST([0, 1800]) AS u(off)
+    WHERE epoch(ts) >= floor(epoch(ts) / 1800) * 1800 - off
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_money_sum('value')} AS total_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
