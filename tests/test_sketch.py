@@ -42,3 +42,19 @@ def test_kmv_plan_bounds_shuffle(spark):
     )
     # Partial WindowGroupLimit = map-side k-truncation per group.
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_kmv_partition_independent(spark):
+    """The estimate must not depend on physical partitioning — the
+    mergeability property that makes a bottom-k sketch a sketch."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 3_000).cast("string").alias("v")
+    )
+    a = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=64).collect()))
+    b = sorted(
+        map(tuple, kmv_distinct(df.repartition(17), ["g"], "v", k=64).collect())
+    )
+    c = sorted(
+        map(tuple, kmv_distinct(df.coalesce(1), ["g"], "v", k=64).collect())
+    )
+    assert a == b == c
