@@ -69,3 +69,24 @@ def test_no_unbounded_single_partition_window(spark):
     )
     # The per-row window must be hash-partitioned on the bucket id.
     assert "hashpartitioning(_b" in plan
+
+
+def test_global_row_number_partition_independent(spark):
+    """Ranks must be a pure function of the data, not of physical
+    partitioning (the boundary-sampling pitfall assign_surrogate_key's
+    docstring warns about, verified here for the ranking operator)."""
+    df = _frame(spark, [v % 37 for v in range(500)])
+    a = sorted(map(tuple, global_row_number(df, ["v", "id"], "rn", buckets=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            global_row_number(df.repartition(13), ["v", "id"], "rn", buckets=8).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            global_row_number(df.coalesce(1), ["v", "id"], "rn", buckets=8).collect(),
+        )
+    )
+    assert a == b == c
