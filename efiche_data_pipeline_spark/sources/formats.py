@@ -1,0 +1,81 @@
+"""Interchange formats beyond parquet — CSV / JSON-lines / ORC.
+
+Parquet is the canonical store (columnar, typed, splittable); these
+exist for the boundaries of the pipeline: CSV/JSONL are what external
+producers hand you and what downstream consumers ask for, ORC is the
+other columnar ecosystem. The rules that keep round-trips lossless:
+
+- **Schema is always explicit on text reads.** CSV/JSON carry no
+  types; inference samples the data (an extra pass, and
+  scale-dependent results). `read_table` therefore requires the
+  schema — reuse the parquet table's own schema for round-trips.
+- **Timestamps are pinned to an ISO format** on both write and read,
+  so CSV round-trips don't depend on session-local parsing defaults.
+- **Compression**: text formats default to gzip (splittability is
+  lost either way for single files; at scale prefer many files).
+
+Scale note: a directory of CSV/JSONL files reads fully parallel
+(one task per split); the cost vs parquet is decoding + no column
+pruning / predicate pushdown — which is why these are import/export
+formats here, not storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_TEXT_OPTIONS = {
+    "csv": {
+        "header": "true",
+        "timestampNTZFormat": _TS_FMT,
+        "timestampFormat": _TS_FMT,
+        "nullValue": "\\N",  # distinguish NULL from empty string
+        "escape": '"',
+    },
+    "json": {
+        "timestampNTZFormat": _TS_FMT,
+        "timestampFormat": _TS_FMT,
+    },
+}
+
+SUPPORTED = ("parquet", "orc", "csv", "json")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    if fmt not in SUPPORTED:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED}")
+    w = df.write.mode("overwrite").format(fmt)
+    for k, v in _TEXT_OPTIONS.get(fmt, {}).items():
+        w = w.option(k, v)
+    if fmt in ("csv", "json"):
+        w = w.option("compression", "gzip")
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Read ``path`` as ``fmt``. Text formats REQUIRE ``schema``
+    (explicit types, no inference pass); columnar formats carry their
+    own."""
+    if fmt not in SUPPORTED:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED}")
+    r = spark.read.format(fmt)
+    for k, v in _TEXT_OPTIONS.get(fmt, {}).items():
+        r = r.option(k, v)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} read requires an explicit schema (text formats carry "
+                "no types; inference would add a sampling pass)"
+            )
+        r = r.schema(schema)
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
