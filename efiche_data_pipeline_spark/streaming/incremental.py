@@ -67,14 +67,20 @@ def stream_events(spark: SparkSession, source_dir: str, max_files_per_trigger: i
     return ensure_event_time(raw, "ts")
 
 
-def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Tumbling 1-hour window per event_type — identical result columns
-    to the batch q34 (plans/extensions.py:q34_events_hourly_window), so
-    the batch≡stream equivalence is a frame comparison."""
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "2 hours", slide: str | None = None
+) -> DataFrame:
+    """Tumbling (default) or sliding (``slide`` < window) 1-hour window
+    per event_type — identical result columns to the batch twins q34 /
+    q82 (plans/extensions.py), so the batch≡stream equivalences are
+    frame comparisons. Sliding windows multiply state by
+    window/slide overlapping entries per key; the watermark bounds it
+    identically either way."""
     events = ensure_event_time(events, "ts")
+    win = F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money_sum("value").alias("total_value"),

@@ -72,6 +72,49 @@ def test_stream_restart_is_idempotent(spark, tmp_path, event_files):
     assert after == before
 
 
+def test_sliding_stream_equals_batch(spark, tmp_path, event_files):
+    """Sliding-window streamed aggregate ≡ the batch q82 sliding
+    aggregate over the same events (every event in exactly 2 windows)."""
+    from efiche_data_pipeline_spark.plans.extensions import (
+        q82_events_sliding_window,
+    )
+    from efiche_data_pipeline_spark.streaming.incremental import (
+        hourly_event_counts,
+        stream_events,
+    )
+
+    rows: list = []
+    agg = hourly_event_counts(
+        stream_events(spark, event_files), watermark="3650 days", slide="30 minutes"
+    )
+
+    def sink(batch, batch_id):
+        rows.extend(map(tuple, batch.collect()))
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    # complete mode: the LAST batch carries the full result
+    want = sorted(
+        map(
+            tuple,
+            q82_events_sliding_window(spark, SMOKE_SF_DIR)
+            .withColumnRenamed("win_start", "hour_start")
+            .collect(),
+        )
+    )
+    # keep only the final emission per (hour_start, event_type)
+    final: dict = {}
+    for r in rows:
+        final[(r[0], r[1])] = r
+    assert sorted(final.values()) == want
+
+
 def test_batch_high_watermark_mode(spark, tmp_path):
     store = Store(spark, str(tmp_path / "wh"))
     df1 = spark.createDataFrame(
