@@ -36,3 +36,30 @@ def seeded_hash64(col: str | Column, seed: int) -> Column:
     for Spark-internal use (MinHash perms, LSH bucketing, skew salt)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.lit(seed), c)
+
+
+# md5-chunk hash family: seed s maps to 32-bit chunk (s % 4) of
+# md5('<s//4>:' || value) — 16 INDEPENDENT hashes from 4 md5 calls.
+# (A cheaper single-md5 linear-perm family (a·h+b) mod p was measured
+# and rejected: min-wise correlation between perms of one base hash
+# produced 6/31 false-positive LSH pairs at est_sim≥0.5 where true
+# Jaccard < 0.3; distinct md5 chunks are cryptographically independent
+# and showed zero.) Values are 32-bit non-negative — BIGINT-safe in
+# both engines.
+
+
+def portable_chunk_hash(col: str | Column, seed: int) -> Column:
+    """Chunk ``seed % 4`` (8 hex chars) of ``md5('<seed//4>:' || value)``
+    as a non-negative int64 — the oracle-replayable MinHash permutation
+    family (DuckDB: :func:`oracle_chunk_hash`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(F.concat_ws(":", F.lit(str(seed // 4)), c))
+    return F.conv(F.substring(digest, 8 * (seed % 4) + 1, 8), 16, 10).cast("long")
+
+
+def oracle_chunk_hash(expr: str, seed: int) -> str:
+    """DuckDB-side rendering of :func:`portable_chunk_hash`."""
+    return (
+        f"CAST('0x' || substring(md5('{seed // 4}:' || {expr}), "
+        f"{8 * (seed % 4) + 1}, 8) AS BIGINT)"
+    )

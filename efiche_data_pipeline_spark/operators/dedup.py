@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash60, seeded_hash64
+from ..functions.hashing import portable_chunk_hash, portable_hash60, seeded_hash64
 from ..functions.text import tokens, word_shingles
 
 
@@ -179,7 +179,12 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``n_hashes`` seeded
     hash functions, the minimum hash over the doc's shingle set.
@@ -194,12 +199,20 @@ def minhash_signatures(
     signature frame each recompute it from raw text. Explode +
     hash-aggregate is fully codegen'd and its output Exchange is
     reused (ReusedExchange) by every consumer.
+
+    With ``portable=True`` the permutations come from the md5-chunk
+    family (functions/hashing.py: chunk ``s%4`` of ``md5('<s//4>:'||
+    shingle)`` — ``n_hashes/4`` md5 calls per shingle, not
+    ``n_hashes``) — bit-reproducible by the DuckDB oracle, which is
+    how the driver verifies the full LSH dataflow (same explode /
+    aggregate / banding shape either way).
     """
     sh = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
+    hash_fn = portable_chunk_hash if portable else seeded_hash64
     mins = [
-        F.min(seeded_hash64("shingle", seed)).alias(f"mh_{seed}")
+        F.min(hash_fn("shingle", seed)).alias(f"mh_{seed}")
         for seed in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -213,6 +226,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_est_sim: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard similarity.
 
@@ -221,6 +235,15 @@ def minhash_lsh_pairs(
     (probability ≈ 1-(1-s^r)^b for true similarity s). Estimated
     similarity = fraction of agreeing signature positions. Returns
     (doc_a, doc_b, est_sim) with doc_a < doc_b.
+
+    ``portable=True`` swaps both hash families for md5-derived ones
+    (signature perms via :func:`portable_seeded_hash60`; band buckets
+    via ``md5`` of the comma-joined band slice) so a DuckDB oracle can
+    replay the ENTIRE pipeline — banding, bucket grouping, the sorted
+    ``cap`` slice, in-row pair generation, and the est_sim join —
+    bit-for-bit (see oracle_minhash_lsh_sql in plans/extensions.py).
+    The default stays xxhash64 + 8-byte wire keys for the 100 TB path;
+    the dataflow (and therefore the scale posture) is identical.
     """
     if n_hashes % bands != 0:
         raise ValueError(
@@ -233,20 +256,23 @@ def minhash_lsh_pairs(
     # two signature-lookup joins within one action — ReuseExchange
     # shares the shuffle instead of pinning storage (round 1 leaked
     # this cache).
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, portable)
     cols = [f"mh_{i}" for i in range(n_hashes)]
 
     # One row per (doc, band): the band id + the band's bucket hash,
     # generated in-row from an array literal — no union of per-band
-    # frames, so the signature aggregate is scanned once.
+    # frames, so the signature aggregate is scanned once. Portable mode
+    # buckets on md5('<band>,<mh..>,..') (32-char key, DuckDB-equal:
+    # md5(band || ',' || mh_i || ...)); default is xxhash64 (8-byte).
+    def _bucket(band: int) -> Column:
+        band_cols = [F.col(c) for c in cols[band * rows : (band + 1) * rows]]
+        if portable:
+            return F.md5(F.concat_ws(",", F.lit(str(band)), *band_cols))
+        return F.xxhash64(F.lit(band), *band_cols)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(
-                    F.lit(band), *[F.col(c) for c in cols[band * rows : (band + 1) * rows]]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(band).alias("band"), _bucket(band).alias("bucket"))
             for band in range(bands)
         ]
     )

@@ -108,12 +108,17 @@ IMAGE_FEATURE_SCHEMA = (
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decoder: width/height derived
-    from an md5 of the payload (stable across processes — builtin
-    ``hash`` is salted per interpreter). Replace with a real codec when
-    available."""
+    from an md5 over the UPPERCASE hex encoding of the payload — the
+    repo's portable-fingerprint convention (:func:`content_fingerprint`),
+    so any engine reproduces it as
+    ``h = int(md5(hex(content))[:8], 16); (64 + h % 1024,
+    64 + (h // 1024) % 1024)`` (DuckDB blob SQL: the q41 oracle).
+    Stable across processes (builtin ``hash`` is salted per
+    interpreter). Replace with a real codec when available."""
     import hashlib
 
-    h = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+    digest = hashlib.md5(payload.hex().upper().encode("ascii")).digest()
+    h = int.from_bytes(digest[:4], "big")
     return 64 + h % 1024, 64 + (h // 1024) % 1024
 
 

@@ -57,7 +57,7 @@ from ..operators.similarity import (
     ivf_topk,
     train_centroids,
 )
-from ..functions.hashing import oracle_hash60, portable_hash60
+from ..functions.hashing import oracle_chunk_hash, oracle_hash60, portable_hash60
 from ..operators.packing import pack_sequences
 from ..operators.ranking import global_ntile, global_row_number
 from ..operators.sketch import kmv_distinct, oracle_kmv_sql
@@ -158,14 +158,93 @@ ORACLES["q27_simhash_docs"] = oracle_simhash_sql("documents", "doc_id", "text", 
 
 
 # ---------------------------------------------------------------------------
-# Q28 — MinHash + banded LSH near-dup candidates (Spark-only: seeded
-# xxhash64 signatures; checked by unit tests with planted duplicates).
+# Q28 — MinHash + banded LSH near-dup candidates. Registered in
+# ``portable=True`` mode (md5-derived permutations + band buckets) so
+# the DuckDB oracle below replays the ENTIRE pipeline bit-for-bit —
+# signatures, banding, bucket grouping, the sorted cap-1000 slice,
+# pair generation and the est_sim join. The xxhash64 fast path (same
+# dataflow, 8-byte wire keys) stays the library default and keeps its
+# planted-duplicate recall tests in tests/test_dedup.py.
 # ---------------------------------------------------------------------------
 def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5
+        docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5, portable=True
     )
+
+
+def oracle_minhash_lsh_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_est_sim: float = 0.5,
+    cap: int = 1000,
+) -> str:
+    """DuckDB replay of minhash_lsh_pairs(..., portable=True): same
+    3-word shingles (the q26 CTE shape), same md5-chunk permutation
+    mins, same md5 band buckets, same ORDER BY id cap inside a bucket,
+    same agree-count estimate."""
+    rows = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min({oracle_chunk_hash('shingle', s)}) AS mh_{s}"
+        for s in range(n_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT {id_col}, {b} AS band, "
+        f"md5('{b},' || "
+        + " || ',' || ".join(f"mh_{i}" for i in range(b * rows, (b + 1) * rows))
+        + f") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, regexp_split_to_array({text_col}, '\\s+') AS t FROM {table}
+),
+sh AS (
+    SELECT DISTINCT {id_col}, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+),
+sig AS (
+    SELECT {id_col},
+           {mins}
+    FROM sh GROUP BY {id_col}
+),
+memb AS (
+{band_selects}
+),
+capped AS (
+    SELECT * FROM (
+        SELECT {id_col}, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket ORDER BY {id_col})
+                   AS rn,
+               count(*) OVER (PARTITION BY band, bucket) AS cnt
+        FROM memb
+    ) WHERE rn <= {cap} AND cnt >= 2
+),
+cand AS (
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+    FROM capped a
+    JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+)
+SELECT doc_a, doc_b,
+       ROUND(({agree}) / {float(n_hashes)}, 4) AS est_sim
+FROM cand
+JOIN sig sa ON doc_a = sa.{id_col}
+JOIN sig sb ON doc_b = sb.{id_col}
+WHERE ROUND(({agree}) / {float(n_hashes)}, 4) >= {min_est_sim}
+"""
+
+
+ORACLES["q28_minhash_lsh_pairs"] = oracle_minhash_lsh_sql(
+    "documents", "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5
+)
 
 
 # ---------------------------------------------------------------------------
@@ -199,19 +278,71 @@ QUALIFY rank <= 5
 
 
 # ---------------------------------------------------------------------------
-# Q30 — IVF-bucketed approximate top-k (Spark-only; recall vs brute
-# force asserted in tests/test_similarity.py). Centroids are k-means
-# trained on a deterministic sample; multi-probe recovers queries near
-# Voronoi boundaries. nprobe=8 of k=16 cells because the fixture
-# embeddings are isotropic random (no cluster structure — the
-# worst case for IVF); clustered corpora reach the same recall with
+# Q30 — IVF-bucketed approximate top-k. Registered with PINNED
+# centroids (the 16 corpus vectors vec_id 0..15) so the DuckDB oracle
+# below replays the full IVF machinery exactly — cell assignment
+# (argmax cosine, ties to the lower cell), nprobe=8 multi-probe
+# routing, the cell-join candidate generation, and the rerank — with
+# no iterative-training state the oracle can't reach. The k-means
+# training path (train_centroids) runs the SAME assign_cells/ivf_topk
+# code and keeps its recall-vs-brute-force checks in
+# tests/test_similarity.py. nprobe=8 of k=16 cells because the fixture
+# embeddings are isotropic random (no cluster structure — the worst
+# case for IVF); clustered corpora reach the same recall with
 # nprobe≈2 (see tests/test_similarity.py for both measurements).
 # ---------------------------------------------------------------------------
 def q30_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    centroids = train_centroids(emb, k=16, iters=3)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
     return ivf_topk(emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=8)
+
+
+ORACLES["q30_knn_ivf"] = """
+WITH cent AS (
+    SELECT vec_id + 1 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assign AS (  -- each corpus vector's single nearest cell (nprobe=1)
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus c, cent ct
+    ) WHERE rn = 1
+),
+qprobe AS (  -- each query's nprobe=8 nearest cells
+    SELECT vec_id AS query_id, cell_id FROM (
+        SELECT q.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus q, cent ct WHERE q.vec_id < 10
+    ) WHERE rn <= 8
+),
+cand AS (
+    SELECT qp.query_id, a.vec_id AS neighbor_id
+    FROM qprobe qp JOIN assign a USING (cell_id)
+    WHERE a.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND(list_cosine_similarity(q.v, c.v), 4) AS sim
+    FROM cand
+    JOIN corpus q ON q.vec_id = cand.query_id
+    JOIN corpus c ON c.vec_id = cand.neighbor_id
+)
+QUALIFY rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -455,13 +586,36 @@ GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # Q41 — multimodal: Arrow-batched image feature extraction via
-# mapInPandas (Spark-only: the decode stage runs in Python workers —
-# deterministic fake decoder in this container; plumbing verified by
-# tests/test_multimodal.py).
+# mapInPandas. The decode stage runs in Python workers; the container
+# ships no codec, so the deterministic fake decoder is in effect —
+# and because it hashes the UPPERCASE hex encoding (the repo's
+# portable-fingerprint convention), its width/height arithmetic is
+# expressible in DuckDB blob SQL, making the whole mapInPandas plumbing
+# driver-checkable (the q39/q40/q61 pattern). With a real codec (PIL)
+# installed the decoder column flips to 'pil' and this oracle no
+# longer applies — tests/test_multimodal.py covers that gate.
 # ---------------------------------------------------------------------------
 def q41_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_features(synthesize_content(docs, "doc_id", "text"))
+
+
+ORACLES["q41_image_features"] = f"""
+WITH c AS ({_CONTENT_SQL}),
+h AS (
+    SELECT doc_id, content,
+           CAST('0x' || substring(md5(hex(content)), 1, 8) AS BIGINT) AS hv
+    FROM c
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+           AS media_type,
+       CAST(octet_length(content) AS INTEGER) AS n_bytes,
+       CAST(64 + hv % 1024 AS INTEGER) AS width,
+       CAST(64 + (hv // 1024) % 1024 AS INTEGER) AS height,
+       'fake' AS decoder
+FROM h
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1260,9 +1414,14 @@ WITH t AS (
     FROM documents
 ),
 p AS (
+    -- DuckDB's windowed SUM(BIGINT) yields HUGEINT (float64 via pandas);
+    -- CAST back to BIGINT so the dtype matches Spark's long column —
+    -- the driver's value hash is type-sensitive (r03 q64 RED was
+    -- exactly this: 123.0 vs 123 with identical values).
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
     FROM t
 )
 SELECT doc_id, n_tokens, start_offset,

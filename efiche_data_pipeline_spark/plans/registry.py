@@ -44,30 +44,37 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# NEXT ROUND: once CORRECTNESS_r03 lands green rows for the current
-# priority block, move q68-q78 into _DRIVER_PRIORITY and push an
-# equal number of r03-green queries into _ROTATED_OUT.
+# ROUND 4 rotation (executes VERDICT r03 Next #2): the r03 priority
+# block (q36-q38, q54-q67) landed green driver rows, so it rotates to
+# the tail; the never-driver-verified q68-q82 move to the front, along
+# with the three queries that just gained driver-checkable oracles
+# (q28/q30/q41 — `no_oracle` for three rounds) and q64, whose oracle
+# type drift (HUGEINT→float64 vs int64) was fixed this round and must
+# re-verify. New round-4 queries are appended to the priority block as
+# they land (no driver row exists yet by definition).
 _DRIVER_PRIORITY = [
-    "q36_wh_monthly_encounters",
-    "q37_wh_procedure_volume",
-    "q38_wh_diagnosis_by_age_group",
-    "q54_top_bigrams",
-    "q55_salted_supplier_revenue",
-    "q56_train_val_test_split",
-    "q57_neardup_components",
-    "q58_stratified_sample",
-    "q59_moving_avg_revenue",
-    "q60_customer_revenue_deciles",
-    "q61_media_frames",
-    "q62_scd2_dim_customer",
-    "q63_cdc_latest_state",
     "q64_sequence_packing",
-    "q65_pii_redaction",
-    # new this round — no driver row exists yet by definition:
-    "q66_benchmark_decontamination",
-    "q67_repetition_metrics",
+    "q28_minhash_lsh_pairs",
+    "q30_knn_ivf",
+    "q41_image_features",
+    "q68_source_quality_rollup",
+    "q69_kmv_distinct_customers",
+    "q70_label_embedding_centroids",
+    "q71_split_leakage",
+    "q72_ngram_novelty",
+    "q73_weekly_retention",
+    "q74_funnel_conversion",
+    "q75_gap_filled_daily_revenue",
+    "q76_revenue_pivot",
+    "q77_revenue_unpivot",
+    "q78_setops_urgent_low",
+    "q79_revenue_percentile_positions",
+    "q80_price_histogram",
+    "q81_fuzzy_part_names",
+    "q82_events_sliding_window",
 ]
 _ROTATED_OUT = [
+    # r01/r02-green block (rotated out since r03):
     "q05_pct_of_total_by_priority",
     "q06_conditional_agg_by_nation",
     "q08_loyal_customers_having",
@@ -85,6 +92,24 @@ _ROTATED_OUT = [
     "q25_bow_fingerprint_dedup",
     "q52_grouping_sets",
     "q53_doc_chunks",
+    # r03-green block (driver rows in CORRECTNESS_r03.json; still
+    # differentially oracle-checked every pytest run):
+    "q36_wh_monthly_encounters",
+    "q37_wh_procedure_volume",
+    "q38_wh_diagnosis_by_age_group",
+    "q54_top_bigrams",
+    "q55_salted_supplier_revenue",
+    "q56_train_val_test_split",
+    "q57_neardup_components",
+    "q58_stratified_sample",
+    "q59_moving_avg_revenue",
+    "q60_customer_revenue_deciles",
+    "q61_media_frames",
+    "q62_scd2_dim_customer",
+    "q63_cdc_latest_state",
+    "q65_pii_redaction",
+    "q66_benchmark_decontamination",
+    "q67_repetition_metrics",
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT

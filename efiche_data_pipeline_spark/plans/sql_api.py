@@ -76,7 +76,11 @@ SQL_QUERIES: dict[str, str] = {
     "q04_qoq_growth": """
         SELECT o_year, o_quarter, n_orders,
                LAG(n_orders) OVER w AS prev_orders,
-               ROUND((n_orders - LAG(n_orders) OVER w) * 100.0
+               -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL(3,1),
+               -- which would make growth_pct DECIMAL (renders '-1.10')
+               -- where the DataFrame twin's F.lit(100.0) is DOUBLE
+               -- (renders '-1.1') — a driver-hash mismatch.
+               ROUND((n_orders - LAG(n_orders) OVER w) * 100.0D
                      / NULLIF(LAG(n_orders) OVER w, 0), 2) AS growth_pct
         FROM (
             SELECT YEAR(o_orderdate) AS o_year, QUARTER(o_orderdate) AS o_quarter,

@@ -67,3 +67,20 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
                 f"{name}: column {col!r} differs at row {bad}: "
                 f"spark={av[bad]!r} oracle={bv[bad]!r}"
             )
+    # Final gate: the EXACT comparison the driver performs — a
+    # type-sensitive hash of the CSV rendering (int64 123 vs DuckDB
+    # HUGEINT→float64 123.0 must fail here even though the per-column
+    # float-tolerant check above passes; the r03 q64 incident). A
+    # mismatch at this point with all values equal means dtype drift:
+    # CAST the oracle column to the Spark output type.
+    acsv, bcsv = a.to_csv(index=False), b.to_csv(index=False)
+    if acsv != bcsv:
+        for la, lb in zip(acsv.splitlines(), bcsv.splitlines()):
+            if la != lb:
+                break
+        raise AssertionError(
+            f"{name}: values equal but driver-hash rendering differs "
+            f"(dtype drift — spark dtypes {dict(a.dtypes.astype(str))} vs "
+            f"oracle {dict(b.dtypes.astype(str))}); first diff line: "
+            f"spark={la!r} oracle={lb!r}"
+        )

@@ -23,7 +23,10 @@ def value_hash(pdf: pd.DataFrame) -> str:
     pdf = pdf[sorted(pdf.columns)]
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
-    body = pdf.to_csv(index=False, float_format="%.6g")
+    # No float_format: the real driver's hash is type-sensitive
+    # (int64 123 vs float64 123.0 must NOT collide — the r03 q64 RED
+    # was masked locally by a "%.6g" here).
+    body = pdf.to_csv(index=False)
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 
@@ -59,11 +62,16 @@ def main() -> None:
             f"CREATE VIEW {name} AS SELECT * FROM '{args.sf_dir}/{name}.parquet'"
         )
 
-    names = list(queries)[: args.limit]
     if args.only:
+        # --only searches ALL registered names (not the --limit prefix):
+        # targeting a query past position 50 must run it, not silently
+        # match nothing and exit 0.
         only = set(args.only.split(","))
-        names = [n for n in names if any(n.startswith(o) for o in only)]
+        names = [n for n in queries if any(n.startswith(o) for o in only)]
+        if not names:
+            raise SystemExit(f"--only matched no registered query: {args.only}")
     else:
+        names = list(queries)[: args.limit]
         # The driver's smoke check: entry(spark) must run on the
         # sf0.001 fixtures and yield rows under a vanilla session.
         smoke = entry.entry(spark).collect()
