@@ -281,9 +281,18 @@ class Store:
     def write_version(self, df: DataFrame, table: str) -> int:
         """Commit ``df`` as the next snapshot of ``table`` and return
         its version number. The previous snapshot stays readable via
-        ``read_version`` until vacuumed."""
-        cur = self.current_version(table)
-        nxt = (cur or 0) + 1
+        ``read_version`` until vacuumed.
+
+        The next version is max(committed) + 1, NOT pointer + 1: after
+        ``rollback('t', 1)`` with committed _v2/_v3 still on disk,
+        pointer+1 would overwrite committed _v2 in place — destroying
+        history rollback promises stays readable — and leave a stale
+        _v3 ranked newest by ``versions()``. Allocating past every
+        committed snapshot means a post-rollback write becomes _v4 and
+        the rolled-back-over versions remain intact (orphaned forward
+        history; vacuum reclaims it)."""
+        committed = self.versions(table)
+        nxt = max(committed, default=0) + 1
         df.write.mode("overwrite").parquet(self._vdir(table, nxt))
         tmp = self._current_file(table) + ".tmp"
         with open(tmp, "w") as f:

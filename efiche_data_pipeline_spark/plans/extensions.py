@@ -2315,29 +2315,52 @@ GROUP BY bucket
 
 # ---------------------------------------------------------------------------
 # Q81 — fuzzy string matching (entity-resolution shape): near-identical
-# part names within a brand by Levenshtein distance ≤ 1. The join is
-# BLOCKED on p_brand — the standard fuzzy-join lever: candidates form
-# only inside a block, so cost is Σ|block|² instead of n², and the
-# expensive edit-distance runs post-equi-join as a residual filter
-# (same plan shape as the theta join J6). Output aggregates per brand
-# (bounded rows). Spark's `levenshtein` and DuckDB's agree on the
-# standard unit-cost edit distance.
+# part names within a brand by Levenshtein distance ≤ 1.
+#
+# Blocking is (brand, content segment), LOSSLESS for τ=1 by the
+# segment-blocking theorem (PassJoin-style): one edit occupies one
+# position, so for names of length ≥ 16 it cannot touch both the
+# first 8 and the last 8 characters — every qualifying pair agrees
+# exactly on the 'P:'-prefix key or the 'S:'-suffix key (names < 16
+# chars fall back to one bounded per-brand block; fixture p_names are
+# ~20-50 chars). Unlike blocking on p_brand alone (fixed ~25 blocks →
+# quadratic per-block pair growth; the r03 scale-killer), the segment
+# keys are content-derived: block cardinality grows with the corpus,
+# so per-block size — and the Σ|block|² candidate cost — stays
+# bounded at 100×. Candidates dedupe on the pair key (a pair whose
+# edit sits in the middle meets in both P and S blocks), then the
+# expensive edit distance runs once per candidate as the residual
+# filter. Output semantics are UNCHANGED (within-brand lev ≤ 1), so
+# the oracle keeps the plain brand equi-join — fine at sf0.01 —
+# and must hash-match the blocked plan exactly.
 # ---------------------------------------------------------------------------
 def q81_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(
-        F.col("p_brand"),
+    n = F.length("p_name")
+    seg_keys = F.when(
+        n >= 16,
+        F.array(
+            F.concat(F.lit("P:"), F.substring("p_name", 1, 8)),
+            F.concat(F.lit("S:"), F.substring("p_name", -8, 8)),
+        ),
+    ).otherwise(F.array(F.lit("short")))
+    e = p.select("p_brand", "p_partkey", "p_name", F.explode(seg_keys).alias("blk"))
+    a = e.select(
+        "p_brand",
+        "blk",
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
     )
-    b = p.select(
-        F.col("p_brand"),
+    b = e.select(
+        "p_brand",
+        "blk",
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
     pairs = (
-        a.join(b, "p_brand")
+        a.join(b, ["p_brand", "blk"])
         .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
         .filter(F.levenshtein("name_a", "name_b") <= 1)
     )
     return pairs.groupBy("p_brand").agg(
@@ -2392,8 +2415,13 @@ def q82_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q82_events_sliding_window"] = f"""
 WITH assigned AS (
+    -- epoch_ms(...)::naive TIMESTAMP, NOT to_timestamp(bigint): the
+    -- latter yields TIMESTAMPTZ, which strftime renders in DuckDB's
+    -- session TimeZone (host-dependent) while Spark formats NTZ under
+    -- a UTC-pinned session — win_start would drift on non-UTC hosts.
     SELECT event_type, value,
-           to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS ws
+           epoch_ms((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - off)
+                    * 1000) AS ws
     FROM events, UNNEST([0, 1800]) AS u(off)
     WHERE epoch(ts) >= floor(epoch(ts) / 1800) * 1800 - off
 )

@@ -47,9 +47,24 @@ def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
     but ``withWatermark`` requires TIMESTAMP (LTZ):
     EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on Spark 4.1. Interpret the
     naive value as UTC — an exact micros-preserving relabel, not a
-    clock shift — and leave LTZ/other types untouched."""
+    clock shift — and leave LTZ/other types untouched.
+
+    The relabel is ``timestamp_micros(timestampdiff(MICROSECOND,
+    ntz_epoch, col))``: timestampdiff between two NTZ values is pure
+    calendar arithmetic and timestamp_micros builds the LTZ instant
+    directly, so the result is identical under ANY session timezone.
+    (``to_utc_timestamp(ntz, 'UTC')`` is NOT that: it first implicitly
+    casts NTZ→LTZ through spark.sql.session.timeZone, shifting event
+    times by the session offset on non-UTC sessions — e.g. +4 h under
+    America/New_York — which moves windows and watermark cutoffs.)"""
     if isinstance(df.schema[col].dataType, T.TimestampNTZType):
-        df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+        df = df.withColumn(
+            col,
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`))"
+            ),
+        )
     return df
 
 

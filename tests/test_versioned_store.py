@@ -43,6 +43,24 @@ def test_rollback_and_forward(spark, store):
         store.rollback("t", 99)
 
 
+def test_write_after_rollback_never_reuses_committed_version(spark, store):
+    """A write after rollback must allocate past every committed
+    snapshot (max+1, not pointer+1) — pointer+1 would overwrite
+    committed _v2 in place, destroying the history that rollback
+    promises stays readable."""
+    store.write_version(_df(spark, 3, "a"), "t")
+    store.write_version(_df(spark, 5, "b"), "t")
+    store.write_version(_df(spark, 7, "c"), "t")
+    store.rollback("t", 1)
+    v = store.write_version(_df(spark, 9, "d"), "t")
+    assert v == 4  # not 2
+    assert store.current_version("t") == 4
+    # the rolled-back-over snapshots are intact, not clobbered:
+    assert store.read_version("t", 2).count() == 5
+    assert store.read_version("t", 3).count() == 7
+    assert store.versions("t") == [1, 2, 3, 4]
+
+
 def test_vacuum_keeps_recent_and_current(spark, store):
     for i, n in enumerate([2, 3, 4, 5], start=1):
         assert store.write_version(_df(spark, n, f"v{i}"), "t") == i
