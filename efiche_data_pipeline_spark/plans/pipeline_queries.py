@@ -31,18 +31,11 @@ _BUILT: dict[str, Store] = {}
 def warehouse_store(spark: SparkSession, sf_dir: str) -> Store:
     store = _BUILT.get(sf_dir)
     if store is None:
-        from concurrent.futures import ThreadPoolExecutor
-
         store = Store(spark, tempfile.mkdtemp(prefix="efiche_wh_"))
-        tables = map_operational(spark, sf_dir)
-        # Independent writes to distinct paths — submit concurrently.
-        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
-            futures = [
-                pool.submit(store.overwrite, df, name) for name, df in tables.items()
-            ]
-            for f in futures:
-                f.result()
-        build_warehouse(store, stats=False)
+        # The operational writes join build_warehouse's dependency
+        # graph: each dim build starts the moment its source table
+        # lands instead of after ALL operational writes finish.
+        build_warehouse(store, stats=False, operational=map_operational(spark, sf_dir))
         _BUILT[sf_dir] = store
     return store
 
