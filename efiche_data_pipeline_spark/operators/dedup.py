@@ -210,11 +210,35 @@ def minhash_signatures(
     sh = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
-    hash_fn = portable_chunk_hash if portable else seeded_hash64
-    mins = [
-        F.min(hash_fn("shingle", seed)).alias(f"mh_{seed}")
-        for seed in range(n_hashes)
-    ]
+    if portable:
+        # Materialize each md5 digest ONCE in a projection (4 digests
+        # for 16 hashes) rather than leaving 16 copies of the md5
+        # expression inside the aggregate and hoping subexpression
+        # elimination dedupes them; the per-seed substring/conv picks
+        # are cheap. Semantics identical to portable_chunk_hash.
+        n_digests = (n_hashes + 3) // 4
+        sh = sh.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle"))).alias(
+                    f"_d{k}"
+                )
+                for k in range(n_digests)
+            ],
+        )
+        mins = [
+            F.min(
+                F.conv(
+                    F.substring(f"_d{seed // 4}", 8 * (seed % 4) + 1, 8), 16, 10
+                ).cast("long")
+            ).alias(f"mh_{seed}")
+            for seed in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(seeded_hash64("shingle", seed)).alias(f"mh_{seed}")
+            for seed in range(n_hashes)
+        ]
     return sh.groupBy(id_col).agg(*mins)
 
 

@@ -138,6 +138,32 @@ def test_minhash_lsh_rejects_indivisible_bands(planted):
         minhash_lsh_pairs(planted, "doc_id", "text", n_hashes=16, bands=5)
 
 
+def test_portable_signatures_match_chunk_hash_reference(planted):
+    """The hoisted-digest projection inside minhash_signatures(portable
+    =True) must stay value-identical to the canonical per-seed
+    portable_chunk_hash (functions/hashing.py) — the form the DuckDB
+    oracle renders. Guards the inlined optimization."""
+    from pyspark.sql import functions as F
+
+    from efiche_data_pipeline_spark.functions.hashing import portable_chunk_hash
+    from efiche_data_pipeline_spark.functions.text import word_shingles
+    from efiche_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    fast = minhash_signatures(planted, "doc_id", "text", 8, 3, portable=True)
+    sh = planted.select(
+        F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    ref = sh.groupBy("doc_id").agg(
+        *[
+            F.min(portable_chunk_hash("shingle", s)).alias(f"mh_{s}")
+            for s in range(8)
+        ]
+    )
+    a = {r.doc_id: tuple(r)[1:] for r in fast.collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in ref.collect()}
+    assert a == b
+
+
 def test_simhash_identical_docs_equal_fingerprints(planted):
     out = {r.doc_id: r.simhash for r in simhash(planted, "doc_id", "text").collect()}
     assert out[0] == out[1000]  # exact copy
