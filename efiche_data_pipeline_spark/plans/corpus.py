@@ -1,0 +1,609 @@
+"""Round-4 corpus-analytics operators: document fingerprinting
+(winnowing), weighted sampling, graph ranking (fixed-point PageRank),
+data-layout clustering (Z-order), schema profiling, entropy-based
+quality scoring, curriculum source mixing, exact rank-based outlier
+detection, and TF-IDF term scoring.
+
+These extend the training-data-pipeline surface (plans/extensions.py)
+with the remaining families a 100 TB corpus engine needs:
+
+- **q83 winnowing** — the MOSS fingerprint scheme (Schleimer, Wilkerson,
+  Aiken, SIGMOD'03): hash every word 4-gram, slide a window of 4 hashes,
+  keep each window's minimum. Guarantees any sufficiently long match
+  between two documents shares a fingerprint, at ~2/(w+1) sampling
+  density.  Map-side shingling + one exchange on doc_id.
+- **q84 weighted sampling** — Poisson/Bernoulli sampling with
+  per-row inclusion probability proportional to an integer weight,
+  decided by pure integer comparison on a portable md5-derived hash:
+  zero shuffles, exactly reproducible in any engine (the distributed
+  analogue of `ORDER BY random() LIMIT n` weighted draws, without the
+  global sort).
+- **q85 PageRank** — 3 fixed damped iterations over the part
+  co-purchase graph in *fixed-point integer arithmetic* (rank mass
+  scaled by 1e6, integer division for contributions), so the result is
+  bit-identical regardless of aggregation order — the trick that makes
+  an iterative float algorithm oracle-checkable and
+  parallelism-invariant.  Per iteration: one shuffle keyed on dst.
+- **q86 Z-order** — Morton bit-interleave of (customer, day) buckets,
+  the clustering key Delta/Iceberg use for multi-dimensional data
+  skipping; pure JVM bit math, plus the per-bin min/max stats a file
+  pruner would consume.
+- **q87 profiler** — per-column null/distinct counts in ONE pass
+  (Spark plans the multi-distinct aggregate via Expand), the
+  schema-drift guard that runs before every large ingest.
+- **q88 char entropy** — character-distribution entropy per document
+  (gibberish/boilerplate detector): 27 fixed `length - replace` counters
+  folded into -Σ p·log2 p, all map-side.
+- **q89 curriculum mixture** — deterministic per-source rate sampling
+  (hash-threshold in integer ppm), the "mix sources at target ratios"
+  step of training-data assembly; map-side only.
+- **q90 outliers** — exact rank-based p99 per segment (row_number
+  against ceil(0.99·n), no float interpolation) and the count above it;
+  one window exchange, decimal-exact revenue.
+- **q91 TF-IDF** — per-term document scoring with in-row tf counts,
+  a broadcast df join, and a bounded top-10 window per term.
+
+Reference parity note: the reference engine (psycopg2 ETL + Postgres
+warehouse, src/etl_pipeline.py / src/populate_warehouse.py) has none of
+these — they are the beyond-reference LLM-pipeline surface the build
+brief requires, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import oracle_hash60, portable_hash60
+from ..functions.numeric import money_sum, oracle_money_sum
+from ..functions.text import tokens, word_ngrams
+from ..sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Q83 — winnowing document fingerprints (MOSS).  Word 4-grams hashed
+# with the md5-portable 60-bit hash; a sliding window of 4 consecutive
+# hashes keeps its minimum; the distinct kept hashes are the document's
+# fingerprints.  Documents shorter than one full window keep the
+# minimum of what they have (the pos <= max(n-w, 0) filter admits
+# exactly window start 0 in that case).
+#
+# Scale shape: shingling and hashing are map-side; the only exchange is
+# the hash partition on doc_id shared by both window functions and the
+# final per-doc aggregate (one shuffle total).  Fingerprint density is
+# ~2/(w+1) of grams, so the shuffled width is a fraction of the corpus.
+# ---------------------------------------------------------------------------
+_WINNOW_N = 4  # words per shingle
+_WINNOW_W = 4  # hashes per winnowing window
+
+
+def q83_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.posexplode(word_ngrams("text", _WINNOW_N)).alias("pos", "gram")
+    )
+    hashed = grams.select("doc_id", "pos", portable_hash60("gram").alias("h"))
+    by_doc = W.partitionBy("doc_id")
+    win = by_doc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    kept = (
+        hashed.withColumn("n", F.count(F.lit(1)).over(by_doc))
+        .withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - _WINNOW_W, F.lit(0)))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.greatest(F.max("n") - F.lit(_WINNOW_W - 1), F.lit(1))
+        .cast("long")
+        .alias("n_windows"),
+        F.countDistinct("wmin").alias("n_fingerprints"),
+    )
+
+
+ORACLES["q83_winnowing_fingerprints"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+    FROM toks, UNNEST(range(1, greatest(length(t) - {_WINNOW_N - 2}, 1))) AS u(i)
+),
+h AS (
+    SELECT doc_id, pos, {oracle_hash60('gram')} AS h FROM g
+),
+wm AS (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS wmin
+    FROM h
+)
+SELECT doc_id,
+       CAST(greatest(MAX(n) - {_WINNOW_W - 1}, 1) AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints
+FROM wm
+WHERE pos <= greatest(n - {_WINNOW_W}, 0)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q84 — weighted Bernoulli (Poisson) sampling: each order is kept with
+# probability proportional to its price, decided by an INTEGER
+# comparison `hash60(key) < weight_cents * SCALE` on the portable
+# 60-bit hash (uniform on [0, 2^60)).  No shuffle, no global sort, no
+# floats — the plan is a pure map-side filter, and the expected sample
+# rate is E[weight]·SCALE / 2^60 (~1.7% on this fixture).  The exact
+# same integer arithmetic replays in any md5-capable engine.
+# ---------------------------------------------------------------------------
+_WSAMPLE_SCALE = 800_000_000
+
+
+def q84_weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keep = portable_hash60(F.col("o_orderkey").cast("string")) < cents * F.lit(
+        _WSAMPLE_SCALE
+    )
+    return o.select(
+        "o_orderkey", cents.alias("weight_cents"), "o_orderpriority"
+    ).filter(keep)
+
+
+ORACLES["q84_weighted_order_sample"] = f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents,
+       o_orderpriority
+FROM orders
+WHERE {oracle_hash60("CAST(o_orderkey AS VARCHAR)")}
+      < CAST(round(o_totalprice * 100) AS BIGINT) * {_WSAMPLE_SCALE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q85 — PageRank over the part co-purchase graph, 3 damped iterations
+# (d=0.85), in FIXED-POINT INTEGER arithmetic: ranks carry 1e6 scale,
+# contributions are `pr div deg` (integer division), and the damping
+# step is `150000 + (85 * Σcontrib) div 100`.  Integer sums are
+# associative, so the result is bit-identical under any partitioning /
+# aggregation order — which is what lets an iterative graph algorithm
+# carry an exact SQL oracle (3 unrolled CTE levels) instead of a
+# tolerance check.
+#
+# Scale shape: the edge list is built once with the q09 in-row lever
+# (collect per order — bounded by lines-per-order — then in-row pair
+# expansion; the quadratic blowup of a lineitem⋈lineitem self-join
+# never reaches an exchange) and persisted partitioned by src; each
+# iteration then costs one small shuffle of the rank table (joined on
+# the co-located src) plus one aggregate exchange on dst — the classic
+# distributed PageRank schedule.  Every node has degree ≥ 1 (edges are
+# symmetric), so no dangling-mass term is needed.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000
+
+
+def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _pair_combinations
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    half = per_order.select(
+        F.explode(_pair_combinations(F.col("parts"))).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = edges.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(150_000) + F.expr("(85 * inc) div 100"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("p_partkey"), F.col("pr").alias("pagerank")
+    )
+
+
+def _pr_iteration_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT e.dst AS node,
+           CAST(150000 + (85 * SUM(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+    FROM e0 e
+    JOIN deg d ON e.src = d.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY 1
+)"""
+
+
+ORACLES["q85_part_pagerank"] = f"""
+WITH e0 AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
+{_pr_iteration_sql('r0', 'r1')},
+{_pr_iteration_sql('r1', 'r2')},
+{_pr_iteration_sql('r2', 'r3')}
+SELECT node AS p_partkey, pr AS pagerank FROM r3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q86 — Z-order (Morton) clustering key over (customer, order-day):
+# 8 low bits of each dimension interleaved into a 16-bit z-value, plus
+# the per-bin row counts and z-ranges a file-level pruner consumes.
+# This is the layout-optimization primitive behind Delta/Iceberg
+# `OPTIMIZE ZORDER BY` — repartitionByRange(z) before a write gives
+# files whose (custkey, day) min/max envelopes are tight in BOTH
+# dimensions, so either predicate prunes.  Pure JVM-side bit
+# arithmetic; one aggregate exchange on the 256 bins.
+# ---------------------------------------------------------------------------
+def _morton16(x, y):  # Column, Column -> Column (bit-interleave 8+8)
+    z = F.lit(0).cast("long")
+    for b in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return z
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+def q86_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    y = F.pmod(days, F.lit(256)).cast("long")
+    z = _morton16(x, y)
+    return (
+        o.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 8).alias("zbin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+        )
+    )
+
+
+ORACLES["q86_zorder_orders"] = f"""
+WITH xy AS (
+    SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+           CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                % 256 AS BIGINT) AS y
+    FROM orders
+),
+zv AS (SELECT {_morton16_sql('x', 'y')} AS z FROM xy)
+SELECT CAST(z >> 8 AS BIGINT) AS zbin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(z) AS BIGINT) AS z_lo,
+       CAST(MAX(z) AS BIGINT) AS z_hi
+FROM zv
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q87 — one-pass column profiler over `orders`: per-column null count
+# and exact distinct count, unpivoted to one row per column.  Spark
+# plans the 6 exact COUNT(DISTINCT)s as a single scan with a 6-way
+# Expand (documented in docs/PLAN_AUDIT.md — at extreme scale the
+# approx_count_distinct variant drops the Expand entirely; the exact
+# form is what the oracle can replay).  The profile is the schema-drift
+# gate a production ingest runs before accepting a new batch.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q87_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    row = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack})"
+            " as (column_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+ORACLES["q87_orders_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+# ---------------------------------------------------------------------------
+# Q88 — character-distribution entropy per document (the cheap
+# gibberish / boilerplate / encoding-garbage detector): counts of
+# 'a'..'z' and space over the lowercased text via 27 fixed
+# `length(t) - length(replace(t, ch, ''))` counters, folded into
+# -Σ p·log2(p) and rounded to 6 places.  Entirely map-side (no
+# explode-per-character — the counters are O(27·len) in-row string
+# ops inside whole-stage codegen); the sum is a FIXED left-to-right
+# expression chain, identical in both engines, so the only cross-engine
+# wobble is log2's final ulp, absorbed by the rounding.
+# ---------------------------------------------------------------------------
+_ENT_CHARS = "abcdefghijklmnopqrstuvwxyz "
+
+
+def q88_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cnt_cols = [
+        (F.length(low) - F.length(F.replace(low, F.lit(ch), F.lit(""))))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, ch in enumerate(_ENT_CHARS)
+    ]
+    step = docs.select("doc_id", *cnt_cols).withColumn(
+        "n", sum(F.col(f"c{i}") for i in range(len(_ENT_CHARS))).cast("long")
+    )
+    n = F.col("n")
+    terms = []
+    for i in range(len(_ENT_CHARS)):
+        p = F.col(f"c{i}") / n
+        terms.append(
+            F.when(F.col(f"c{i}") > 0, -(p * F.log2(p))).otherwise(F.lit(0.0))
+        )
+    ent = terms[0]
+    for t in terms[1:]:
+        ent = ent + t
+    return step.select(
+        "doc_id",
+        n.alias("n_letters"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias("char_entropy"),
+    )
+
+
+def _ent_oracle() -> str:
+    cnts = ",\n           ".join(
+        f"CAST(length(t) - length(replace(t, '{ch}', '')) AS BIGINT) AS c{i}"
+        for i, ch in enumerate(_ENT_CHARS)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(_ENT_CHARS)))
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN -((c{i} / n) * log2(c{i} / n)) ELSE 0.0 END)"
+        for i in range(len(_ENT_CHARS))
+    )
+    return f"""
+WITH cnts AS (
+    SELECT doc_id,
+           {cnts}
+    FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+wn AS (SELECT *, CAST({total} AS BIGINT) AS n FROM cnts)
+SELECT doc_id,
+       n AS n_letters,
+       CASE WHEN n > 0 THEN ROUND({terms}, 6) ELSE 0.0 END AS char_entropy
+FROM wn
+"""
+
+
+ORACLES["q88_char_entropy"] = _ent_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q89 — curriculum source mixing: sample each source at a
+# deterministic target rate (in integer parts-per-million, derived
+# from the source id so the fixture needs no side table) by comparing
+# the portable doc-id hash against the threshold.  This is the
+# "assemble the training mix at fixed source ratios" step; the plan is
+# a map-side filter folded into one aggregate exchange on ~20 groups,
+# and the identical integer arithmetic replays in the oracle.
+# ---------------------------------------------------------------------------
+def q89_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate_ppm = ((idx % 4 + 1) * F.lit(200_000)).cast("long")
+    sampled = F.pmod(
+        portable_hash60(F.col("doc_id").cast("string")), F.lit(1_000_000)
+    ) < rate_ppm
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sampled.cast("long")).alias("n_sampled"),
+        F.max(rate_ppm).alias("rate_ppm"),
+    )
+
+
+ORACLES["q89_curriculum_mixture"] = f"""
+WITH r AS (
+    SELECT source, doc_id,
+           CAST((CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4 + 1)
+                * 200000 AS BIGINT) AS rate_ppm
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {oracle_hash60("CAST(doc_id AS VARCHAR)")} % 1000000
+                          < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(MAX(rate_ppm) AS BIGINT) AS rate_ppm
+FROM r
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q90 — exact rank-based outlier detection per customer segment: the
+# p99 price is the value at row_number == ceil(0.99·n) (NO float
+# interpolation — the returned p99 is an exact data value, so the
+# "price > p99" count is deterministic in any engine; contrast
+# quantile_cont, whose interpolation arithmetic is engine-shaped), and
+# revenue uses the repo's decimal-exact money_sum.  One window
+# exchange on the 5 segments feeds both window functions and the final
+# aggregate.  ceil(n·0.99) is computed from the same IEEE double in
+# both engines, so the boundary index is identical.
+# ---------------------------------------------------------------------------
+def q90_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    seg = W.partitionBy("c_mktsegment")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(seg.orderBy("o_totalprice")))
+        .withColumn("n", F.count(F.lit(1)).over(seg))
+        .withColumn("k", F.ceil(F.col("n") * F.lit(0.99)).cast("long"))
+    )
+    ranked = ranked.withColumn(
+        "p99",
+        F.max(F.when(F.col("rn") == F.col("k"), F.col("o_totalprice"))).over(seg),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("p99").alias("p99_price"),
+        F.sum((F.col("o_totalprice") > F.col("p99")).cast("long")).alias(
+            "n_above_p99"
+        ),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+ORACLES["q90_price_outliers"] = f"""
+WITH j AS (
+    SELECT c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+ranked AS (
+    SELECT c_mktsegment, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice) AS rn,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM j
+),
+wk AS (
+    SELECT *, CAST(ceil(n * 0.99) AS BIGINT) AS k FROM ranked
+),
+wp AS (
+    SELECT *,
+           MAX(CASE WHEN rn = k THEN o_totalprice END)
+               OVER (PARTITION BY c_mktsegment) AS p99
+    FROM wk
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(p99) AS p99_price,
+       CAST(SUM(CASE WHEN o_totalprice > p99 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_p99,
+       {oracle_money_sum('o_totalprice')} AS revenue
+FROM wp
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q91 — TF-IDF term scoring: in-row tf via a higher-order filter over
+# the token array (no explode of the corpus), document frequency via a
+# tiny broadcast aggregate, idf = ln((N+1)/(df+1)), and a bounded
+# top-10-per-term window.  The ranking key is (tf DESC, doc_id) —
+# integer-only, so the float score can never reorder the cutoff; the
+# score itself is rounded output.  Corpus-side work is one narrow
+# map stage; the only wide ops are the 3-row df aggregate and the
+# 3-partition top-k window over tf>0 docs.
+# ---------------------------------------------------------------------------
+_TFIDF_TERMS = ("join", "vector", "stream")
+
+
+def q91_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("t"))
+    with_term = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.array(*[F.lit(x) for x in _TFIDF_TERMS])).alias("term"),
+    )
+    tf = with_term.select(
+        "doc_id",
+        "term",
+        F.size(F.filter("t", lambda x: x == F.col("term"))).cast("long").alias("tf"),
+    ).filter(F.col("tf") > 0)
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(dfc), "term").crossJoin(F.broadcast(ndocs))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    top = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+        ),
+    ).filter(F.col("rn") <= 10)
+    return top.select(
+        "term", "doc_id", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+
+
+ORACLES["q91_tfidf_terms"] = f"""
+WITH docs_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (
+    SELECT doc_id, term,
+           CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x = term)) AS BIGINT) AS tf
+    FROM documents,
+         UNNEST([{", ".join(f"'{t}'" for t in _TFIDF_TERMS)}]) AS u(term)
+),
+nz AS (SELECT * FROM tf WHERE tf > 0),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM nz GROUP BY 1),
+ranked AS (
+    SELECT nz.doc_id, nz.term, nz.tf,
+           ROUND(nz.tf * ln((n_docs + 1) / (df + 1)), 6) AS tfidf,
+           ROW_NUMBER() OVER (PARTITION BY nz.term
+                              ORDER BY nz.tf DESC, nz.doc_id) AS rn
+    FROM nz JOIN dfc USING (term) CROSS JOIN docs_n
+)
+SELECT term, doc_id, tf, tfidf FROM ranked WHERE rn <= 10
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import extensions, pipeline_queries, relational
+from . import corpus, extensions, pipeline_queries, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -23,11 +23,13 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **relational.QUERIES,
     **extensions.QUERIES,
     **pipeline_queries.QUERIES,
+    **corpus.QUERIES,
 }
 ORACLES: dict[str, str] = {
     **relational.ORACLES,
     **extensions.ORACLES,
     **pipeline_queries.ORACLES,
+    **corpus.ORACLES,
 }
 
 # The verify driver records CORRECTNESS rows for the FIRST 50 queries
@@ -72,6 +74,16 @@ _DRIVER_PRIORITY = [
     "q80_price_histogram",
     "q81_fuzzy_part_names",
     "q82_events_sliding_window",
+    # round-4 additions (plans/corpus.py) — no driver row exists yet:
+    "q83_winnowing_fingerprints",
+    "q84_weighted_order_sample",
+    "q85_part_pagerank",
+    "q86_zorder_orders",
+    "q87_orders_profile",
+    "q88_char_entropy",
+    "q89_curriculum_mixture",
+    "q90_price_outliers",
+    "q91_tfidf_terms",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):
