@@ -55,7 +55,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import oracle_hash60, portable_hash60
+from ..functions.hashing import (
+    oracle_chunk_hash,
+    oracle_hash60,
+    portable_chunk_hash,
+    portable_hash60,
+)
 from ..functions.numeric import money_sum, oracle_money_sum
 from ..functions.text import tokens, word_ngrams
 from ..sources.catalog import load_table
@@ -599,6 +604,231 @@ ranked AS (
     FROM nz JOIN dfc USING (term) CROSS JOIN docs_n
 )
 SELECT term, doc_id, tf, tfidf FROM ranked WHERE rn <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q92 — semi-join with an explicit Bloom prefilter (the runtime-filter
+# pattern): build a 256 Kbit / 2-hash Bloom bitmap over the DISTINCT
+# urgent-order customer keys (4096 packed int64 words → one broadcast
+# MAP row), drop non-members of the probe side MAP-SIDE, then run the
+# exact left-semi join to remove the Bloom's false positives.  Blooms
+# have no false negatives with deterministic hashes, so the result is
+# ≡ the plain EXISTS semi-join — which is exactly what the oracle
+# checks (any bug that drops a true member breaks the hash).  At
+# 100 TB this is the shape AQE's runtime row-filters automate: the
+# 32 KB bitmap rides the broadcast instead of the full key set, and
+# the probe-side scan discards ~99% of rows before the shuffle.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 18  # 262144 bits = 4096 int64 words = 32 KB
+_BLOOM_SEEDS = (0, 1)
+
+
+def q92_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pos = urgent.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        portable_chunk_hash(F.col("k").cast("string"), s),
+                        F.lit(_BLOOM_BITS),
+                    )
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    )
+    words = pos.select(
+        F.shiftright("p", 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias("m"),
+    )
+    bloom = (
+        words.groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("bloom")
+        )
+    )
+    probe = c.crossJoin(F.broadcast(bloom))
+    conds = []
+    for s in _BLOOM_SEEDS:
+        p = F.pmod(
+            portable_chunk_hash(F.col("c_custkey").cast("string"), s),
+            F.lit(_BLOOM_BITS),
+        )
+        word = F.element_at(F.col("bloom"), F.shiftright(p, 6))
+        conds.append(
+            F.coalesce(F.getbit(word, p.bitwiseAND(F.lit(63))), F.lit(0)) == 1
+        )
+    prefiltered = probe.filter(conds[0] & conds[1]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return prefiltered.join(
+        urgent, prefiltered["c_custkey"] == urgent["k"], "left_semi"
+    )
+
+
+ORACLES["q92_bloom_semi_join"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q93 — content-defined chunking (FastCDC-flavored, word granularity):
+# a chunk boundary falls after any word whose portable hash ≡ 0
+# (mod 16), so boundaries are CONTENT-anchored — inserting a sentence
+# into a document shifts only the chunks it touches, and every other
+# chunk keeps its fingerprint (the property fixed-size chunking lacks,
+# and the basis of chunk-level dedup in storage systems and training
+# corpora).  Expected chunk length = the modulus.  One exchange on
+# doc_id (prefix-sum window + per-chunk fold), one on the 32-char
+# fingerprint for the cross-corpus dedup rollup.
+# ---------------------------------------------------------------------------
+_CDC_MOD = 16
+
+
+def q93_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    flag = (F.pmod(portable_hash60("tok"), F.lit(_CDC_MOD)) == 0).cast("long")
+    prev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum(flag).over(prev), F.lit(0)).cast("long")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        chunks.select(F.md5("chunk_text").alias("chunk_fp"), "doc_id", "n_tokens")
+        .groupBy("chunk_fp")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+ORACLES["q93_content_defined_chunks"] = f"""
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS tok
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+          FROM documents),
+         UNNEST(range(1, length(t) + 1)) AS u(i)
+),
+fl AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN {oracle_hash60('tok')} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END
+               AS f
+    FROM toks
+),
+ch AS (
+    SELECT doc_id, pos, tok,
+           COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS chunk_id
+    FROM fl
+),
+agg AS (
+    SELECT doc_id, chunk_id,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM ch
+    GROUP BY 1, 2
+)
+SELECT md5(chunk_text) AS chunk_fp,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM agg
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q94 — symmetric int8 quantization of the embedding column (the ANN
+# memory-compression step: 4 bytes/dim → 1 byte/dim): per-vector
+# scale = max(|x|), q_i = round(x_i · 127 / scale).  Entirely in-row
+# (transform/aggregate higher-order folds — the corpus never explodes
+# and never shuffles; output is one narrow row per vector).  The
+# surfaced scale is the RAW double (max of exactly-converted float32
+# values — bit-identical in any engine; no decimal rounding, which is
+# exactly where cross-engine half-way drift lives), and the integer
+# checksum/min/max make any per-element disagreement visible.
+# round() at scale 0 is cross-engine-safe: every half-way point n.5
+# is a dyadic rational, exactly representable in binary.
+# ---------------------------------------------------------------------------
+def q94_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform("v", F.abs))
+    with_scale = base.withColumn("scale", scale)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "v",
+            lambda x: F.round(x * F.lit(127) / F.col("scale")).cast("int"),
+        ),
+    ).otherwise(F.transform("v", lambda x: F.lit(0)))
+    with_q = with_scale.withColumn("q", q)
+    return with_q.select(
+        "vec_id",
+        F.col("scale").alias("q_scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+ORACLES["q94_embedding_quantization"] = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS q_scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, q_scale,
+           CASE WHEN q_scale > 0
+                THEN list_transform(v, x -> CAST(round(x * 127 / q_scale)
+                                                 AS INTEGER))
+                ELSE list_transform(v, x -> CAST(0 AS INTEGER))
+           END AS q
+    FROM s
+)
+SELECT vec_id, q_scale,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(q, 'min') AS INTEGER) AS q_min,
+       CAST(list_aggregate(q, 'max') AS INTEGER) AS q_max
+FROM q
 """
 
 

