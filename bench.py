@@ -46,6 +46,13 @@ HEADLINE = (
     "q39_media_type_stats",
     # Arrow-batched mapInPandas feature extraction (the Python path)
     "q41_image_features",
+    # round-4 corpus-operator families (heaviest representative each):
+    # winnowing fingerprints (window-chained gram assembly),
+    # fixed-point PageRank (iterative graph, persisted edges),
+    # content-defined chunking (prefix-sum window + fp rollup)
+    "q83_winnowing_fingerprints",
+    "q85_part_pagerank",
+    "q93_content_defined_chunks",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

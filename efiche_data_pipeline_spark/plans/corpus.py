@@ -62,7 +62,7 @@ from ..functions.hashing import (
     portable_hash60,
 )
 from ..functions.numeric import money_sum, oracle_money_sum
-from ..functions.text import tokens, word_ngrams
+from ..functions.text import tokens
 from ..sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -76,30 +76,55 @@ ORACLES: dict[str, str] = {}
 # minimum of what they have (the pos <= max(n-w, 0) filter admits
 # exactly window start 0 in that case).
 #
-# Scale shape: shingling and hashing are map-side; the only exchange is
-# the hash partition on doc_id shared by both window functions and the
-# final per-doc aggregate (one shuffle total).  Fingerprint density is
-# ~2/(w+1) of grams, so the shuffled width is a fraction of the corpus.
+# Scale shape: the token explode is map-side; ONE exchange (hash
+# partition on doc_id) feeds every window function — the token count,
+# the three `lead`s that assemble each gram from consecutive tokens,
+# and the winnowing min — plus the final per-doc aggregate, all
+# reusing the same sort.  Assembling grams with `lead` over exploded
+# tokens (instead of posexplode of the word_ngrams array) keeps the
+# whole pipeline inside WindowExec/codegen and splits each document
+# exactly once; the array form measured 16× slower at sf0.1 before
+# the word_ngrams lambda-binding fix, ~3× after it.  Fingerprint
+# density is ~2/(w+1) of grams, so downstream width is a fraction of
+# the corpus.
 # ---------------------------------------------------------------------------
 _WINNOW_N = 4  # words per shingle
 _WINNOW_W = 4  # hashes per winnowing window
 
 
 def q83_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.posexplode(word_ngrams("text", _WINNOW_N)).alias("pos", "gram")
+    from ..operators.dedup import _parallelize_scan
+
+    docs = _parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    hashed = grams.select("doc_id", "pos", portable_hash60("gram").alias("h"))
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
     by_doc = W.partitionBy("doc_id")
-    win = by_doc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
-    kept = (
-        hashed.withColumn("n", F.count(F.lit(1)).over(by_doc))
-        .withColumn("wmin", F.min("h").over(win))
-        .filter(F.col("pos") <= F.greatest(F.col("n") - _WINNOW_W, F.lit(0)))
+    wd = by_doc.orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wd) for j in range(1, _WINNOW_N)],
     )
+    base = (
+        toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
+        .withColumn("gram", gram)
+        # keep only FULL grams: pos is then exactly the gram index, and
+        # trailing rows (whose concat_ws silently drops null leads)
+        # never reach the hash.
+        .filter(F.col("pos") <= F.col("n_toks") - _WINNOW_N)
+    )
+    hashed = base.select(
+        "doc_id",
+        "pos",
+        (F.col("n_toks") - F.lit(_WINNOW_N - 1)).alias("n_grams"),
+        portable_hash60("gram").alias("h"),
+    )
+    kept = hashed.withColumn(
+        "wmin", F.min("h").over(wd.rowsBetween(0, _WINNOW_W - 1))
+    ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - _WINNOW_W, F.lit(0)))
     return kept.groupBy("doc_id").agg(
-        F.greatest(F.max("n") - F.lit(_WINNOW_W - 1), F.lit(1))
+        F.greatest(F.max("n_grams") - F.lit(_WINNOW_W - 1), F.lit(1))
         .cast("long")
         .alias("n_windows"),
         F.countDistinct("wmin").alias("n_fingerprints"),
@@ -201,12 +226,26 @@ def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = per_order.select(
         F.explode(_pair_combinations(F.col("parts"))).alias("p")
     ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    # Persist the graph as ADJACENCY LISTS (one row per node: deduped
+    # neighbor array + degree) rather than edge rows: the expensive
+    # lineage (group/explode/mirror/dedup) collapses into ONE grouped
+    # aggregate, the resident footprint is a node-count frame instead
+    # of an edge-count frame, and each iteration re-expands edges
+    # IN-TASK with explode — so the only wide data per iteration is
+    # the (dst, contribution) stream into the aggregate. Measured 3-4×
+    # faster than persisted edge rows under a vanilla 200-shuffle-
+    # partition session (the driver's), and equal output.
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edeg = edges.join(deg, "src").persist()
-    ranks = deg.select(
+    )
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
+        .select("src", "dsts", F.size("dsts").cast("long").alias("deg"))
+        .persist()
+    )
+    edeg = adj.select("src", F.explode("dsts").alias("dst"), "deg")
+    ranks = adj.select(
         F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr")
     )
     for _ in range(_PR_ITERS):
@@ -380,7 +419,14 @@ _ENT_CHARS = "abcdefghijklmnopqrstuvwxyz "
 
 
 def q88_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _parallelize_scan
+
+    # CPU-bound map stage (27 × length/replace per row): spread a
+    # small single-file fixture scan across cores; no-op on a real
+    # multi-split scan.
+    docs = _parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     low = F.lower(F.col("text"))
     cnt_cols = [
         (F.length(low) - F.length(F.replace(low, F.lit(ch), F.lit(""))))
@@ -702,7 +748,11 @@ _CDC_MOD = 16
 
 
 def q93_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _parallelize_scan
+
+    docs = _parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
     flag = (F.pmod(portable_hash60("tok"), F.lit(_CDC_MOD)) == 0).cast("long")
     prev = (
