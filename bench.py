@@ -86,18 +86,28 @@ def main() -> None:
 
     from efiche_data_pipeline_spark.plans.pipeline_queries import warehouse_store
 
+    # Per-query timing = MIN of 2 full executions (r04 change): single
+    # runs on a shared machine showed ±30% noise swings between whole
+    # bench invocations, large enough to masquerade as regressions.
+    # Min-of-N is the standard noise-floor estimator for CPU-bound
+    # workloads; the write-side q36_wh_build stays single-run (its
+    # second run would measure overwrite behavior, not the build).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        if name == "q36_wh_build":
-            # Dims + fact + bridges + 3 MVs written to parquet; the
-            # first readback query would otherwise pay this silently.
-            warehouse_store(spark, SF_DIR)
-        else:
-            # collect() forces full materialization of the result set
-            # (results are small aggregates / bounded top-k frames).
-            QUERIES[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs = 1 if name == "q36_wh_build" else 2
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            if name == "q36_wh_build":
+                # Dims + fact + bridges + 3 MVs written to parquet; the
+                # first readback query would otherwise pay this silently.
+                warehouse_store(spark, SF_DIR)
+            else:
+                # collect() forces full materialization of the result
+                # set (small aggregates / bounded top-k frames).
+                QUERIES[name](spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -66,6 +66,55 @@ def kmv_distinct(
     )
 
 
+def kmv_bottom(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """The raw per-group bottom-k sketch rows (group_cols..., _h) —
+    the mergeable representation (at most k rows per group)."""
+    hashed = (
+        df.select(*group_cols, portable_hash60(value_col).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "_h")
+    )
+
+
+def kmv_merge(bottom: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-group bottom-k sketches into ONE global sketch and
+    estimate the distinct count of the union.
+
+    Correct because the k smallest hashes of a union are always within
+    their own group's k smallest — so the global bottom-k can be
+    recovered from the concatenated per-group sketches alone, without
+    revisiting the data. That closure property is what makes KMV
+    mergeable: per-partition/per-day/per-source sketches (k rows each)
+    roll up to the exact same estimate a monolithic pass would give,
+    which is how a 100 TB distinct-count dashboard avoids ever
+    re-scanning history. The only single-partition step is the global
+    bottom-k over ≤ groups×k sketch rows — bounded state, never data.
+    Returns one row: (n_sketch_rows, kmv_estimate).
+    """
+    merged = bottom.select("_h").distinct()
+    w = Window.orderBy("_h")
+    topk = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return topk.agg(
+        F.count(F.lit(1)).alias("n_sketch_rows"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.round(F.lit(k - 1) * F.lit(HASH_SPACE) / F.max("_h"), 0))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )
+
+
 def oracle_kmv_sql(
     table: str, group_expr: str, value_expr: str, k: int = 64
 ) -> str:

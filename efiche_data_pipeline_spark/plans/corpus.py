@@ -882,6 +882,62 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# Q95 — KMV sketch MERGEABILITY, end-to-end: build per-priority
+# bottom-k sketches of the customer key (≤ k rows per group — the
+# state a per-day/per-source rollup would persist), then merge the
+# sketch ROWS into one global sketch and estimate the union's distinct
+# count.  The oracle computes the global sketch DIRECTLY from the raw
+# data — the two hash-match only because bottom-k(∪ groups) is
+# recoverable from the per-group bottom-ks (the closure property that
+# lets 100 TB distinct-count dashboards roll up sketches instead of
+# re-scanning history).  Output also carries the exact distinct count
+# for the error-vs-exact read (k=64 ⇒ ~12% stderr).
+# ---------------------------------------------------------------------------
+_KMV_MERGE_K = 64
+
+
+def q95_kmv_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_bottom, kmv_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    per_group = kmv_bottom(
+        o.select(
+            "o_orderpriority", F.col("o_custkey").cast("string").alias("ck")
+        ),
+        ["o_orderpriority"],
+        "ck",
+        k=_KMV_MERGE_K,
+    )
+    merged = kmv_merge(per_group, k=_KMV_MERGE_K)
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return merged.crossJoin(F.broadcast(exact))
+
+
+ORACLES["q95_kmv_merge_global"] = f"""
+WITH hashed AS (
+    SELECT DISTINCT {oracle_hash60("CAST(o_custkey AS VARCHAR)")} AS h
+    FROM orders
+),
+bottom AS (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+),
+est AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch_rows,
+           CAST(CASE WHEN COUNT(*) < {_KMV_MERGE_K}
+                     THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE ROUND(({_KMV_MERGE_K} - 1) * {float(2**60)!r} / MAX(h), 0)
+                END AS BIGINT) AS kmv_estimate
+    FROM bottom
+    WHERE rn <= {_KMV_MERGE_K}
+)
+SELECT est.*,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS exact_distinct
+FROM est
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

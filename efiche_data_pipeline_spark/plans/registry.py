@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "q92_bloom_semi_join",
     "q93_content_defined_chunks",
     "q94_embedding_quantization",
+    "q95_kmv_merge_global",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):

@@ -251,3 +251,31 @@ def test_pagerank_exactly_reproducible(spark):
     a = sorted(map(tuple, q85_part_pagerank(spark, SMOKE_SF_DIR).collect()))
     b = sorted(map(tuple, q85_part_pagerank(spark, SMOKE_SF_DIR).collect()))
     assert a == b
+
+
+def test_kmv_merge_equals_direct_global_sketch(spark):
+    """Mergeability: the estimate from merged per-group sketches must
+    equal the estimate of a direct global sketch (same k)."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        kmv_bottom,
+        kmv_distinct,
+        kmv_merge,
+    )
+
+    rows = [(i % 7, f"v{i % 997}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    merged = kmv_merge(kmv_bottom(df, ["g"], "v", k=32), k=32).collect()[0]
+    direct = (
+        kmv_distinct(df.select(F.lit(1).alias("one"), "v"), ["one"], "v", k=32)
+        .collect()[0]["kmv_estimate"]
+    )
+    assert merged["kmv_estimate"] == direct
+
+
+def test_kmv_merge_exact_below_k(spark):
+    from efiche_data_pipeline_spark.operators.sketch import kmv_bottom, kmv_merge
+
+    rows = [(i % 3, f"v{i % 10}") for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    out = kmv_merge(kmv_bottom(df, ["g"], "v", k=64), k=64).collect()[0]
+    assert out["kmv_estimate"] == 10  # < k distinct -> exact
