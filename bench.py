@@ -107,6 +107,10 @@ def main() -> None:
                 # set (small aggregates / bounded top-k frames).
                 QUERIES[name](spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - start)
+            # Queries that persist intermediates (q85's adjacency)
+            # would otherwise get a cache-warm second run — clear so
+            # every repetition measures the cold dataflow.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
