@@ -938,6 +938,44 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Q96 — EQUI-DEPTH histogram of order prices (the q80 equi-width
+# twin; what an optimizer's column statistics actually store): decile
+# boundaries from exact global ranks via operators/ranking.global_ntile
+# — the quantile-bucketed scheme whose only single-partition window is
+# the ≤buckets-row offsets frame — then per-decile count/min/max/
+# decimal-exact revenue.  Boundaries are exact data values (no
+# interpolation), so the oracle's NTILE window reproduces them
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+def q96_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tiled = global_ntile(o, ["o_totalprice", "o_orderkey"], 10, out_col="decile")
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("price_lo"),
+        F.max("o_totalprice").alias("price_hi"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+ORACLES["q96_equidepth_price_histogram"] = f"""
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS price_lo,
+       MAX(o_totalprice) AS price_hi,
+       {oracle_money_sum('o_totalprice')} AS revenue
+FROM (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

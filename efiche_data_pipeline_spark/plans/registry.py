@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "q93_content_defined_chunks",
     "q94_embedding_quantization",
     "q95_kmv_merge_global",
+    "q96_equidepth_price_histogram",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):

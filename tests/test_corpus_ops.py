@@ -279,3 +279,40 @@ def test_kmv_merge_exact_below_k(spark):
     df = spark.createDataFrame(rows, "g int, v string")
     out = kmv_merge(kmv_bottom(df, ["g"], "v", k=64), k=64).collect()[0]
     assert out["kmv_estimate"] == 10  # < k distinct -> exact
+
+
+def _partition_invariant(spark, sf_dir, fn, shuffles=(1, 5)):
+    """Run fn against the fixture re-materialized at different input
+    partition counts; results must be identical (the operators must
+    not depend on physical layout)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    for n in shuffles:
+        d = tempfile.mkdtemp()
+        try:
+            for t in os.listdir(sf_dir):
+                if not t.endswith(".parquet"):
+                    continue
+                src = os.path.join(sf_dir, t)
+                spark.read.parquet(src).repartition(n).write.parquet(
+                    os.path.join(d, t)
+                )
+            got = sorted(map(tuple, fn(spark, d).collect()))
+            assert got == base, f"layout-dependent result at {n} partitions"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_winnowing_partition_independent(spark):
+    _partition_invariant(spark, SMOKE_SF_DIR, q83_winnowing_fingerprints)
+
+
+def test_cdc_chunks_partition_independent(spark):
+    _partition_invariant(spark, SMOKE_SF_DIR, q93_content_defined_chunks)
+
+
+def test_pagerank_partition_independent(spark):
+    _partition_invariant(spark, SMOKE_SF_DIR, q85_part_pagerank, shuffles=(3,))
