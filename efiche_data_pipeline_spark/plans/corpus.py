@@ -63,6 +63,7 @@ from ..functions.hashing import (
 )
 from ..functions.numeric import money_sum, oracle_money_sum
 from ..functions.text import tokens
+from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -973,6 +974,107 @@ FROM (
     FROM orders
 )
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q97 — ANN QUALITY EVALUATION as a first-class query: recall@5 of the
+# IVF index (pinned centroids, nprobe=8 — the q30 configuration)
+# against exact brute force (q29), reported in integer permille so the
+# whole result is integer arithmetic.  This is the measurement loop an
+# ANN deployment runs after every (re)build — index quality as data,
+# not a pytest aside.  Both sides compose the REGISTERED operators
+# (operators/similarity.py), and the oracle replays both chains with
+# the identical ROUND(sim,4)+id tie-break, so the intersection count
+# is deterministic.
+# ---------------------------------------------------------------------------
+def q97_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=8
+    ).select("query_id", "neighbor_id")
+    hits = ivf.join(bf, ["query_id", "neighbor_id"], "left_semi")
+    n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("total_hits"))
+    return (
+        n_q.crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_queries",
+            "total_hits",
+            F.expr("(total_hits * 1000) div (n_queries * 5)").alias(
+                "recall_permille"
+            ),
+        )
+    )
+
+
+ORACLES["q97_ann_recall_eval"] = """
+WITH corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+bf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, c.v), 4) DESC,
+                            c.vec_id) AS rn
+        FROM q, corpus c WHERE c.vec_id <> q.query_id
+    ) WHERE rn <= 5
+),
+cent AS (SELECT vec_id + 1 AS cell_id, v AS cv FROM corpus WHERE vec_id < 16),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus c, cent ct
+    ) WHERE rn = 1
+),
+qprobe AS (
+    SELECT vec_id AS query_id, cell_id FROM (
+        SELECT qq.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY qq.vec_id
+                   ORDER BY list_cosine_similarity(qq.v, ct.cv) DESC,
+                            ct.cell_id) AS rn
+        FROM corpus qq, cent ct WHERE qq.vec_id < 10
+    ) WHERE rn <= 8
+),
+cand AS (
+    SELECT qp.query_id, a.vec_id AS neighbor_id
+    FROM qprobe qp JOIN assign a USING (cell_id)
+    WHERE a.vec_id <> qp.query_id
+),
+ivf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               row_number() OVER (PARTITION BY cand.query_id
+                   ORDER BY ROUND(list_cosine_similarity(qq.v, cc.v), 4) DESC,
+                            cand.neighbor_id) AS rn
+        FROM cand
+        JOIN corpus qq ON qq.vec_id = cand.query_id
+        JOIN corpus cc ON cc.vec_id = cand.neighbor_id
+    ) WHERE rn <= 5
+),
+hits AS (
+    SELECT i.query_id, i.neighbor_id
+    FROM ivf i
+    WHERE EXISTS (SELECT 1 FROM bf
+                  WHERE bf.query_id = i.query_id
+                    AND bf.neighbor_id = i.neighbor_id)
+)
+SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS total_hits,
+       CAST(((SELECT COUNT(*) FROM hits) * 1000)
+            // ((SELECT COUNT(*) FROM q) * 5) AS BIGINT) AS recall_permille
 """
 
 

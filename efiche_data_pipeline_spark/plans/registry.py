@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = [
     "q94_embedding_quantization",
     "q95_kmv_merge_global",
     "q96_equidepth_price_histogram",
+    "q97_ann_recall_eval",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):
