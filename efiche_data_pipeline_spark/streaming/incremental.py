@@ -134,7 +134,14 @@ def run_incremental_stream(
     def merge(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        store.merge_upsert(batch, table, keys=["hour_start", "event_type"])
+        # merge_upsert runs >1 action over `batch`; persist so the
+        # stateful micro-batch plan executes once per batch instead of
+        # once per action (same lever as streaming/late.py).
+        batch.persist()
+        try:
+            store.merge_upsert(batch, table, keys=["hour_start", "event_type"])
+        finally:
+            batch.unpersist()
 
     q = (
         agg.writeStream.outputMode("update")
