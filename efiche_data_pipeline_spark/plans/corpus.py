@@ -215,6 +215,7 @@ WHERE {oracle_hash60("CAST(o_orderkey AS VARCHAR)")}
 # ---------------------------------------------------------------------------
 _PR_ITERS = 3
 _PR_SCALE = 1_000_000
+_PR_ADJ_SEGMENTS = 8  # bounds per-row adjacency fan-in to ~deg/S
 
 
 def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,27 +228,40 @@ def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = per_order.select(
         F.explode(_pair_combinations(F.col("parts"))).alias("p")
     ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
-    # Persist the graph as ADJACENCY LISTS (one row per node: deduped
-    # neighbor array + degree) rather than edge rows: the expensive
-    # lineage (group/explode/mirror/dedup) collapses into ONE grouped
-    # aggregate, the resident footprint is a node-count frame instead
-    # of an edge-count frame, and each iteration re-expands edges
-    # IN-TASK with explode — so the only wide data per iteration is
-    # the (dst, contribution) stream into the aggregate. Measured 3-4×
+    # Persist the graph as SEGMENTED ADJACENCY LISTS rather than edge
+    # rows: the expensive lineage (group/explode/mirror/dedup)
+    # collapses into one grouped aggregate, the resident footprint is
+    # ~node-count, and each iteration re-expands edges IN-TASK with
+    # explode — so the only wide data per iteration is the
+    # (dst, contribution) stream into the aggregate. Measured 3-4×
     # faster than persisted edge rows under a vanilla 200-shuffle-
-    # partition session (the driver's), and equal output.
+    # partition session (the driver's), equal output. Neighbors hash
+    # into _PR_ADJ_SEGMENTS rows per node so a hub's adjacency never
+    # materializes as ONE unbounded array row (the power-law hazard of
+    # naive collect_set-per-node); per-row fan-in is deg/S, and S
+    # scales with the expected max degree. Degree spans segments via a
+    # same-key window over the groupBy's own partitioning.
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     adj = (
-        edges.groupBy("src")
+        edges.groupBy(
+            "src", F.pmod("dst", F.lit(_PR_ADJ_SEGMENTS)).alias("_seg")
+        )
         .agg(F.collect_set("dst").alias("dsts"))
-        .select("src", "dsts", F.size("dsts").cast("long").alias("deg"))
+        .withColumn(
+            "deg", F.sum(F.size("dsts").cast("long")).over(W.partitionBy("src"))
+        )
         .persist()
     )
     edeg = adj.select("src", F.explode("dsts").alias("dst"), "deg")
-    ranks = adj.select(
-        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr")
+    ranks = (
+        adj.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.lit(_PR_SCALE).cast("long").alias("pr"),
+        )
     )
     for _ in range(_PR_ITERS):
         ranks = (
