@@ -1092,6 +1092,61 @@ SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
 """
 
 
+# ---------------------------------------------------------------------------
+# Q98 — time-series downsampling to OHLC bars: 15-minute
+# open/high/low/close per event type (the resample→bar primitive of
+# metric and market pipelines).  Open/close are `min_by`/`max_by`
+# with a (ts, event_id) STRUCT order key — total order, so the picked
+# value is deterministic even with equal timestamps, and the emitted
+# numbers are raw data values (no arithmetic → no float drift; volume
+# uses the decimal-exact money_sum).  One exchange on the (bar, type)
+# key, partial aggregates map-side.  The oracle uses DuckDB's ordered
+# aggregates (first/last ... ORDER BY ts, event_id) — same total
+# order, same picks.
+# ---------------------------------------------------------------------------
+def q98_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    order_key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_start"
+            ),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+
+
+ORACLES["q98_ohlc_bars"] = f"""
+SELECT strftime(epoch_ms(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000),
+                '%Y-%m-%d %H:%M:%S') AS bar_start,
+       event_type,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_money_sum('value')} AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = [
     "q95_kmv_merge_global",
     "q96_equidepth_price_histogram",
     "q97_ann_recall_eval",
+    "q98_ohlc_bars",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):
