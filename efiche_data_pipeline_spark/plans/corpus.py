@@ -62,7 +62,7 @@ from ..functions.hashing import (
     portable_hash60,
 )
 from ..functions.numeric import money_sum, oracle_money_sum
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources.catalog import load_table
 
@@ -1144,6 +1144,110 @@ SELECT strftime(epoch_ms(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000),
        {oracle_money_sum('value')} AS volume
 FROM events
 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q99 — weighted EXACT-N sampling without replacement
+# (Efraimidis–Spirakis A-ES): each order draws priority
+# -ln(u)/w  (u = portable hash normalized to (0,1], w = price in
+# cents), and the N smallest priorities are the sample.  This is the
+# fixed-budget complement of q84's weighted Bernoulli: inclusion
+# probability ∝ weight, sample size exactly N.  The plan is a
+# map-side projection + `TakeOrderedAndProject` (per-partition top-N,
+# tiny driver merge) — no global sort, no shuffle of the corpus.
+# Output columns are integers only; both engines compute the priority
+# from the identical hash with IEEE doubles, and with ~15 k continuous
+# keys the boundary gap dwarfs the 1-ulp cross-engine log() wobble
+# (the fixture run is the proof — any drift breaks the hash gate).
+# ---------------------------------------------------------------------------
+_WES_N = 200
+
+
+def q99_weighted_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    u = (portable_hash60(F.col("o_orderkey").cast("string")) + F.lit(1)) / F.lit(
+        float(2**60)
+    )
+    key = -F.log(u) / cents
+    return (
+        o.select(
+            "o_orderkey",
+            cents.alias("weight_cents"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "o_orderkey")
+        .limit(_WES_N)
+        .select("o_orderkey", "weight_cents")
+    )
+
+
+ORACLES["q99_weighted_exact_sample"] = f"""
+SELECT o_orderkey, weight_cents
+FROM (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents,
+           -ln(({oracle_hash60("CAST(o_orderkey AS VARCHAR)")} + 1)
+               / {float(2**60)!r})
+               / CAST(round(o_totalprice * 100) AS BIGINT) AS k
+    FROM orders
+)
+ORDER BY k, o_orderkey
+LIMIT {_WES_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q100 — the DATASET CARD: one row summarizing the documents corpus —
+# the release artifact a training-data pipeline publishes next to the
+# data.  Composes the engine's own primitives (exact-dedup fingerprint,
+# token counting, language ID is summarized as distinct-language count
+# to stay integer-clean) in ONE dataflow: a map-side feature projection
+# feeding a single global aggregate (two-level partial/final; the
+# distinct counts ride Spark's Expand).  Everything emitted is an
+# integer or a decimal-exact ratio.
+# ---------------------------------------------------------------------------
+def q100_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("fp"),
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique_texts"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        (F.sum("n_chars") / F.sum("n_tokens")).alias("chars_per_token"),
+    )
+
+
+ORACLES["q100_dataset_card"] = """
+WITH feat AS (
+    SELECT doc_id, source, lang, md5(text) AS fp,
+           length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+FROM feat
 """
 
 

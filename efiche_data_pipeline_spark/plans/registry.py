@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = [
     "q96_equidepth_price_histogram",
     "q97_ann_recall_eval",
     "q98_ohlc_bars",
+    "q99_weighted_exact_sample",
+    "q100_dataset_card",
 ]
 _ROTATED_OUT = [
     # r01/r02-green block (rotated out since r03):
