@@ -316,3 +316,60 @@ def test_cdc_chunks_partition_independent(spark):
 
 def test_pagerank_partition_independent(spark):
     _partition_invariant(spark, SMOKE_SF_DIR, q85_part_pagerank, shuffles=(3,))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "key"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cdc_chunks_reconstruct_any_corpus(spark, docs):
+    """Hypothesis differential: for ANY corpus, the content-defined
+    chunks concatenated in chunk order must reproduce each document
+    exactly (no token lost, duplicated, or reordered)."""
+    from pyspark.sql import Window as W
+
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.functions.text import tokens as tok_fn
+
+    texts = [" ".join(ws) for ws in docs]
+    frame = _docs(spark, texts)
+    toks = frame.select("doc_id", F.posexplode(tok_fn("text")).alias("pos", "tok"))
+    flag = (F.pmod(portable_hash60("tok"), F.lit(_CDC_MOD)) == 0).cast("long")
+    prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    chunks = (
+        toks.withColumn(
+            "chunk_id", F.coalesce(F.sum(flag).over(prev), F.lit(0)).cast("long")
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .collect()
+    )
+    rebuilt: dict[int, list[tuple[int, str]]] = {}
+    for r in chunks:
+        rebuilt.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, text in enumerate(texts):
+        assert " ".join(t for _, t in sorted(rebuilt[i])) == text
