@@ -187,6 +187,45 @@ SQL_QUERIES: dict[str, str] = {
         WINDOW w AS (ORDER BY UNIX_DATE(CAST(o_orderdate AS DATE))
                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
     """,
+    # round-4 corpus families, one SQL twin per new operator shape:
+    # map-side integer-hash filter (q84), pure bit-math clustering key
+    # (q86), event-time bars with total-order min_by/max_by (q98).
+    "q84_weighted_order_sample": """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents,
+               o_orderpriority
+        FROM orders
+        WHERE CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),
+                        16, 10) AS BIGINT)
+              < CAST(round(o_totalprice * 100) AS BIGINT) * 800000000
+    """,
+    "q86_zorder_orders": """
+        WITH xy AS (
+            SELECT CAST(pmod(o_custkey, 256) AS BIGINT) AS x,
+                   CAST(pmod(datediff(CAST(o_orderdate AS DATE),
+                                      DATE '1970-01-01'), 256) AS BIGINT) AS y
+            FROM orders
+        ),
+        zv AS (SELECT shiftleft(shiftright(x, 0) & 1, 1) + shiftleft(shiftright(y, 0) & 1, 0) + shiftleft(shiftright(x, 1) & 1, 3) + shiftleft(shiftright(y, 1) & 1, 2) + shiftleft(shiftright(x, 2) & 1, 5) + shiftleft(shiftright(y, 2) & 1, 4) + shiftleft(shiftright(x, 3) & 1, 7) + shiftleft(shiftright(y, 3) & 1, 6) + shiftleft(shiftright(x, 4) & 1, 9) + shiftleft(shiftright(y, 4) & 1, 8) + shiftleft(shiftright(x, 5) & 1, 11) + shiftleft(shiftright(y, 5) & 1, 10) + shiftleft(shiftright(x, 6) & 1, 13) + shiftleft(shiftright(y, 6) & 1, 12) + shiftleft(shiftright(x, 7) & 1, 15) + shiftleft(shiftright(y, 7) & 1, 14) AS z FROM xy)
+        SELECT shiftright(z, 8) AS zbin,
+               COUNT(*) AS n_orders,
+               MIN(z) AS z_lo,
+               MAX(z) AS z_hi
+        FROM zv
+        GROUP BY 1
+    """,
+    "q98_ohlc_bars": f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS bar_start,
+               event_type,
+               min_by(value, struct(ts, event_id)) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               max_by(value, struct(ts, event_id)) AS close,
+               COUNT(*) AS n_events,
+               {_ms('value')} AS volume
+        FROM events
+        GROUP BY window(ts, '15 minutes'), event_type
+    """,
 }
 
 
