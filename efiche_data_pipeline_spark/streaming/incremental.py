@@ -204,3 +204,38 @@ def batch_consume_increment(
     new_hi = new_hi.localCheckpoint(eager=True)
     store.overwrite(new_hi, wt)
     return n
+
+
+def ohlc_bars_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of plans/corpus.py:q98_ohlc_bars — 15-minute
+    open/high/low/close bars per event type. min_by/max_by with the
+    (ts, event_id) struct key are ordinary aggregate functions, so the
+    same total-order pick runs incrementally under watermark-bounded
+    state; the batch≡stream test proves the bar values are
+    arrival-order independent."""
+    events = ensure_event_time(events, "ts")
+    key = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_start"
+            ),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

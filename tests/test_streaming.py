@@ -141,3 +141,42 @@ def test_batch_high_watermark_mode(spark, tmp_path):
     store.append(df2, "events_src")
     assert batch_consume_increment(store, "events_src", "ts", process) == 1
     assert seen == [[1, 2], [3]]
+
+
+def test_ohlc_stream_equals_batch(spark, tmp_path, event_files):
+    """OHLC bars streamed over 4 micro-batches ≡ the batch q98 bars —
+    min_by/max_by picks must be arrival-order independent."""
+    from efiche_data_pipeline_spark.plans.corpus import q98_ohlc_bars
+    from efiche_data_pipeline_spark.streaming.incremental import (
+        ohlc_bars_stream,
+        stream_events,
+    )
+
+    rows = {}
+
+    def sink(batch, bid):
+        for r in batch.collect():
+            rows[(r["bar_start"], r["event_type"])] = (
+                r["open"], r["high"], r["low"], r["close"],
+                r["n_events"], r["volume"],
+            )
+
+    agg = ohlc_bars_stream(
+        stream_events(spark, event_files, 1), watermark="3650 days"
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    want = {
+        (r["bar_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["volume"],
+        )
+        for r in q98_ohlc_bars(spark, SMOKE_SF_DIR).collect()
+    }
+    assert rows == want
