@@ -32,6 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted for the Spark-only
-    operators: MinHash-LSH and IVF approximate search)."""
+    """DuckDB-runnable ANSI SQL per query — since round 4, EVERY
+    registered query has one (the former Spark-only operators,
+    MinHash-LSH and IVF search, are registered in portable /
+    pinned-centroid modes that replay exactly in DuckDB)."""
     return dict(ORACLES)
