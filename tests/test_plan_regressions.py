@@ -1,0 +1,75 @@
+"""Regression pins for the physical-plan properties documented in
+docs/PLAN_AUDIT.md for the round-1..3 operator rewrites. Each of these
+was the RESULT of a deliberate redesign (exchange reuse instead of
+recompute, pushed group limits instead of full sorts, bucketed global
+ranking instead of single-partition windows); a refactor that silently
+loses one would re-open a scale hazard long before any benchmark
+notices at fixture size.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from efiche_data_pipeline_spark.plans.registry import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _executed(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q26_reuses_shingle_bucket_exchange(spark):
+    """The bucket aggregate must feed the pair branch AND the size
+    branch through ReusedExchange — not recompute the scan (the
+    round-1 cache leak / round-2 redesign)."""
+    plan = _executed("q26_jaccard_pairs", spark)
+    assert "ReusedExchange" in plan
+
+
+def test_q03_topk_pushes_window_group_limit(spark):
+    """Per-group top-K must plan WindowGroupLimit (partial+final), so
+    no group is fully sorted/materialized."""
+    plan = _executed("q03_top_customers_per_segment", spark)
+    assert "WindowGroupLimit" in plan
+
+
+def test_q43_sample_is_take_ordered(spark):
+    """Seeded exact-N sampling must plan TakeOrderedAndProject — a
+    top-N without a global sort."""
+    plan = _executed("q43_random_sample", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q99_weighted_sample_is_take_ordered(spark):
+    plan = _executed("q99_weighted_exact_sample", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # bucketed global-ranking family: the ONLY allowed
+        # single-partition window is the ≤buckets-row offsets frame,
+        # never a window over the data itself (pinned by checking the
+        # data-side window partitions on a real key).
+        "q60_customer_revenue_deciles",
+        "q64_sequence_packing",
+        "q96_equidepth_price_histogram",
+    ],
+)
+def test_bucketed_ranking_has_data_side_hash_window(spark, name):
+    plan = _executed(name, spark)
+    # the per-bucket data window must exist under a bucket-key hash
+    # partitioning (ranking.py uses `_b`, packing.py `_pb`)
+    assert "hashpartitioning(_b" in plan or "hashpartitioning(_pb" in plan
+
+
+def test_q51_curation_single_dedup_exchange(spark):
+    """The curation chain's only hash exchange is the md5 dedup key;
+    the gates filter BELOW it (rejected docs never shuffle)."""
+    plan = _executed("q51_curation_pipeline", spark)
+    assert "WindowGroupLimit" in plan  # keep-first rn=1 pushed
