@@ -114,3 +114,32 @@ def test_funnel_stream_each_stage_emitted_once(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(rows) == [(7, "click"), (7, "purchase"), (7, "view")]
+
+
+def test_funnel_stream_restart_emits_nothing_new(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [_ev(1, 9, "view", 0), _ev(2, 9, "click", 1)], EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        rows = []
+
+        def sink(batch, bid):
+            rows.extend((r["user_id"], r["stage"]) for r in batch.collect())
+
+        q = (
+            funnel_stream(stream_events(spark, src, 1))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    first = run()
+    assert sorted(first) == [(9, "click"), (9, "view")]
+    assert run() == []  # checkpoint replay: nothing re-emitted
