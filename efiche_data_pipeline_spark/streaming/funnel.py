@@ -47,9 +47,13 @@ def _fold_group(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     rows = pd.concat(list(pdfs), ignore_index=True)
-    us = rows["ts"].astype("datetime64[us]").astype("int64")
-    order = us.add(0).to_frame("_us").assign(_id=rows["event_id"], _et=rows["event_type"])
-    order = order.sort_values(["_us", "_id"])
+    order = pd.DataFrame(
+        {
+            "_us": rows["ts"].astype("datetime64[us]").astype("int64"),
+            "_id": rows["event_id"],
+            "_et": rows["event_type"],
+        }
+    ).sort_values(["_us", "_id"])
     v, c, p = state.get if state.exists else (-1, -1, -1)
     emitted: list[tuple[str, int]] = []
     for t, et in zip(order["_us"], order["_et"]):
