@@ -216,9 +216,17 @@ WHERE {oracle_hash60("CAST(o_orderkey AS VARCHAR)")}
 _PR_ITERS = 3
 _PR_SCALE = 1_000_000
 _PR_ADJ_SEGMENTS = 8  # bounds per-row adjacency fan-in to ~deg/S
+# Truncate the rank lineage every k iterations: the unrolled
+# join/agg chain grows linearly in plan size (and planner time grows
+# worse than linearly) with the iteration count. Harmless at the
+# default 3 iterations; load-bearing the moment a caller passes a
+# larger `iters` — the same guard dedup_components uses per round.
+_PR_CKPT_EVERY = 8
 
 
-def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_part_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS
+) -> DataFrame:
     from ..operators.dedup import _pair_combinations
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -263,7 +271,7 @@ def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PR_SCALE).cast("long").alias("pr"),
         )
     )
-    for _ in range(_PR_ITERS):
+    for i in range(iters):
         ranks = (
             edeg.join(ranks, edeg["src"] == ranks["node"])
             .select("dst", F.expr("pr div deg").alias("c"))
@@ -276,9 +284,19 @@ def q85_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr"),
             )
         )
-    return ranks.select(
+        if (i + 1) % _PR_CKPT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select(
         F.col("node").alias("p_partkey"), F.col("pr").alias("pagerank")
     )
+    # Materialize the (O(nodes)-row) result eagerly so the persisted
+    # adjacency can be RELEASED here rather than leaking a cached
+    # dataset for the session lifetime of every non-bench caller
+    # (verify driver, pytest) — the same persist-then-release shape as
+    # dedup's connected components.
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
 
 
 def _pr_iteration_sql(prev: str, out: str) -> str:
@@ -507,7 +525,11 @@ ORACLES["q88_char_entropy"] = _ent_oracle()
 # ---------------------------------------------------------------------------
 def q89_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # try_cast, not cast: a digitless source name extracts '' and a
+    # plain cast throws under ANSI mode (both engines). NULL rate_ppm
+    # then propagates: sampled is NULL, SUM over the all-NULL group is
+    # NULL (rate is constant per source) — mirrored by the oracle.
+    idx = F.regexp_extract("source", r"(\d+)", 1).try_cast("int")
     rate_ppm = ((idx % 4 + 1) * F.lit(200_000)).cast("long")
     sampled = F.pmod(
         portable_hash60(F.col("doc_id").cast("string")), F.lit(1_000_000)
@@ -522,13 +544,20 @@ def q89_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q89_curriculum_mixture"] = f"""
 WITH r AS (
     SELECT source, doc_id,
-           CAST((CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4 + 1)
-                * 200000 AS BIGINT) AS rate_ppm
+           -- TRY_CAST, not CAST: a source name with no digits yields
+           -- regexp_extract = '' and DuckDB's CAST('' AS INTEGER)
+           -- raises, while the Spark side's cast('int') yields NULL.
+           -- TRY_CAST mirrors the NULL; the WHEN rate_ppm IS NULL
+           -- branch below then mirrors Spark's SUM-of-all-NULL = NULL
+           -- (rate is constant per source, so groups are never mixed).
+           CAST((TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER)
+                 % 4 + 1) * 200000 AS BIGINT) AS rate_ppm
     FROM documents
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN {oracle_hash60("CAST(doc_id AS VARCHAR)")} % 1000000
+       CAST(SUM(CASE WHEN rate_ppm IS NULL THEN NULL
+                     WHEN {oracle_hash60("CAST(doc_id AS VARCHAR)")} % 1000000
                           < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(MAX(rate_ppm) AS BIGINT) AS rate_ppm
 FROM r

@@ -80,14 +80,21 @@ def _fold_group(
         )
 
 
-def funnel_stream(events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+def funnel_stream(events: DataFrame) -> DataFrame:
     """Streaming funnel advancement log: one append row per (user,
     stage) the first time that stage is reached. ``events`` must be a
     streaming frame with user_id, event_id, event_type and event-time
-    ``ts``."""
+    ``ts``.
+
+    Deliberately NO ``withWatermark``: with ``timeoutConf='NoTimeout'``
+    a watermark would neither filter late rows before the user
+    function nor evict state, so declaring one would only *suggest* a
+    late-data tolerance that does not exist. The real contract is
+    arrival-order folding (module docstring); if state TTL is ever
+    needed, switch to ``EventTimeTimeout`` and reintroduce the
+    watermark together with eviction logic."""
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        events.groupBy("user_id")
         .applyInPandasWithState(
             _fold_group,
             outputStructType=FUNNEL_STAGE_SCHEMA,

@@ -43,9 +43,12 @@ merge is keyed, so re-runs converge). That is the correct semantics
 for an accounting pipeline: emitted rows are immutable and the report
 is exact.
 
-Scale note: the accounting is pure metadata (one progress dict per
-micro-batch read from the driver's buffer) — zero cost on the data
-path.
+Scale note: the accounting is pure metadata (one progress event per
+micro-batch, accumulated by a StreamingQueryListener as it is posted
+— NOT read post-hoc from ``recentProgress``, whose ring buffer caps
+at ``spark.sql.streaming.numRecentProgressUpdates`` and would
+silently undercount any backlog longer than the cap) — zero cost on
+the data path.
 
 Reference analogue: none (the reference's batch ETL re-reads anything
 late on the next run — etl_pipeline.py:125-132's processed flag; in a
@@ -58,9 +61,46 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
 
 from ..pipeline.store import Store
 from .incremental import hourly_event_counts, stream_events
+
+
+class _DropCountListener(StreamingQueryListener):
+    """Accumulates ``numRowsDroppedByWatermark`` per (query, batch) AS
+    progress events are posted.
+
+    Why a listener and not ``q.recentProgress`` after termination:
+    recentProgress is a ring buffer capped at
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100).
+    With ``maxFilesPerTrigger=1`` a backlog of more files than the cap
+    silently evicts the earliest batches' progress — and their drop
+    counts — which would make the "exact accounting" promise of this
+    module quietly false on exactly the runs (big backlogs) where late
+    data is most likely. The listener sees every progress event
+    regardless of buffer size; keyed by (query id, batch id) so
+    redeliveries and foreign queries can't double-count.
+    """
+
+    def __init__(self) -> None:
+        self.drops: dict[tuple[str, int], int] = {}
+
+    def onQueryStarted(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        total = 0
+        for sop in p.stateOperators or []:
+            total += int(sop.numRowsDroppedByWatermark or 0)
+        self.drops[(str(p.id), int(p.batchId))] = total
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # pragma: no cover - no-op
+        pass
 
 
 @dataclass(frozen=True)
@@ -101,18 +141,38 @@ def run_with_late_accounting(
         finally:
             batch.unpersist()
 
-    q = (
-        agg.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .foreachBatch(merge)
-        .start()
-    )
-    q.awaitTermination()
-    dropped = 0
-    for progress in q.recentProgress:
-        for sop in progress.get("stateOperators") or []:
-            dropped += int(sop.get("numRowsDroppedByWatermark") or 0)
+    listener = _DropCountListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .foreachBatch(merge)
+            .start()
+        )
+        q.awaitTermination()
+        # Per-batch drop counts, from TWO sources united by batch id:
+        # recentProgress is updated synchronously per trigger but is a
+        # ring buffer (may have evicted early batches of a long
+        # backlog); the listener sees every batch but is delivered
+        # asynchronously (the very last event can still be in flight
+        # right after awaitTermination). recentProgress wins where
+        # both have a batch; the listener fills the evicted prefix.
+        per_batch: dict[int, int] = {}
+        qid = str(q.id)
+        for (lid, bid), d in listener.drops.items():
+            if lid == qid:
+                per_batch[bid] = d
+        for progress in q.recentProgress:
+            total = 0
+            for sop in progress.get("stateOperators") or []:
+                total += int(sop.get("numRowsDroppedByWatermark") or 0)
+            per_batch[int(progress.get("batchId"))] = total
+    finally:
+        spark.streams.removeListener(listener)
     return LateReport(
-        n_batches=n_batches, n_dropped_late=dropped, watermark=watermark
+        n_batches=n_batches,
+        n_dropped_late=sum(per_batch.values()),
+        watermark=watermark,
     )

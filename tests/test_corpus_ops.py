@@ -373,3 +373,71 @@ def test_cdc_chunks_reconstruct_any_corpus(spark, docs):
         rebuilt.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
     for i, text in enumerate(texts):
         assert " ".join(t for _, t in sorted(rebuilt[i])) == text
+
+
+def test_pagerank_releases_adjacency_cache(spark):
+    """q85 must not leak its persisted adjacency into the caller's
+    session (ADVICE r04): after the query function returns, no new
+    cached RDD/DataFrame may remain."""
+    spark.catalog.clearCache()
+    df = q85_part_pagerank(spark, SMOKE_SF_DIR)
+    jsc = spark.sparkContext._jsc.sc()
+    # localCheckpoint RDDs report name 'MapPartitionsRDD' (the O(nodes)
+    # result pin, released by the ContextCleaner on GC); a leaked
+    # DataFrame persist reports its plan string as the name.
+    cached = [
+        info
+        for info in jsc.getRDDStorageInfo()
+        if info.numCachedPartitions() > 0
+        and info.name() != "MapPartitionsRDD"
+    ]
+    assert cached == [], [c.name() for c in cached]
+    assert df.count() > 0
+
+
+def test_pagerank_configurable_iters_truncates_lineage(spark):
+    """With iters > _PR_CKPT_EVERY the rank lineage must be truncated
+    by localCheckpoint (plan stays bounded) and still produce a row
+    per node, identical node set to the 3-iteration run."""
+    base = q85_part_pagerank(spark, SMOKE_SF_DIR)
+    deep = q85_part_pagerank(spark, SMOKE_SF_DIR, iters=9)
+    assert sorted(r["p_partkey"] for r in deep.collect()) == sorted(
+        r["p_partkey"] for r in base.collect()
+    )
+
+
+def test_q89_digitless_source_null_rate_matches_oracle(spark):
+    """A source name with NO digits must yield NULL rate_ppm /
+    n_sampled on BOTH sides (ADVICE r04: the oracle's plain CAST(''
+    AS INTEGER) hard-failed in DuckDB while Spark returned NULL; the
+    oracle now TRY_CASTs and mirrors SUM-of-NULL = NULL)."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from efiche_data_pipeline_spark.plans.corpus import (
+        ORACLES,
+        q89_curriculum_mixture,
+    )
+    from .conftest import assert_frames_match
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}", "web", "en") for i in range(20)]
+        + [(100 + i, f"other {i}", "crawl7", "en") for i in range(20)],
+        "doc_id long, text string, source string, lang string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = q89_curriculum_mixture(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet/*.parquet'"
+        )
+        want = con.execute(ORACLES["q89_curriculum_mixture"]).df()
+        con.close()
+    assert_frames_match(got, want, "q89_digitless")
+    row = got.set_index("source").loc["web"]
+    assert pd.isna(row["rate_ppm"]) and pd.isna(row["n_sampled"])

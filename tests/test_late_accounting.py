@@ -101,3 +101,49 @@ def test_open_window_finalizes_on_next_run_with_zero_drops(spark, tmp_path):
         for r in store.read("hourly_event_counts_final").collect()
     }
     assert got == {("2024-01-01 10:00:00", "view"): 3}
+
+
+def test_drop_count_survives_recent_progress_ring_buffer(spark, tmp_path):
+    """recentProgress is a ring buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    backlog of more files than the cap evicts the earliest batches'
+    numRowsDroppedByWatermark. The listener-based accounting must
+    still count drops that happen in those evicted batches — pinned
+    here by shrinking the cap to 2 and planting the late rows in the
+    FIRST post-watermark batch of a 6-batch backlog."""
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _write(spark, src, _rows(0, [t0 + dt.timedelta(minutes=m) for m in (0, 10)]))
+    _write(spark, src, _rows(10, [dt.datetime(2024, 1, 1, 20, 0, 0)] * 2))
+    _write(spark, src, _rows(20, [dt.datetime(2024, 1, 1, 20, 30, 0)]))
+    # batch 4: two late rows in two windows -> dropped AND counted here
+    _write(
+        spark,
+        src,
+        _rows(
+            30,
+            [dt.datetime(2024, 1, 1, 9, 5, 0), dt.datetime(2024, 1, 1, 10, 5, 0)],
+        ),
+    )
+    # two more on-time batches push the drop batch out of a cap-2 buffer
+    _write(spark, src, _rows(40, [dt.datetime(2024, 1, 1, 21, 0, 0)]))
+    _write(spark, src, _rows(50, [dt.datetime(2024, 1, 1, 21, 30, 0)]))
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        report = run_with_late_accounting(
+            spark,
+            src,
+            Store(spark, str(tmp_path / "sink")),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            watermark="30 minutes",
+            max_files_per_trigger=1,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert report.n_batches >= 6
+    assert report.n_dropped_late == 2
