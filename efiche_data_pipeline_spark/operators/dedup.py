@@ -25,6 +25,8 @@ near-dup family is the LLM-pipeline extension on top of that.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -275,19 +277,31 @@ def minhash_lsh_pairs(
             "otherwise trailing signature positions are silently excluded "
             "from banding and candidate recall drops"
         )
-    rows = n_hashes // bands
     # No cache(): the signature aggregate feeds the band frames and the
     # two signature-lookup joins within one action — ReuseExchange
     # shares the shuffle instead of pinning storage (round 1 leaked
     # this cache).
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, portable)
+    memberships = _band_memberships(sig, id_col, n_hashes, bands, portable)
+    cand = _bucket_candidates(memberships, id_col)
+    return _pair_est_sim(cand, sig, sig, id_col, n_hashes).filter(
+        F.col("est_sim") >= min_est_sim
+    )
+
+
+def _band_memberships(
+    sig: DataFrame, id_col: str, n_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """One row per (doc, band): the band id + the band's bucket hash,
+    generated in-row from an array literal — no union of per-band
+    frames, so the signature aggregate is scanned once. Portable mode
+    buckets on md5('<band>,<mh..>,..') (32-char key, DuckDB-equal:
+    md5(band || ',' || mh_i || ...)); default is xxhash64 (8-byte).
+    Rows whose signature is NULL (documents too short to shingle) emit
+    no membership — they can never near-dup anything."""
+    rows = n_hashes // bands
     cols = [f"mh_{i}" for i in range(n_hashes)]
 
-    # One row per (doc, band): the band id + the band's bucket hash,
-    # generated in-row from an array literal — no union of per-band
-    # frames, so the signature aggregate is scanned once. Portable mode
-    # buckets on md5('<band>,<mh..>,..') (32-char key, DuckDB-equal:
-    # md5(band || ',' || mh_i || ...)); default is xxhash64 (8-byte).
     def _bucket(band: int) -> Column:
         band_cols = [F.col(c) for c in cols[band * rows : (band + 1) * rows]]
         if portable:
@@ -300,31 +314,53 @@ def minhash_lsh_pairs(
             for band in range(bands)
         ]
     )
-    memberships = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    return (
+        sig.filter(F.col(cols[0]).isNotNull())
+        .select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    )
 
-    # Candidate pairs by grouping each (band, bucket) into its member
-    # list and emitting combinations in-row — same shape as
-    # jaccard_pairs: one shuffle, no self-join. Identical docs can
-    # produce huge buckets; collect_list is capped via slice to bound
-    # the per-bucket pair blow-up (cap² pairs max — everything in an
-    # over-full LSH bucket is near-identical anyway, and the first
-    # ``cap`` sorted members still chain the duplicates together).
-    cap = 1000
+
+def _bucket_candidates(
+    memberships: DataFrame, id_col: str, cap: int = 1000
+) -> DataFrame:
+    """Candidate pairs by grouping each (band, bucket) into its member
+    list and emitting combinations in-row — same shape as
+    jaccard_pairs: one shuffle, no self-join. Identical docs can
+    produce huge buckets; collect_list is capped via slice to bound
+    the per-bucket pair blow-up (cap² pairs max — everything in an
+    over-full LSH bucket is near-identical anyway, and the first
+    ``cap`` sorted members still chain the duplicates together)."""
     grouped = (
         memberships.groupBy("band", "bucket")
         .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, cap).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = (
+    return (
         grouped.select(F.explode(_pair_combinations(F.col("docs"))).alias("pair"))
         .select(F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b"))
         .distinct()
     )
 
-    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in cols])
-    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in cols])
+
+def _pair_est_sim(
+    cand: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    id_col: str,
+    n_hashes: int,
+) -> DataFrame:
+    """Attach the estimated Jaccard (fraction of agreeing signature
+    positions) to candidate (doc_a, doc_b) pairs; doc_a's signature
+    comes from ``sig_a`` and doc_b's from ``sig_b`` (the two frames
+    differ in the incremental case: historical index vs new batch)."""
+    cols = [f"mh_{i}" for i in range(n_hashes)]
+    sa = sig_a.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    sb = sig_b.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
     agree = sum(
         F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in cols
     )
@@ -336,7 +372,6 @@ def minhash_lsh_pairs(
             "doc_b",
             F.round(agree / F.lit(float(n_hashes)), 4).alias("est_sim"),
         )
-        .filter(F.col("est_sim") >= min_est_sim)
     )
 
 
@@ -446,3 +481,167 @@ def dedup_components(
             break
         prev = cur
     return labels.select("node", F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup against a persisted signature index.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class IncrementalDedupResult:
+    """Outcome of one incremental batch: the surviving docs, the drop
+    breakdown, and the committed index version."""
+
+    kept: DataFrame
+    n_new: int  # fresh (never-indexed) docs in this batch
+    n_dup_vs_history: int  # fresh docs dominated by an indexed doc
+    n_dup_within: int  # fresh docs dominated only within this batch
+    index_version: int
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store,
+    index_table: str = "minhash_sig_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> IncrementalDedupResult:
+    """Dedup a NEW batch of documents against the full historical
+    corpus — without rescanning the corpus. The history lives as a
+    MinHash signature index in the versioned store
+    (pipeline/store.py:write_version): ~`n_hashes` int64s per document
+    ever seen, ~one millionth of a 100 TB corpus's text. Each call
+
+    1. signs the new batch (the only pass over raw text),
+    2. drops every new doc that is LSH-similar (est_sim >= threshold)
+       to an already-indexed doc OR to a smaller-id doc in the same
+       batch, and
+    3. commits the union index as the next version (monotone).
+
+    Semantics — the order-free "dominated" rule: a doc is dropped iff
+    some banded-LSH candidate pairing matches it with a SMALLER-id doc
+    at est_sim >= threshold, whether or not that smaller doc itself
+    survived. Because domination is pairwise (not keep-chain
+    dependent), batch-by-batch processing is EQUIVALENT to one global
+    dedup of the concatenated corpus, provided (a) doc ids are
+    monotone across batches — later batches carry larger ids, the
+    reference's own incremental contract (etl_pipeline.py:125-132
+    consumes strictly-new rows) — and (b) no band bucket exceeds the
+    candidate cap (the cap only binds on floods of near-identical
+    docs, where both forms chain the flood to one survivor anyway).
+    tests/test_incremental_dedup.py pins the two-batch ≡ global
+    property, replay idempotence, and index-version monotonicity.
+
+    Replay safety: already-indexed ids are filtered out up front, so
+    re-running a committed batch keeps nothing, writes nothing, and
+    leaves the version unchanged. Documents too short to shingle have
+    a NULL signature row in the index (they can never near-dup
+    anything, but must be remembered or a replay would re-emit them).
+
+    Scale shape: the index is never rescanned as text and never
+    shuffled in full — its band memberships are computed in-row from
+    the signature scan, then cut down with a left-semi join against
+    the new batch's (band, bucket) set (broadcast under AQE whenever
+    the daily slice is small) BEFORE the only cross-history equi-join.
+    Within-batch work is the standard single-shuffle banded dataflow.
+    """
+    sig_cols = [f"mh_{i}" for i in range(n_hashes)]
+    new_ids = new_docs.select(id_col).distinct()
+    current = store.current_version(index_table)
+    hist = store.read_version(index_table) if current is not None else None
+    fresh_ids = (
+        new_ids.join(hist.select(id_col), id_col, "left_anti")
+        if hist is not None
+        else new_ids
+    )
+    sig_new = minhash_signatures(
+        new_docs.join(fresh_ids, id_col, "left_semi"),
+        id_col,
+        text_col,
+        n_hashes,
+        shingle_n,
+        portable,
+    )
+    # Left join, not the signature frame alone: shingle-less docs have
+    # no signature row but still need an index entry (NULL sigs).
+    fresh_sig = fresh_ids.join(sig_new, id_col, "left").localCheckpoint(
+        eager=True
+    )
+    n_new = fresh_sig.count()
+    if n_new == 0:
+        return IncrementalDedupResult(
+            kept=new_docs.limit(0),
+            n_new=0,
+            n_dup_vs_history=0,
+            n_dup_within=0,
+            index_version=current if current is not None else 0,
+        )
+
+    new_memb = _band_memberships(fresh_sig, id_col, n_hashes, bands, portable)
+    dropped_hist = None
+    if hist is not None:
+        hist_memb = _band_memberships(hist, id_col, n_hashes, bands, portable)
+        hot = new_memb.select("band", "bucket").distinct()
+        # Cut history down to buckets the new batch actually touches
+        # BEFORE any join that would shuffle it.
+        hist_hits = hist_memb.join(hot, ["band", "bucket"], "left_semi")
+        cand_hist = (
+            hist_hits.select("band", "bucket", F.col(id_col).alias("doc_a"))
+            .join(
+                new_memb.select("band", "bucket", F.col(id_col).alias("doc_b")),
+                ["band", "bucket"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))  # monotone-id guard
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        dropped_hist = (
+            _pair_est_sim(cand_hist, hist, fresh_sig, id_col, n_hashes)
+            .filter(F.col("est_sim") >= threshold)
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    dropped_within = (
+        _pair_est_sim(
+            _bucket_candidates(new_memb, id_col),
+            fresh_sig,
+            fresh_sig,
+            id_col,
+            n_hashes,
+        )
+        .filter(F.col("est_sim") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if dropped_hist is not None:
+        dropped = dropped_within.unionByName(dropped_hist).distinct()
+        n_hist = dropped_hist.count()
+        n_within = dropped_within.join(dropped_hist, id_col, "left_anti").count()
+    else:
+        dropped = dropped_within
+        n_hist = 0
+        n_within = dropped_within.count()
+    kept = new_docs.join(fresh_ids, id_col, "left_semi").join(
+        dropped, id_col, "left_anti"
+    )
+    index_df = (
+        hist.select(id_col, *sig_cols).unionByName(
+            fresh_sig.select(id_col, *sig_cols)
+        )
+        if hist is not None
+        else fresh_sig.select(id_col, *sig_cols)
+    )
+    version = store.write_version(index_df, index_table)
+    return IncrementalDedupResult(
+        kept=kept,
+        n_new=n_new,
+        n_dup_vs_history=n_hist,
+        n_dup_within=n_within,
+        index_version=version,
+    )

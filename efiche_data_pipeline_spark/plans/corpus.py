@@ -699,36 +699,59 @@ SELECT term, doc_id, tf, tfidf FROM ranked WHERE rn <= 10
 
 # ---------------------------------------------------------------------------
 # Q92 — semi-join with an explicit Bloom prefilter (the runtime-filter
-# pattern): build a 256 Kbit / 2-hash Bloom bitmap over the DISTINCT
-# urgent-order customer keys (4096 packed int64 words → one broadcast
-# MAP row), drop non-members of the probe side MAP-SIDE, then run the
-# exact left-semi join to remove the Bloom's false positives.  Blooms
-# have no false negatives with deterministic hashes, so the result is
-# ≡ the plain EXISTS semi-join — which is exactly what the oracle
-# checks (any bug that drops a true member breaks the hash).  At
-# 100 TB this is the shape AQE's runtime row-filters automate: the
-# 32 KB bitmap rides the broadcast instead of the full key set, and
-# the probe-side scan discards ~99% of rows before the shuffle.
+# pattern): build a 2-hash Bloom bitmap over the DISTINCT urgent-order
+# customer keys (packed int64 words → one broadcast MAP row), drop
+# non-members of the probe side MAP-SIDE, then run the exact left-semi
+# join to remove the Bloom's false positives.  Blooms have no false
+# negatives with deterministic hashes, so the result is ≡ the plain
+# EXISTS semi-join — which is exactly what the oracle checks (any bug
+# that drops a true member breaks the hash).  At 100 TB this is the
+# shape AQE's runtime row-filters automate: the KB-scale bitmap rides
+# the broadcast instead of the full key set, and the probe-side scan
+# discards ~99% of rows before the shuffle.
+#
+# SIZING (r05, closes the r04 scale watch-item): a FIXED 256 Kbit map
+# saturates around ~160k build keys (2-hash FP ≈ 50%) and degrades to
+# a pass-through prefilter — correct but useless.  Bits are now sized
+# from an estimated build-side NDV (one approx_count_distinct partial
+# aggregate — the estimate only steers a performance knob, never the
+# result, so HLL's engine-privacy doesn't matter here) at
+# _BLOOM_BITS_PER_KEY ≈ 19 bits/key → ~1% FP with 2 hashes, rounded
+# up to a power of two between the 256 Kbit floor and a 16 Mbit
+# broadcast-budget cap (2 MB bitmap; only SET words are stored, ≤ 2
+# entries/key, so the map never exceeds ~min(bits/64, 2·ndv) words).
+# Beyond the cap the FP rate rises again — by then a shuffled semi-
+# join (or AQE's own runtime filter) is the right tool and the exact
+# verify join still guarantees correctness.
 # ---------------------------------------------------------------------------
-_BLOOM_BITS = 1 << 18  # 262144 bits = 4096 int64 words = 32 KB
+_BLOOM_MIN_BITS = 1 << 18  # 262144 bits = 4096 int64 words = 32 KB
+_BLOOM_MAX_BITS = 1 << 24  # broadcast budget: 2 MB bitmap
+_BLOOM_BITS_PER_KEY = 19  # with k=2 hashes: FP = (1-e^(-2/19))^2 ≈ 1%
 _BLOOM_SEEDS = (0, 1)
 
 
-def q92_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    urgent = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
-    )
-    pos = urgent.select(
+def _bloom_bits_for_ndv(ndv: int) -> int:
+    """Power-of-two bit count targeting ~1% FP at ``ndv`` keys,
+    clamped to [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]."""
+    want = max(_BLOOM_MIN_BITS, int(ndv) * _BLOOM_BITS_PER_KEY)
+    return min(1 << (want - 1).bit_length(), _BLOOM_MAX_BITS)
+
+
+def bloom_prefilter(
+    probe: DataFrame, probe_key: str, build_keys: DataFrame, bits: int
+) -> DataFrame:
+    """Rows of ``probe`` whose ``probe_key`` MIGHT be in ``build_keys``
+    (single column ``k``): no false negatives, FP rate set by ``bits``.
+    The bitmap is built with one aggregate over the build side and
+    broadcast as a single map row; the membership test is pure
+    map-side expression work on the probe scan."""
+    pos = build_keys.select(
         F.explode(
             F.array(
                 *[
                     F.pmod(
                         portable_chunk_hash(F.col("k").cast("string"), s),
-                        F.lit(_BLOOM_BITS),
+                        F.lit(bits),
                     )
                     for s in _BLOOM_SEEDS
                 ]
@@ -748,20 +771,34 @@ def q92_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom")
         )
     )
-    probe = c.crossJoin(F.broadcast(bloom))
     conds = []
     for s in _BLOOM_SEEDS:
         p = F.pmod(
-            portable_chunk_hash(F.col("c_custkey").cast("string"), s),
-            F.lit(_BLOOM_BITS),
+            portable_chunk_hash(F.col(probe_key).cast("string"), s),
+            F.lit(bits),
         )
         word = F.element_at(F.col("bloom"), F.shiftright(p, 6))
         conds.append(
             F.coalesce(F.getbit(word, p.bitwiseAND(F.lit(63))), F.lit(0)) == 1
         )
-    prefiltered = probe.filter(conds[0] & conds[1]).select(
-        "c_custkey", "c_name", "c_mktsegment"
+    return (
+        probe.crossJoin(F.broadcast(bloom))
+        .filter(conds[0] & conds[1])
+        .drop("bloom")
     )
+
+
+def q92_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent_scan = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    ndv = urgent_scan.agg(
+        F.approx_count_distinct("o_custkey").alias("ndv")
+    ).first()["ndv"]
+    urgent = urgent_scan.select(F.col("o_custkey").alias("k")).distinct()
+    prefiltered = bloom_prefilter(
+        c, "c_custkey", urgent, _bloom_bits_for_ndv(ndv)
+    ).select("c_custkey", "c_name", "c_mktsegment")
     return prefiltered.join(
         urgent, prefiltered["c_custkey"] == urgent["k"], "left_semi"
     )
@@ -1278,6 +1315,271 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
 FROM feat
 """
+
+
+# ---------------------------------------------------------------------------
+# Q101 / Q102 — the 100 TB SCALE TWINS of the two exact-distinct
+# profilers (q87 orders profile, q100 dataset card).  The exact forms
+# plan a 6-way (resp. 3-way) distinct Expand that shuffles full-width
+# values; at 100 TB that exchange is the bottleneck (documented in
+# docs/PLAN_AUDIT.md since r04).  These twins swap every
+# COUNT(DISTINCT) for the deterministic KMV bottom-k sketch
+# (operators/sketch.py): values are canonicalized to engine-identical
+# strings, hashed to 60-bit md5-derived ints, and only 8-byte hashes
+# ever enter an exchange — map-side partial-distinct first, then a
+# WindowGroupLimit-capped bottom-k of O(groups x k) rows.  Unlike
+# approx_count_distinct (HLL, engine-private), the KMV estimator is a
+# handful of IEEE double ops DuckDB replays bit-for-bit — an
+# approximate operator with an EXACT correctness gate.  Estimates are
+# exact below k=64 distinct values; above, standard error ~ 1/sqrt(62)
+# (tests/test_sketch.py bounds the error vs the exact q87/q100).
+#
+# Canonicalization notes (must render identically in both engines):
+# bigints via CAST AS STRING; o_totalprice at CENT precision via
+# CAST(ROUND(x*100) AS BIGINT) — double-to-string scientific-notation
+# thresholds differ across engines, integer cents do not (TPC-H prices
+# are cent-quantized, so this is injective on real data); timestamps
+# via CAST AS STRING ('yyyy-MM-dd HH:mm:ss' in both engines).
+# ---------------------------------------------------------------------------
+_PROFILE_KMV_K = 64
+_PROFILE_CANON = {
+    "o_orderkey": "CAST(o_orderkey AS STRING)",
+    "o_custkey": "CAST(o_custkey AS STRING)",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING)",
+    "o_orderdate": "CAST(o_orderdate AS STRING)",
+    "o_orderpriority": "o_orderpriority",
+}
+
+
+def q101_orders_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_distinct
+
+    o = load_table(spark, sf_dir, "orders")
+    pairs = ", ".join(f"'{c}', {e}" for c, e in _PROFILE_CANON.items())
+    unp = o.select(
+        F.expr(
+            f"stack({len(_PROFILE_CANON)}, {pairs}) as (column_name, val)"
+        )
+    )
+    nulls = unp.groupBy("column_name").agg(
+        F.sum(F.col("val").isNull().cast("long")).alias("n_nulls")
+    )
+    est = kmv_distinct(
+        unp.filter(F.col("val").isNotNull()),
+        ["column_name"],
+        "val",
+        k=_PROFILE_KMV_K,
+    )
+    return nulls.join(est, "column_name", "left").select(
+        "column_name",
+        "n_nulls",
+        F.coalesce(F.col("kmv_estimate"), F.lit(0)).cast("long").alias(
+            "n_distinct_est"
+        ),
+    )
+
+
+def _profile_kmv_oracle() -> str:
+    from ..operators.sketch import oracle_kmv_sql
+
+    canon_duck = {
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+        "o_orderdate": "CAST(o_orderdate AS VARCHAR)",
+        "o_orderpriority": "o_orderpriority",
+    }
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS column_name, {e} AS val FROM orders"
+        for c, e in canon_duck.items()
+    )
+    kmv = oracle_kmv_sql(
+        "(SELECT * FROM unp WHERE val IS NOT NULL)",
+        "column_name",
+        "val",
+        _PROFILE_KMV_K,
+    )
+    return f"""
+WITH unp AS (
+{unions}
+),
+nulls AS (
+    SELECT column_name,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls
+    FROM unp GROUP BY 1
+),
+approx AS ({kmv})
+SELECT n.column_name, n.n_nulls,
+       CAST(COALESCE(a.kmv_estimate, 0) AS BIGINT) AS n_distinct_est
+FROM nulls n LEFT JOIN approx a ON n.column_name = a.g
+"""
+
+
+ORACLES["q101_orders_profile_kmv"] = _profile_kmv_oracle()
+
+
+def q102_dataset_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.md5("text").alias("fp"),
+        "source",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    kinds = feat.select(
+        F.expr("stack(3, 'fp', fp, 'source', source, 'lang', lang) as (kind, val)")
+    )
+    est = kmv_distinct(kinds, ["kind"], "val", k=_PROFILE_KMV_K)
+    one = est.agg(
+        *[
+            F.max(F.when(F.col("kind") == k_, F.col("kmv_estimate")))
+            .cast("long")
+            .alias(a)
+            for k_, a in (
+                ("fp", "n_unique_texts_est"),
+                ("source", "n_sources_est"),
+                ("lang", "n_langs_est"),
+            )
+        ]
+    )
+    exact = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        (F.sum("n_chars") / F.sum("n_tokens")).alias("chars_per_token"),
+    )
+    return exact.crossJoin(F.broadcast(one)).select(
+        "n_docs",
+        "n_unique_texts_est",
+        "n_sources_est",
+        "n_langs_est",
+        "total_tokens",
+        "total_chars",
+        "min_doc_tokens",
+        "max_doc_tokens",
+        "chars_per_token",
+    )
+
+
+def _card_sketch_oracle() -> str:
+    from ..operators.sketch import oracle_kmv_sql
+
+    kmv = oracle_kmv_sql("kinds", "kind", "val", _PROFILE_KMV_K)
+    return f"""
+WITH feat AS (
+    SELECT md5(text) AS fp, source, lang,
+           length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+),
+kinds AS (
+    SELECT 'fp' AS kind, fp AS val FROM feat
+    UNION ALL SELECT 'source', source FROM feat
+    UNION ALL SELECT 'lang', lang FROM feat
+),
+approx AS ({kmv}),
+one AS (
+    SELECT
+        CAST(MAX(CASE WHEN g = 'fp' THEN kmv_estimate END) AS BIGINT)
+            AS n_unique_texts_est,
+        CAST(MAX(CASE WHEN g = 'source' THEN kmv_estimate END) AS BIGINT)
+            AS n_sources_est,
+        CAST(MAX(CASE WHEN g = 'lang' THEN kmv_estimate END) AS BIGINT)
+            AS n_langs_est
+    FROM approx
+),
+exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+    FROM feat
+)
+SELECT n_docs, n_unique_texts_est, n_sources_est, n_langs_est,
+       total_tokens, total_chars, min_doc_tokens, max_doc_tokens,
+       chars_per_token
+FROM exact CROSS JOIN one
+"""
+
+
+ORACLES["q102_dataset_card_sketch"] = _card_sketch_oracle()
+
+
+
+# ---------------------------------------------------------------------------
+# Q103 — INCREMENTAL near-dup dedup against a persisted signature
+# index (operators/dedup.py:incremental_minhash_dedup): the fixture
+# corpus is split by doc-id midpoint into two "daily" batches, each
+# run through the incremental operator against a fresh versioned
+# store. Batch 2 is deduped against batch 1 WITHOUT rescanning batch
+# 1's text — only its committed MinHash index. Because the dominated
+# rule is order-free, the union of the two batches' kept sets must
+# equal one GLOBAL LSH dedup of the whole corpus, which is exactly
+# what the oracle computes (the q28 pipeline replayed in DuckDB, its
+# est_sim >= τ pairs' doc_b side removed). The monotone index-version
+# contract is asserted in-line.
+# ---------------------------------------------------------------------------
+_INC_DEDUP_SIM = 0.5
+
+
+def q103_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import incremental_minhash_dedup
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = Store(spark, tempfile.mkdtemp(prefix="efiche_incdedup_"))
+    r1 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") <= split),
+        store,
+        threshold=_INC_DEDUP_SIM,
+        portable=True,
+    )
+    r2 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") > split),
+        store,
+        threshold=_INC_DEDUP_SIM,
+        portable=True,
+    )
+    assert r2.index_version > r1.index_version, "index version must grow"
+    return r1.kept.select(
+        "doc_id", F.lit(1).cast("int").alias("batch")
+    ).unionByName(r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch")))
+
+
+def _inc_dedup_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    return f"""
+WITH pairs AS ({lsh}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+s AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS split FROM documents)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id <= s.split THEN 1 ELSE 2 END AS INTEGER) AS batch
+FROM documents d CROSS JOIN s
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+ORACLES["q103_incremental_minhash_dedup"] = _inc_dedup_oracle()
+
 
 
 QUERIES = {

@@ -46,15 +46,63 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# ROUND 4 rotation (executes VERDICT r03 Next #2): the r03 priority
-# block (q36-q38, q54-q67) landed green driver rows, so it rotates to
-# the tail; the never-driver-verified q68-q82 move to the front, along
-# with the three queries that just gained driver-checkable oracles
-# (q28/q30/q41 — `no_oracle` for three rounds) and q64, whose oracle
-# type drift (HUGEINT→float64 vs int64) was fixed this round and must
-# re-verify. New round-4 queries are appended to the priority block as
-# they land (no driver row exists yet by definition).
+# ROUND 5 rotation (executes VERDICT r04 Next #2 — freshness): the
+# whole r04 priority block (q64, q28/q30/q41, q68-q100) landed 50/50
+# green driver rows in CORRECTNESS_r04.json and rotates to the tail.
+# Front of the window, in order of need:
+#   1. round-5 additions (no driver row exists yet by definition):
+#      incremental index dedup q103, KMV scale-twins q101/q102;
+#   2. the 17 queries whose newest driver row dates from r01/r02 —
+#      oldest verification first, so no green row is ever >3 rounds
+#      stale;
+#   3. the r03-green block, whose rows would otherwise age past 2
+#      rounds this round.
+# That fills 36 of the 50 driver slots; _MIDDLE (all r04-green, in
+# numeric order) supplies the remaining 14.
 _DRIVER_PRIORITY = [
+    # round-5 additions:
+    "q103_incremental_minhash_dedup",
+    "q101_orders_profile_kmv",
+    "q102_dataset_card_sketch",
+    # stale r01/r02 rows (refresh):
+    "q05_pct_of_total_by_priority",
+    "q06_conditional_agg_by_nation",
+    "q08_loyal_customers_having",
+    "q10_urgent_customers_semi_join",
+    "q11_no_urgent_anti_join",
+    "q14_dim_time_from_orders",
+    "q15_json_extract_events",
+    "q16_explode_part_tokens",
+    "q17_union_all_counts",
+    "q18_topk_orders",
+    "q19_global_ratio_agg",
+    "q20_acctbal_buckets",
+    "q21_weekend_orders",
+    "q23_segment_priority_mv",
+    "q25_bow_fingerprint_dedup",
+    "q52_grouping_sets",
+    "q53_doc_chunks",
+    # r03-green block (keep rows <=2 rounds old):
+    "q36_wh_monthly_encounters",
+    "q37_wh_procedure_volume",
+    "q38_wh_diagnosis_by_age_group",
+    "q54_top_bigrams",
+    "q55_salted_supplier_revenue",
+    "q56_train_val_test_split",
+    "q57_neardup_components",
+    "q58_stratified_sample",
+    "q59_moving_avg_revenue",
+    "q60_customer_revenue_deciles",
+    "q61_media_frames",
+    "q62_scd2_dim_customer",
+    "q63_cdc_latest_state",
+    "q65_pii_redaction",
+    "q66_benchmark_decontamination",
+    "q67_repetition_metrics",
+]
+_ROTATED_OUT = [
+    # r04-green block (50/50 in CORRECTNESS_r04.json; still
+    # differentially oracle-checked every pytest run):
     "q64_sequence_packing",
     "q28_minhash_lsh_pairs",
     "q30_knn_ivf",
@@ -74,7 +122,6 @@ _DRIVER_PRIORITY = [
     "q80_price_histogram",
     "q81_fuzzy_part_names",
     "q82_events_sliding_window",
-    # round-4 additions (plans/corpus.py) — no driver row exists yet:
     "q83_winnowing_fingerprints",
     "q84_weighted_order_sample",
     "q85_part_pagerank",
@@ -93,44 +140,6 @@ _DRIVER_PRIORITY = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
-]
-_ROTATED_OUT = [
-    # r01/r02-green block (rotated out since r03):
-    "q05_pct_of_total_by_priority",
-    "q06_conditional_agg_by_nation",
-    "q08_loyal_customers_having",
-    "q10_urgent_customers_semi_join",
-    "q11_no_urgent_anti_join",
-    "q14_dim_time_from_orders",
-    "q15_json_extract_events",
-    "q16_explode_part_tokens",
-    "q17_union_all_counts",
-    "q18_topk_orders",
-    "q19_global_ratio_agg",
-    "q20_acctbal_buckets",
-    "q21_weekend_orders",
-    "q23_segment_priority_mv",
-    "q25_bow_fingerprint_dedup",
-    "q52_grouping_sets",
-    "q53_doc_chunks",
-    # r03-green block (driver rows in CORRECTNESS_r03.json; still
-    # differentially oracle-checked every pytest run):
-    "q36_wh_monthly_encounters",
-    "q37_wh_procedure_volume",
-    "q38_wh_diagnosis_by_age_group",
-    "q54_top_bigrams",
-    "q55_salted_supplier_revenue",
-    "q56_train_val_test_split",
-    "q57_neardup_components",
-    "q58_stratified_sample",
-    "q59_moving_avg_revenue",
-    "q60_customer_revenue_deciles",
-    "q61_media_frames",
-    "q62_scd2_dim_customer",
-    "q63_cdc_latest_state",
-    "q65_pii_redaction",
-    "q66_benchmark_decontamination",
-    "q67_repetition_metrics",
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT

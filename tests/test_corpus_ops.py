@@ -441,3 +441,43 @@ def test_q89_digitless_source_null_rate_matches_oracle(spark):
     assert_frames_match(got, want, "q89_digitless")
     row = got.set_index("source").loc["web"]
     assert pd.isna(row["rate_ppm"]) and pd.isna(row["n_sampled"])
+
+
+def test_bloom_bits_scale_with_ndv():
+    from efiche_data_pipeline_spark.plans.corpus import (
+        _BLOOM_MAX_BITS,
+        _BLOOM_MIN_BITS,
+        _bloom_bits_for_ndv,
+    )
+
+    assert _bloom_bits_for_ndv(1_000) == _BLOOM_MIN_BITS  # floor
+    assert _bloom_bits_for_ndv(300_000) == 1 << 23  # 19 bits/key, pow2
+    assert _bloom_bits_for_ndv(10_000_000) == _BLOOM_MAX_BITS  # cap
+
+
+def test_bloom_prefilter_ndv_sizing_stays_selective_and_fn_free(spark):
+    """~300k build keys SATURATE a fixed 256-Kbit bloom (2-hash FP
+    ~ 80% — the r04 scale watch-item); NDV sizing keeps FP ~ 1%.
+    Either way the filter must pass every true member (no false
+    negatives — that is what keeps the exact verify join sound)."""
+    from efiche_data_pipeline_spark.plans.corpus import (
+        _BLOOM_MIN_BITS,
+        _bloom_bits_for_ndv,
+        bloom_prefilter,
+    )
+
+    n = 300_000
+    build = spark.range(n).select(F.col("id").alias("k"))
+    non_members = spark.range(n, 2 * n).select(F.col("id").alias("ck"))
+    bits = _bloom_bits_for_ndv(n)
+    assert bits > _BLOOM_MIN_BITS
+    fp_sized = bloom_prefilter(non_members, "ck", build, bits).count() / n
+    assert fp_sized < 0.05, fp_sized
+    fp_fixed = (
+        bloom_prefilter(non_members, "ck", build, _BLOOM_MIN_BITS).count() / n
+    )
+    assert fp_fixed > 0.5, fp_fixed  # the degradation NDV sizing fixes
+    members = spark.range(0, n, 37).select(F.col("id").alias("ck"))
+    assert (
+        bloom_prefilter(members, "ck", build, bits).count() == members.count()
+    )

@@ -1,0 +1,159 @@
+"""Incremental MinHash dedup against a persisted signature index
+(operators/dedup.py:incremental_minhash_dedup) — the properties the
+operator advertises, beyond the q103 oracle differential:
+
+- two-batch incremental ≡ one global LSH dedup of the union (the
+  dominated rule is order-free under monotone ids);
+- a new doc near-duplicating a HISTORICAL doc is dropped without the
+  historical corpus text ever being rescanned (only its index);
+- replaying a committed batch keeps nothing, writes nothing, and
+  leaves the index version unchanged;
+- the index version grows monotonically and indexes every id seen,
+  including documents too short to shingle (which must be remembered
+  or a replay would re-emit them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_lsh_pairs,
+)
+from efiche_data_pipeline_spark.pipeline.store import Store
+
+_TAU = 0.5
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the late afternoon sun"
+)
+_OTHER = (
+    "completely unrelated content about distributed query engines "
+    "shuffling partitioned columnar data across many executor nodes"
+)
+_THIRD = (
+    "yet another entirely different document discussing gardening "
+    "tips for tomatoes basil peppers and other summer vegetables"
+)
+
+
+def _corpus(spark):
+    """ids 0..5: 0≈1 (within batch 1), 2 unique, 3≈0 (cross-batch),
+    4 unique, 5≈4 (within batch 2). Split at id <= 2."""
+    return _docs(
+        spark,
+        [
+            (0, _BASE),
+            (1, _BASE + " extra"),
+            (2, _OTHER),
+            (3, _BASE + " tail"),
+            (4, _THIRD),
+            (5, _THIRD + " appended"),
+        ],
+    )
+
+
+def _global_kept_ids(docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=_TAU
+    )
+    dropped = {r["doc_b"] for r in pairs.collect()}
+    return {r["doc_id"] for r in docs.collect()} - dropped
+
+
+def test_two_batch_equals_global_dedup(spark, tmp_path):
+    docs = _corpus(spark)
+    store = Store(spark, str(tmp_path / "idx"))
+    r1 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") <= 2), store, threshold=_TAU
+    )
+    r2 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") > 2), store, threshold=_TAU
+    )
+    kept = {r["doc_id"] for r in r1.kept.collect()} | {
+        r["doc_id"] for r in r2.kept.collect()
+    }
+    assert kept == _global_kept_ids(docs)
+    # sanity on the planted shape: 1 within-batch dup in each batch,
+    # one cross-history dup in batch 2
+    assert r1.n_dup_within == 1 and r1.n_dup_vs_history == 0
+    assert r2.n_dup_vs_history == 1  # doc 3 vs indexed doc 0
+    assert r2.n_dup_within == 1  # doc 5 vs doc 4
+
+
+def test_two_batch_equals_global_on_fixture(spark, tmp_path):
+    from .conftest import SMOKE_SF_DIR
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = Store(spark, str(tmp_path / "idx"))
+    r1 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") <= split), store, threshold=_TAU
+    )
+    r2 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") > split), store, threshold=_TAU
+    )
+    kept = {r["doc_id"] for r in r1.kept.collect()} | {
+        r["doc_id"] for r in r2.kept.collect()
+    }
+    assert kept == _global_kept_ids(docs)
+
+
+def test_replay_is_noop(spark, tmp_path):
+    docs = _corpus(spark)
+    store = Store(spark, str(tmp_path / "idx"))
+    b2 = docs.filter(F.col("doc_id") > 2)
+    incremental_minhash_dedup(docs.filter(F.col("doc_id") <= 2), store)
+    r2 = incremental_minhash_dedup(b2, store)
+    v_before = store.current_version("minhash_sig_index")
+    replay = incremental_minhash_dedup(b2, store)
+    assert replay.n_new == 0
+    assert replay.kept.count() == 0
+    assert replay.index_version == v_before == r2.index_version
+    assert store.current_version("minhash_sig_index") == v_before
+
+
+def test_version_monotone_and_index_complete(spark, tmp_path):
+    docs = _corpus(spark)
+    store = Store(spark, str(tmp_path / "idx"))
+    r1 = incremental_minhash_dedup(docs.filter(F.col("doc_id") <= 2), store)
+    r2 = incremental_minhash_dedup(docs.filter(F.col("doc_id") > 2), store)
+    assert r2.index_version > r1.index_version
+    idx = store.read_version("minhash_sig_index")
+    # every id ever seen is indexed — kept AND dropped (domination is
+    # by any smaller doc, not only surviving ones)
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == set(range(6))
+
+
+def test_shingleless_doc_kept_once_and_remembered(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "idx"))
+    b1 = _docs(spark, [(0, _BASE), (1, "too short")])
+    r1 = incremental_minhash_dedup(b1, store)
+    assert {r["doc_id"] for r in r1.kept.collect()} == {0, 1}
+    replay = incremental_minhash_dedup(b1, store)
+    assert replay.n_new == 0 and replay.kept.count() == 0
+    # and the NULL-signature row can never pollute candidate pairs
+    b2 = _docs(spark, [(2, "also short")])
+    r2 = incremental_minhash_dedup(b2, store)
+    assert {r["doc_id"] for r in r2.kept.collect()} == {2}
+    assert r2.n_dup_vs_history == 0
+
+
+def test_dropped_doc_still_dominates_future_batches(spark, tmp_path):
+    """Doc 1 is dropped as a dup of doc 0; doc 10 (batch 2) is similar
+    to BOTH. The dominated rule drops 10 regardless of 1's fate —
+    which requires the index to retain DROPPED docs' signatures."""
+    store = Store(spark, str(tmp_path / "idx"))
+    incremental_minhash_dedup(_docs(spark, [(0, _BASE), (1, _BASE + " x")]), store)
+    r2 = incremental_minhash_dedup(_docs(spark, [(10, _BASE + " y")]), store)
+    assert r2.kept.count() == 0
+    assert r2.n_dup_vs_history == 1

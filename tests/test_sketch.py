@@ -58,3 +58,63 @@ def test_kmv_partition_independent(spark):
         map(tuple, kmv_distinct(df.coalesce(1), ["g"], "v", k=64).collect())
     )
     assert a == b == c
+
+
+def test_q101_estimates_bounded_vs_exact_q87(spark):
+    """The KMV scale-twin's per-column distinct estimates must stay
+    within the sketch's error envelope of the exact q87 profile
+    (k=64 -> SE ~ 12.7%; 3-sigma bound 40%), and be EXACT for columns
+    with fewer than k distinct values."""
+    from efiche_data_pipeline_spark.plans.corpus import (
+        _PROFILE_KMV_K,
+        q87_orders_profile,
+        q101_orders_profile_kmv,
+    )
+    from .conftest import SF_DIR
+
+    exact = {
+        r["column_name"]: r["n_distinct"]
+        for r in q87_orders_profile(spark, SF_DIR).collect()
+    }
+    est = {
+        r["column_name"]: r["n_distinct_est"]
+        for r in q101_orders_profile_kmv(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for col, n in exact.items():
+        if n < _PROFILE_KMV_K:
+            assert est[col] == n, (col, est[col], n)
+        else:
+            assert abs(est[col] - n) <= 0.4 * n, (col, est[col], n)
+
+
+def test_q102_estimates_bounded_vs_exact_q100(spark):
+    from efiche_data_pipeline_spark.plans.corpus import (
+        _PROFILE_KMV_K,
+        q100_dataset_card,
+        q102_dataset_card_sketch,
+    )
+    from .conftest import SF_DIR
+
+    exact = q100_dataset_card(spark, SF_DIR).first()
+    est = q102_dataset_card_sketch(spark, SF_DIR).first()
+    # exact aggregates are shared verbatim
+    for c in (
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "min_doc_tokens",
+        "max_doc_tokens",
+        "chars_per_token",
+    ):
+        assert est[c] == exact[c]
+    for est_col, exact_col in (
+        ("n_unique_texts_est", "n_unique_texts"),
+        ("n_sources_est", "n_sources"),
+        ("n_langs_est", "n_langs"),
+    ):
+        n = exact[exact_col]
+        if n < _PROFILE_KMV_K:
+            assert est[est_col] == n, (est_col, est[est_col], n)
+        else:
+            assert abs(est[est_col] - n) <= 0.4 * n, (est_col, est[est_col], n)
