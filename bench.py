@@ -53,6 +53,11 @@ HEADLINE = (
     "q83_winnowing_fingerprints",
     "q85_part_pagerank",
     "q93_content_defined_chunks",
+    # round-5 additions: incremental index dedup (two batches vs a
+    # versioned MinHash index, incl. store round-trips) and the KMV
+    # sketch profiler (the 100 TB form of the multi-distinct Expand)
+    "q103_incremental_minhash_dedup",
+    "q101_orders_profile_kmv",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an
@@ -83,6 +88,19 @@ def main() -> None:
                 QUERIES[name](spark, "/root/testdata/sf0.001").collect()
             except Exception:
                 pass  # warm-up is best-effort; the timed run will report
+
+    # First-entry discipline (r05): the sf0.001 codegen warm-up above
+    # does not warm the FULL-SCALE path (C2 JIT tiers, large-scan task
+    # setup, shuffle buffer pools are all sized by the first big run),
+    # and r04 measured the first timed entry (q01) +34% with UNCHANGED
+    # code purely from that position. One throwaway full-scale rep of
+    # the first headline entry absorbs it; every later entry is warmed
+    # by its predecessors.
+    try:
+        QUERIES[HEADLINE[0]](spark, SF_DIR).collect()
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 
     from efiche_data_pipeline_spark.plans.pipeline_queries import warehouse_store
 

@@ -489,13 +489,19 @@ def dedup_components(
 @dataclass(frozen=True)
 class IncrementalDedupResult:
     """Outcome of one incremental batch: the surviving docs, the drop
-    breakdown, and the committed index version."""
+    breakdown, and the committed index version. With ``commit=False``
+    the union index is returned in ``index_df`` instead of being
+    written (``index_version`` then reports the still-current version)
+    — the hook that lets a streaming caller order its sink write
+    BEFORE the index commit for crash-safe exactly-once (see
+    streaming/dedup_stream.py)."""
 
     kept: DataFrame
     n_new: int  # fresh (never-indexed) docs in this batch
     n_dup_vs_history: int  # fresh docs dominated by an indexed doc
     n_dup_within: int  # fresh docs dominated only within this batch
     index_version: int
+    index_df: DataFrame | None = None  # only with commit=False
 
 
 def incremental_minhash_dedup(
@@ -509,6 +515,7 @@ def incremental_minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    commit: bool = True,
 ) -> IncrementalDedupResult:
     """Dedup a NEW batch of documents against the full historical
     corpus — without rescanning the corpus. The history lives as a
@@ -637,11 +644,20 @@ def incremental_minhash_dedup(
         if hist is not None
         else fresh_sig.select(id_col, *sig_cols)
     )
-    version = store.write_version(index_df, index_table)
+    if commit:
+        version = store.write_version(index_df, index_table)
+        return IncrementalDedupResult(
+            kept=kept,
+            n_new=n_new,
+            n_dup_vs_history=n_hist,
+            n_dup_within=n_within,
+            index_version=version,
+        )
     return IncrementalDedupResult(
         kept=kept,
         n_new=n_new,
         n_dup_vs_history=n_hist,
         n_dup_within=n_within,
-        index_version=version,
+        index_version=current if current is not None else 0,
+        index_df=index_df,
     )

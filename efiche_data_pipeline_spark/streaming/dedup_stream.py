@@ -1,0 +1,113 @@
+"""Streaming twin of the incremental index dedup
+(operators/dedup.py:incremental_minhash_dedup): document batches
+arrive as a file stream and each micro-batch is near-dup-deduped
+against the ever-growing MinHash signature index — the continuously-
+fed intake shape of a production training-data pipeline (new crawl
+drops land hourly; each is deduped against ALL history without
+rescanning history text).
+
+Exactly-once across failures, by WRITE ORDER not by luck:
+
+1. compute the batch's kept set and prospective index
+   (``commit=False`` — nothing persisted yet),
+2. append kept docs into the sink via the keyed ``append_new``
+   (id-absent rows only — a retried batch can't double-insert),
+3. commit the index version LAST.
+
+A crash before (3) means the retry sees history unchanged, recomputes
+the SAME deterministic kept set, finds those ids already in the sink
+(no-op append), and commits the index. A retry after (3) is the
+operator's own replay path: every id is already indexed, so nothing
+is kept and nothing is written. Either way sink and index converge to
+the single-run state. The stream≡batch invariant — union of per-batch
+kept sets ≡ one global LSH dedup of all files — holds under monotone
+doc ids (see the operator's dominated-rule docstring) and is pinned by
+tests/test_dedup_stream.py, including across a checkpoint restart.
+
+Scale note: per micro-batch, history contributes only an index scan
+cut down by a semi-join on the batch's band buckets; the raw-text
+pass, signature shuffle, and banded join are all O(batch), not
+O(corpus).
+
+Reference analogue: etl_pipeline.py:125-132 (incremental consumption
+of unprocessed rows) composed with its ON CONFLICT DO NOTHING insert
+(etl_pipeline.py:93-98) — re-expressed as a Structured Streaming
+foreachBatch over the versioned store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import incremental_minhash_dedup
+from ..pipeline.store import Store
+from .curation import stream_documents
+
+
+@dataclass(frozen=True)
+class StreamDedupReport:
+    n_batches: int
+    n_new: int
+    n_dropped: int
+    index_version: int
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store: Store,
+    checkpoint_dir: str,
+    kept_table: str = "dedup_kept_docs",
+    index_table: str = "minhash_sig_index",
+    max_files_per_trigger: int = 1,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> StreamDedupReport:
+    """availableNow consumption of parquet document files under
+    ``source_dir``: each micro-batch is deduped against the index and
+    within itself; survivors land in ``kept_table`` (id-keyed,
+    replay-safe), and the enlarged index is committed as the next
+    version. Returns the batch/drop tallies and the final version."""
+    totals = {"batches": 0, "new": 0, "dropped": 0}
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        totals["batches"] += 1
+        res = incremental_minhash_dedup(
+            batch.select("doc_id", "text"),
+            store,
+            index_table=index_table,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            bands=bands,
+            commit=False,
+        )
+        if res.n_new == 0:
+            return  # replayed batch: sink and index already converged
+        # Sink BEFORE index commit (see module docstring); the kept
+        # frame is consumed once here, then the index frame once —
+        # both derive from the operator's localCheckpointed signature
+        # scan, so neither re-runs the text pass.
+        store.append_new(res.kept.select("doc_id"), kept_table, key="doc_id")
+        store.write_version(res.index_df, index_table)
+        totals["new"] += res.n_new
+        totals["dropped"] += res.n_dup_vs_history + res.n_dup_within
+
+    q = (
+        stream_documents(spark, source_dir, max_files_per_trigger)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(dedup_batch)
+        .start()
+    )
+    q.awaitTermination()
+    v = store.current_version(index_table)
+    return StreamDedupReport(
+        n_batches=totals["batches"],
+        n_new=totals["new"],
+        n_dropped=totals["dropped"],
+        index_version=v if v is not None else 0,
+    )
