@@ -73,3 +73,15 @@ def test_q51_curation_single_dedup_exchange(spark):
     the gates filter BELOW it (rejected docs never shuffle)."""
     plan = _executed("q51_curation_pipeline", spark)
     assert "WindowGroupLimit" in plan  # keep-first rn=1 pushed
+
+
+def test_kmv_twins_use_bounded_sketch_plan(spark):
+    """q101/q102 exist to REMOVE the exact profilers' multi-distinct
+    Expand: the distinct estimate must ride the WindowGroupLimit-capped
+    bottom-k sketch, and no Expand may reappear."""
+    p101 = _executed("q101_orders_profile_kmv", spark)
+    assert "WindowGroupLimit" in p101
+    assert "Expand" not in p101
+    p102 = _executed("q102_dataset_card_sketch", spark)
+    assert "WindowGroupLimit" in p102
+    assert "Expand" not in p102
