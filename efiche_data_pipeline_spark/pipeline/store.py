@@ -143,17 +143,25 @@ class Store:
         w.parquet(self.path(table))
         self._log(table, "append")
 
-    def append_new(self, df: DataFrame, table: str, key: str) -> None:
+    def append_new(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Append only rows whose ``key`` is absent from the stored
         table — the reference's ``INSERT … ON CONFLICT (key) DO
         NOTHING`` (reference: etl_pipeline.py:93-98) as a left-anti
         join. ``df`` must be key-unique already (dropDuplicates
         upstream); existing-side scan reads only the key column
-        (column pruning keeps this cheap at scale)."""
+        (column pruning keeps this cheap at scale). ``partition_by``
+        lays new files under partition directories (readers with a
+        matching literal filter then prune at the directory level)."""
         if self.exists(table):
             existing = self.read(table).select(key)
             df = df.join(existing, key, "left_anti")
-        self.append(df, table)
+        self.append(df, table, partition_by=partition_by)
 
     def merge_upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
         """Keyed merge: rows matching on ``keys`` are replaced by their

@@ -1582,6 +1582,49 @@ ORACLES["q103_incremental_minhash_dedup"] = _inc_dedup_oracle()
 
 
 
+# ---------------------------------------------------------------------------
+# Q104 — INCREMENTAL IVF index build + query
+# (operators/similarity.py:ivf_index_append / ivf_index_query): the
+# fixture embeddings arrive as two "daily" batches appended to a
+# persisted, cell-PARTITIONED vector store under frozen pinned
+# centroids; the query probes nprobe=8 cells against the store with a
+# literal cell_id filter that prunes the scan at the directory level.
+# Because assignment depends only on (vector, frozen centroids), the
+# incremental index is provably identical to q30's one-shot build —
+# so the oracle IS q30's oracle, replayed verbatim.  The frozen-
+# centroid contract is asserted in-line.
+# ---------------------------------------------------------------------------
+def q104_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import ivf_index_append, ivf_index_query
+    from ..pipeline.store import Store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = Store(spark, tempfile.mkdtemp(prefix="efiche_ivf_"))
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    r1 = ivf_index_append(emb.filter(F.col("vec_id") <= split), store, centroids=pinned)
+    r2 = ivf_index_append(emb.filter(F.col("vec_id") > split), store)
+    assert r2.centroid_version == r1.centroid_version, "centroids must stay frozen"
+    return ivf_index_query(
+        store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=8
+    )
+
+
+def _ivf_inc_oracle() -> str:
+    from .extensions import ORACLES as EXT
+
+    return EXT["q30_knn_ivf"]
+
+
+ORACLES["q104_incremental_ivf_topk"] = _ivf_inc_oracle()
+
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

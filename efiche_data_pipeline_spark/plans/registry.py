@@ -62,6 +62,7 @@ ORACLES: dict[str, str] = {
 _DRIVER_PRIORITY = [
     # round-5 additions:
     "q103_incremental_minhash_dedup",
+    "q104_incremental_ivf_topk",
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
     # stale r01/r02 rows (refresh):

@@ -144,3 +144,73 @@ def test_ivf_recall_on_fixture_embeddings(spark):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8, f"fixture recall@5 {recall}"
+
+
+def test_incremental_ivf_equals_oneshot_and_replays_safely(spark, tmp_path):
+    """Appending in two batches under frozen centroids must yield the
+    EXACT q30 one-shot result; replaying a batch adds nothing; the
+    centroid version never moves after the first append."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_query,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+    from efiche_data_pipeline_spark.plans.registry import QUERIES
+
+    from .conftest import SMOKE_SF_DIR
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    store = Store(spark, str(tmp_path / "ivf"))
+    b1 = emb.filter(F.col("vec_id") <= split)
+    r1 = ivf_index_append(b1, store, centroids=pinned)
+    r2 = ivf_index_append(emb.filter(F.col("vec_id") > split), store)
+    assert r1.n_new + r2.n_new == emb.count()
+    assert r2.centroid_version == r1.centroid_version
+    replay = ivf_index_append(b1, store)
+    assert replay.n_new == 0
+    assert store.read("ivf_cells").count() == emb.count()
+
+    got = sorted(
+        map(
+            tuple,
+            ivf_index_query(
+                store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, QUERIES["q30_knn_ivf"](spark, SMOKE_SF_DIR).collect())
+    )
+    assert got == want
+
+
+def test_ivf_index_query_prunes_partitions(spark, tmp_path):
+    """The probed cell_id IN (...) literal must reach the cell store
+    as a PARTITION filter (directory-level pruning — the on-disk
+    1/K-of-corpus promise), not a post-scan row filter."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_query,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    from .conftest import SMOKE_SF_DIR
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    store = Store(spark, str(tmp_path / "ivf"))
+    ivf_index_append(emb, store, centroids=pinned)
+    df = ivf_index_query(store, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cell store is the only partitioned scan in the plan; its
+    # FileScan must carry the probed cells as a PARTITION filter
+    # (plan paths are truncated, so match the filter text itself)
+    assert "PartitionFilters: [cell_id" in plan, plan
