@@ -490,8 +490,9 @@ def dedup_components(
 class IncrementalDedupResult:
     """Outcome of one incremental batch: the surviving docs, the drop
     breakdown, and the committed index version. With ``commit=False``
-    the union index is returned in ``index_df`` instead of being
-    written (``index_version`` then reports the still-current version)
+    the batch's index DELTA is returned in ``index_delta`` instead of
+    being committed (``index_version`` then reports the still-current
+    version)
     — the hook that lets a streaming caller order its sink write
     BEFORE the index commit for crash-safe exactly-once (see
     streaming/dedup_stream.py)."""
@@ -501,7 +502,7 @@ class IncrementalDedupResult:
     n_dup_vs_history: int  # fresh docs dominated by an indexed doc
     n_dup_within: int  # fresh docs dominated only within this batch
     index_version: int
-    index_df: DataFrame | None = None  # only with commit=False
+    index_delta: DataFrame | None = None  # only with commit=False
 
 
 def incremental_minhash_dedup(
@@ -527,7 +528,11 @@ def incremental_minhash_dedup(
     2. drops every new doc that is LSH-similar (est_sim >= threshold)
        to an already-indexed doc OR to a smaller-id doc in the same
        batch, and
-    3. commits the union index as the next version (monotone).
+    3. commits the batch's signatures as the next index version —
+       a LAYERED delta commit (store.append_version), so the write is
+       O(batch) while readers see the union of all layers; a periodic
+       ``store.compact_layers`` folds the layers back to one directory
+       (the OPTIMIZE step), entirely outside the hot path.
 
     Semantics — the order-free "dominated" rule: a doc is dropped iff
     some banded-LSH candidate pairing matches it with a SMALLER-id doc
@@ -559,7 +564,7 @@ def incremental_minhash_dedup(
     sig_cols = [f"mh_{i}" for i in range(n_hashes)]
     new_ids = new_docs.select(id_col).distinct()
     current = store.current_version(index_table)
-    hist = store.read_version(index_table) if current is not None else None
+    hist = store.read_union(index_table) if current is not None else None
     fresh_ids = (
         new_ids.join(hist.select(id_col), id_col, "left_anti")
         if hist is not None
@@ -637,15 +642,9 @@ def incremental_minhash_dedup(
     kept = new_docs.join(fresh_ids, id_col, "left_semi").join(
         dropped, id_col, "left_anti"
     )
-    index_df = (
-        hist.select(id_col, *sig_cols).unionByName(
-            fresh_sig.select(id_col, *sig_cols)
-        )
-        if hist is not None
-        else fresh_sig.select(id_col, *sig_cols)
-    )
+    index_delta = fresh_sig.select(id_col, *sig_cols)
     if commit:
-        version = store.write_version(index_df, index_table)
+        version = store.append_version(index_delta, index_table)
         return IncrementalDedupResult(
             kept=kept,
             n_new=n_new,
@@ -659,5 +658,5 @@ def incremental_minhash_dedup(
         n_dup_vs_history=n_hist,
         n_dup_within=n_within,
         index_version=current if current is not None else 0,
-        index_df=index_df,
+        index_delta=index_delta,
     )

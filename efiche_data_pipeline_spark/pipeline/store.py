@@ -351,3 +351,73 @@ class Store:
                     dropped.append(v)
         self._log(table, f"vacuum_versions:keep{keep_last}")
         return sorted(dropped)
+
+    # ------------------------------------------------------------------
+    # Layered (delta) versions: accumulate a large table with O(batch)
+    # writes per commit instead of write_version's O(table) full
+    # rewrite — the Delta-log add-file transaction reduced to the
+    # single-writer case. Each commit writes ONE new layer directory
+    # plus a manifest listing the layer set of that version; the
+    # atomic _CURRENT pointer swap is still the commit point, so
+    # readers never see a half-written layer, rollback/time travel
+    # still work (each version's manifest pins its exact layer set),
+    # and a crash between layer write and pointer swap leaves an
+    # invisible orphan that the next commit simply supersedes.
+    # ------------------------------------------------------------------
+
+    def _manifest_file(self, table: str, version: int) -> str:
+        return os.path.join(self.path(table), f"_layers_v{version}")
+
+    def _layers(self, table: str, version: int) -> list[int]:
+        with open(self._manifest_file(table, version)) as f:
+            return [int(x) for x in f.read().split() if x]
+
+    def append_version(self, df: DataFrame, table: str) -> int:
+        """Commit ``df`` as the next DELTA layer of ``table``; readers
+        (:meth:`read_union`) see the union of the committed layers.
+        Write cost is O(df), independent of the accumulated size."""
+        committed = self.versions(table)
+        cur = self.current_version(table)
+        base = self._layers(table, cur) if cur is not None else []
+        nxt = max(committed, default=0) + 1
+        df.write.mode("overwrite").parquet(self._vdir(table, nxt))
+        with open(self._manifest_file(table, nxt), "w") as f:
+            f.write(" ".join(str(x) for x in base + [nxt]))
+        tmp = self._current_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._current_file(table))
+        self._log(table, f"append_version:{nxt}")
+        return nxt
+
+    def read_union(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a layered table at ``version`` (current by default):
+        the union of exactly the layers its manifest pins — orphaned
+        forward history after a rollback is invisible, same contract
+        as :meth:`read_version`."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"{table}: no committed versions")
+        dirs = [self._vdir(table, x) for x in self._layers(table, v)]
+        return self.spark.read.parquet(*dirs)
+
+    def compact_layers(self, table: str) -> int:
+        """Rewrite the current union as ONE new layer (the OPTIMIZE /
+        checkpoint step): subsequent reads scan a single directory and
+        older layers become vacuumable once no kept manifest references
+        them. Returns the new version."""
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"{table}: no committed versions")
+        merged = self.read_union(table).localCheckpoint(eager=True)
+        committed = self.versions(table)
+        nxt = max(committed, default=0) + 1
+        merged.write.mode("overwrite").parquet(self._vdir(table, nxt))
+        with open(self._manifest_file(table, nxt), "w") as f:
+            f.write(str(nxt))
+        tmp = self._current_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._current_file(table))
+        self._log(table, f"compact_layers:{nxt}")
+        return nxt

@@ -87,11 +87,11 @@ def run_incremental_dedup_stream(
         if res.n_new == 0:
             return  # replayed batch: sink and index already converged
         # Sink BEFORE index commit (see module docstring); the kept
-        # frame is consumed once here, then the index frame once —
-        # both derive from the operator's localCheckpointed signature
-        # scan, so neither re-runs the text pass.
+        # frame is consumed once here, then the O(batch) index DELTA
+        # once — both derive from the operator's localCheckpointed
+        # signature scan, so neither re-runs the text pass.
         store.append_new(res.kept.select("doc_id"), kept_table, key="doc_id")
-        store.write_version(res.index_df, index_table)
+        store.append_version(res.index_delta, index_table)
         totals["new"] += res.n_new
         totals["dropped"] += res.n_dup_vs_history + res.n_dup_within
 

@@ -128,7 +128,7 @@ def test_version_monotone_and_index_complete(spark, tmp_path):
     r1 = incremental_minhash_dedup(docs.filter(F.col("doc_id") <= 2), store)
     r2 = incremental_minhash_dedup(docs.filter(F.col("doc_id") > 2), store)
     assert r2.index_version > r1.index_version
-    idx = store.read_version("minhash_sig_index")
+    idx = store.read_union("minhash_sig_index")
     # every id ever seen is indexed — kept AND dropped (domination is
     # by any smaller doc, not only surviving ones)
     assert {r["doc_id"] for r in idx.select("doc_id").collect()} == set(range(6))

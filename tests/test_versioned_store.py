@@ -120,3 +120,53 @@ def test_versions_to_cdc_to_scd2_chain(spark, store):
     # and id 2's old tier is preserved as a closed version
     closed = dim2.filter(~F.col("is_current")).collect()
     assert [(r.id, r.tier) for r in closed] == [(2, "silver")]
+
+
+def test_layered_append_version_union_and_rollback(spark, tmp_path):
+    """append_version commits O(batch) deltas; read_union sees exactly
+    the manifest's layer set — including after a rollback, when a
+    post-rollback commit must NOT resurrect orphaned forward layers."""
+    store = Store(spark, str(tmp_path / "s"))
+    df = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    v1 = store.append_version(df(1, 2), "t")
+    v2 = store.append_version(df(3), "t")
+    assert v2 > v1
+    assert {r["id"] for r in store.read_union("t").collect()} == {1, 2, 3}
+    # time travel: version v1 is just its own layer
+    assert {r["id"] for r in store.read_union("t", v1).collect()} == {1, 2}
+    store.rollback("t", v1)
+    assert {r["id"] for r in store.read_union("t").collect()} == {1, 2}
+    v3 = store.append_version(df(9), "t")
+    got = {r["id"] for r in store.read_union("t").collect()}
+    assert got == {1, 2, 9}, "orphaned layer 2 (id=3) must stay invisible"
+    assert v3 > v2
+
+
+def test_compact_layers_preserves_union(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "s"))
+    df = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    store.append_version(df(1, 2), "t")
+    store.append_version(df(3, 4), "t")
+    before = {r["id"] for r in store.read_union("t").collect()}
+    v = store.compact_layers("t")
+    assert {r["id"] for r in store.read_union("t").collect()} == before
+    assert store._layers("t", v) == [v]  # single directory afterwards
+    store.append_version(df(5), "t")
+    assert {r["id"] for r in store.read_union("t").collect()} == before | {5}
+
+
+def test_incremental_dedup_survives_index_compaction(spark, tmp_path):
+    """compact_layers on the dedup index is invisible to semantics:
+    a post-compaction batch still dedups against pre-compaction
+    history."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from .test_incremental_dedup import _BASE, _OTHER, _docs
+
+    store = Store(spark, str(tmp_path / "idx"))
+    incremental_minhash_dedup(_docs(spark, [(0, _BASE)]), store)
+    incremental_minhash_dedup(_docs(spark, [(1, _OTHER)]), store)
+    store.compact_layers("minhash_sig_index")
+    r3 = incremental_minhash_dedup(_docs(spark, [(2, _BASE + " x")]), store)
+    assert r3.n_dup_vs_history == 1 and r3.kept.count() == 0
