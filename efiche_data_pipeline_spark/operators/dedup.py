@@ -594,7 +594,24 @@ def incremental_minhash_dedup(
         )
 
     new_memb = _band_memberships(fresh_sig, id_col, n_hashes, bands, portable)
-    dropped_hist = None
+    # Both dominated sets fold into ONE frame tagged by source, so a
+    # single localCheckpoint + a single 2-scalar aggregate replaces
+    # what was two checkpoints and three count jobs — under a vanilla
+    # 200-partition driver session each extra action costs real wall
+    # time. A doc dominated by BOTH history and its own batch counts
+    # as history (max of the tag).
+    within_pairs = _pair_est_sim(
+        _bucket_candidates(new_memb, id_col),
+        fresh_sig,
+        fresh_sig,
+        id_col,
+        n_hashes,
+    )
+    dominated = (
+        within_pairs.filter(F.col("est_sim") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .withColumn("_h", F.lit(0))
+    )
     if hist is not None:
         hist_memb = _band_memberships(hist, id_col, n_hashes, bands, portable)
         hot = new_memb.select("band", "bucket").distinct()
@@ -611,36 +628,25 @@ def incremental_minhash_dedup(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        dropped_hist = (
+        dominated = dominated.unionByName(
             _pair_est_sim(cand_hist, hist, fresh_sig, id_col, n_hashes)
             .filter(F.col("est_sim") >= threshold)
             .select(F.col("doc_b").alias(id_col))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .withColumn("_h", F.lit(1))
         )
-    dropped_within = (
-        _pair_est_sim(
-            _bucket_candidates(new_memb, id_col),
-            fresh_sig,
-            fresh_sig,
-            id_col,
-            n_hashes,
-        )
-        .filter(F.col("est_sim") >= threshold)
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
+    dropped = (
+        dominated.groupBy(id_col)
+        .agg(F.max("_h").alias("_h"))
         .localCheckpoint(eager=True)
     )
-    if dropped_hist is not None:
-        dropped = dropped_within.unionByName(dropped_hist).distinct()
-        n_hist = dropped_hist.count()
-        n_within = dropped_within.join(dropped_hist, id_col, "left_anti").count()
-    else:
-        dropped = dropped_within
-        n_hist = 0
-        n_within = dropped_within.count()
+    tallies = dropped.agg(
+        F.coalesce(F.sum("_h"), F.lit(0)).alias("nh"),
+        F.count(F.lit(1)).alias("nd"),
+    ).first()
+    n_hist = int(tallies["nh"])
+    n_within = int(tallies["nd"]) - n_hist
     kept = new_docs.join(fresh_ids, id_col, "left_semi").join(
-        dropped, id_col, "left_anti"
+        dropped.select(id_col), id_col, "left_anti"
     )
     index_delta = fresh_sig.select(id_col, *sig_cols)
     if commit:

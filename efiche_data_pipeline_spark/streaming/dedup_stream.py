@@ -65,12 +65,20 @@ def run_incremental_dedup_stream(
     threshold: float = 0.5,
     n_hashes: int = 16,
     bands: int = 4,
+    compact_every: int | None = None,
 ) -> StreamDedupReport:
     """availableNow consumption of parquet document files under
     ``source_dir``: each micro-batch is deduped against the index and
     within itself; survivors land in ``kept_table`` (id-keyed,
     replay-safe), and the enlarged index is committed as the next
-    version. Returns the batch/drop tallies and the final version."""
+    version. Returns the batch/drop tallies and the final version.
+
+    ``compact_every=N`` folds the index's delta layers back into one
+    directory whenever the layer count reaches N (store.compact_layers
+    — itself an atomic commit, so a crash mid-compaction just leaves
+    the uncompacted layers current). Without it a long-running intake
+    accumulates one layer per productive batch and every dedup pays a
+    growing file-listing cost."""
     totals = {"batches": 0, "new": 0, "dropped": 0}
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
@@ -91,7 +99,9 @@ def run_incremental_dedup_stream(
         # once — both derive from the operator's localCheckpointed
         # signature scan, so neither re-runs the text pass.
         store.append_new(res.kept.select("doc_id"), kept_table, key="doc_id")
-        store.append_version(res.index_delta, index_table)
+        v = store.append_version(res.index_delta, index_table)
+        if compact_every and len(store._layers(index_table, v)) >= compact_every:
+            store.compact_layers(index_table)
         totals["new"] += res.n_new
         totals["dropped"] += res.n_dup_vs_history + res.n_dup_within
 

@@ -76,3 +76,23 @@ def test_stream_dedup_rerun_without_new_files_is_noop(spark, tmp_path):
     assert r2.n_batches == 0 or r2.n_new == 0
     assert store.read("dedup_kept_docs").count() == n_kept
     assert r2.index_version == r1.index_version
+
+
+def test_stream_dedup_auto_compaction_preserves_semantics(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = Store(spark, str(tmp_path / "store"))
+    f1 = [(0, _BASE), (1, _BASE + " extra")]
+    f2 = [(2, _OTHER)]
+    f3 = [(3, _BASE + " tail"), (4, _THIRD)]
+    for f in (f1, f2, f3):
+        _write_file(spark, src, f)
+    r = run_incremental_dedup_stream(spark, src, store, ckpt, compact_every=2)
+    kept = {row["doc_id"] for row in store.read("dedup_kept_docs").collect()}
+    assert kept == _global_kept(spark, f1 + f2 + f3)
+    v = store.current_version("minhash_sig_index")
+    assert len(store._layers("minhash_sig_index", v)) < 3
+    assert {
+        row["doc_id"]
+        for row in store.read_union("minhash_sig_index").collect()
+    } == {0, 1, 2, 3, 4}
