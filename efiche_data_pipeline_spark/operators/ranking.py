@@ -130,3 +130,49 @@ def global_ntile(
         .withColumn(out_col, ntile_from_rank(F.col("_rn"), F.col("_total"), n_tiles))
         .drop("_rn", "_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental weighted exact-N sampling: maintain the sample as
+# persisted state, folding each new batch in O(batch + n).
+# ---------------------------------------------------------------------------
+def incremental_weighted_sample(
+    new_rows: DataFrame,
+    store,
+    n: int,
+    key_col: str,
+    priority_col: str,
+    table: str = "weighted_sample",
+) -> tuple[DataFrame, int]:
+    """Fold a batch into a persisted Efraimidis–Spirakis exact-N
+    weighted sample of EVERYTHING seen so far.
+
+    Why this is exact and cheap: A-ES priorities (-ln(u)/w, u a
+    deterministic per-key hash) are a pure function of the row, and
+    "the N smallest priorities of a union" can be computed from "the
+    N smallest of A" ∪ B — rows outside A's top N can never re-enter.
+    So the state is just the current N sample rows (+ priorities), and
+    each batch costs one TakeOrdered over (state ∪ batch): O(batch+n),
+    never a rescan of history. Merging is idempotent (same rows ⇒ same
+    priorities ⇒ same top-N), which makes replays safe with no seen-set
+    bookkeeping — the dropDuplicates on the key only guards the replay
+    case where state and batch carry the same row.
+
+    ``new_rows`` must already carry ``priority_col`` (deterministic —
+    e.g. the q99 portable-hash construction; determinism is what makes
+    the maintained sample ≡ the one-shot global sample, oracle-checked
+    by q105). Returns (sample DataFrame, committed version) — the
+    state is tiny (n rows), so each commit is a full write_version
+    snapshot, not a layered delta.
+    """
+    cur = store.current_version(table)
+    batch = new_rows
+    if cur is not None:
+        batch = store.read_version(table).unionByName(batch).dropDuplicates(
+            [key_col]
+        )
+    sample = (
+        batch.orderBy(priority_col, key_col).limit(n).localCheckpoint(eager=True)
+    )
+    version = store.write_version(sample, table)
+    return sample, version

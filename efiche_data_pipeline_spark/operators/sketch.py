@@ -138,3 +138,49 @@ FROM bottom
 WHERE rn <= {k}
 GROUP BY g
 """
+
+
+def incremental_kmv(
+    new_rows: DataFrame,
+    store,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    table: str = "kmv_sketch",
+) -> tuple[DataFrame, int]:
+    """Fold a new batch into PERSISTED per-group bottom-k sketches and
+    return the refreshed per-group estimates — the distinct-count
+    dashboard that never rescans history.
+
+    Correctness rides the same closure property as :func:`kmv_merge`:
+    the k smallest hashes of (history ∪ batch) are contained in
+    (history's bottom-k ∪ batch's bottom-k), so folding the batch's
+    sketch into the stored sketch and re-taking the bottom-k yields
+    EXACTLY the sketch a from-scratch global pass would build — which
+    is what q106's oracle (a direct global DuckDB sketch) checks.
+    State is O(groups × k) 8-byte hashes; each commit is a tiny full
+    snapshot. Merging is set-union + bottom-k, hence idempotent under
+    replay. Returns (estimates DataFrame, committed version)."""
+    fresh = kmv_bottom(new_rows, group_cols, value_col, k)
+    cur = store.current_version(table)
+    if cur is not None:
+        fresh = store.read_version(table).unionByName(fresh)
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    merged = (
+        fresh.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "_h")
+        .localCheckpoint(eager=True)
+    )
+    version = store.write_version(merged, table)
+    estimates = merged.groupBy(*group_cols).agg(
+        F.when(
+            F.count(F.lit(1)) < k,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.round(F.lit(k - 1) * F.lit(HASH_SPACE) / F.max("_h"), 0))
+        .cast("long")
+        .alias("kmv_estimate")
+    )
+    return estimates, version

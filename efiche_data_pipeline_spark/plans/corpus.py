@@ -1625,6 +1625,87 @@ ORACLES["q104_incremental_ivf_topk"] = _ivf_inc_oracle()
 
 
 
+# ---------------------------------------------------------------------------
+# Q105 / Q106 — incremental STATE twins of q99 and q69: the sample and
+# the distinct-count sketch maintained across batches in a persisted
+# store, never rescanning history.  Both exploit a mergeability
+# property that makes incremental ≡ one-shot EXACTLY (not just
+# approximately): A-ES top-N priorities ("top-N of a union is
+# computable from top-N(A) ∪ B") and KMV bottom-k closure ("the k
+# smallest hashes of a union lie in the union of each side's k
+# smallest").  The oracles are therefore simply the GLOBAL forms —
+# q105 reuses q99's oracle verbatim; q106 replays a direct global
+# sketch — and the hash gate proves the maintained state never
+# drifted from the from-scratch computation.
+# ---------------------------------------------------------------------------
+def q105_incremental_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ranking import incremental_weighted_sample
+    from ..pipeline.store import Store
+
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    u = (portable_hash60(F.col("o_orderkey").cast("string")) + F.lit(1)) / F.lit(
+        float(2**60)
+    )
+    rows = o.select(
+        "o_orderkey", cents.alias("weight_cents"), (-F.log(u) / cents).alias("_k")
+    )
+    store = Store(spark, tempfile.mkdtemp(prefix="efiche_wsample_"))
+    _, v1 = incremental_weighted_sample(
+        rows.filter(F.col("o_orderkey") <= split), store, _WES_N, "o_orderkey", "_k"
+    )
+    sample, v2 = incremental_weighted_sample(
+        rows.filter(F.col("o_orderkey") > split), store, _WES_N, "o_orderkey", "_k"
+    )
+    assert v2 > v1, "sample state version must grow"
+    return sample.select("o_orderkey", "weight_cents")
+
+
+def _q105_oracle() -> str:
+    return ORACLES["q99_weighted_exact_sample"]
+
+
+def q106_incremental_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.sketch import incremental_kmv
+    from ..pipeline.store import Store
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_custkey").cast("string").alias("ck")
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = Store(spark, tempfile.mkdtemp(prefix="efiche_kmvinc_"))
+    _, v1 = incremental_kmv(
+        o.filter(F.col("o_orderkey") <= split), store, ["o_orderpriority"], "ck"
+    )
+    est, v2 = incremental_kmv(
+        o.filter(F.col("o_orderkey") > split), store, ["o_orderpriority"], "ck"
+    )
+    assert v2 > v1, "sketch state version must grow"
+    return est
+
+
+def _q106_oracle() -> str:
+    from ..operators.sketch import oracle_kmv_sql
+
+    inner = oracle_kmv_sql("orders", "o_orderpriority", "CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH direct AS ({inner})
+SELECT g AS o_orderpriority, kmv_estimate FROM direct
+"""
+
+
+ORACLES["q105_incremental_weighted_sample"] = _q105_oracle()
+ORACLES["q106_incremental_kmv_customers"] = _q106_oracle()
+
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

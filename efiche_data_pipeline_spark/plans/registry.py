@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
     # round-5 additions:
     "q103_incremental_minhash_dedup",
     "q104_incremental_ivf_topk",
+    "q105_incremental_weighted_sample",
+    "q106_incremental_kmv_customers",
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
     # stale r01/r02 rows (refresh):

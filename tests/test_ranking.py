@@ -90,3 +90,37 @@ def test_global_row_number_partition_independent(spark):
         )
     )
     assert a == b == c
+
+
+def test_incremental_weighted_sample_equals_direct_and_replays(spark, tmp_path):
+    """Folding batches one at a time must reproduce the one-shot top-N
+    exactly (A-ES merge property), and replaying a batch must leave
+    the sample unchanged."""
+    from efiche_data_pipeline_spark.operators.ranking import (
+        incremental_weighted_sample,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = spark.createDataFrame(
+        [(i, (i * 37) % 101 + 1) for i in range(1, 301)], "k long, w long"
+    ).select(
+        "k",
+        "w",
+        (-F.log((F.xxhash64("k").bitwiseAND(F.lit((1 << 40) - 1)) + 1)
+                / F.lit(float(1 << 40))) / F.col("w")).alias("p"),
+    )
+    direct = [
+        (r["k"], r["w"]) for r in rows.orderBy("p", "k").limit(50).collect()
+    ]
+    store = Store(spark, str(tmp_path / "s"))
+    for lo, hi in ((1, 100), (101, 200), (201, 300)):
+        batch = rows.filter(F.col("k").between(lo, hi))
+        sample, _ = incremental_weighted_sample(batch, store, 50, "k", "p")
+    got = [(r["k"], r["w"]) for r in sample.orderBy("p", "k").collect()]
+    assert got == direct
+    replay, _ = incremental_weighted_sample(
+        rows.filter(F.col("k").between(101, 200)), store, 50, "k", "p"
+    )
+    assert [
+        (r["k"], r["w"]) for r in replay.orderBy("p", "k").collect()
+    ] == direct

@@ -118,3 +118,44 @@ def test_q102_estimates_bounded_vs_exact_q100(spark):
             assert est[est_col] == n, (est_col, est[est_col], n)
         else:
             assert abs(est[est_col] - n) <= 0.4 * n, (est_col, est[est_col], n)
+
+
+def test_incremental_kmv_equals_direct_and_replays(spark, tmp_path):
+    """Per-batch sketch folding must equal the from-scratch global
+    sketch (bottom-k closure), and a replayed batch changes nothing."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_kmv,
+        kmv_bottom,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"v{i % 177}") for i in range(600)],
+        "k long, g string, v string",
+    )
+    store = Store(spark, str(tmp_path / "s"))
+    for lo, hi in ((0, 199), (200, 399), (400, 599)):
+        est, _ = incremental_kmv(
+            rows.filter(F.col("k").between(lo, hi)), store, ["g"], "v", k=32
+        )
+    got = {r["g"]: r["kmv_estimate"] for r in est.collect()}
+    # direct global sketch, same k
+    direct_bottom = kmv_bottom(rows, ["g"], "v", k=32)
+    from efiche_data_pipeline_spark.operators.sketch import HASH_SPACE
+
+    direct = {
+        r["g"]: r["kmv_estimate"]
+        for r in direct_bottom.groupBy("g")
+        .agg(
+            F.when(F.count(F.lit(1)) < 32, F.count(F.lit(1)).cast("double"))
+            .otherwise(F.round(F.lit(31) * F.lit(HASH_SPACE) / F.max("_h"), 0))
+            .cast("long")
+            .alias("kmv_estimate")
+        )
+        .collect()
+    }
+    assert got == direct
+    replay, _ = incremental_kmv(
+        rows.filter(F.col("k").between(200, 399)), store, ["g"], "v", k=32
+    )
+    assert {r["g"]: r["kmv_estimate"] for r in replay.collect()} == direct
