@@ -332,12 +332,21 @@ class Store:
     def vacuum_versions(self, table: str, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshots (never the
         current one); returns the dropped versions. Also removes
-        uncommitted (crash-orphaned) _v directories."""
+        uncommitted (crash-orphaned) _v directories.
+
+        Layered tables (:meth:`append_version`): a kept version's
+        MANIFEST pins every layer it unions over, so all layers
+        referenced by a kept manifest are protected too — vacuuming
+        after :meth:`compact_layers` is what actually reclaims old
+        layers (the compacted manifest references only itself)."""
         import shutil
 
         cur = self.current_version(table)
         committed = self.versions(table)
         keep = set(committed[-keep_last:]) | ({cur} if cur is not None else set())
+        for v in list(keep):
+            if os.path.exists(self._manifest_file(table, v)):
+                keep |= set(self._layers(table, v))
         dropped = []
         root = self.path(table)
         for d in os.listdir(root):
@@ -347,6 +356,8 @@ class Store:
             committed_dir = os.path.exists(os.path.join(root, d, "_SUCCESS"))
             if v not in keep or not committed_dir:
                 shutil.rmtree(os.path.join(root, d))
+                if os.path.exists(self._manifest_file(table, v)):
+                    os.remove(self._manifest_file(table, v))
                 if committed_dir:
                     dropped.append(v)
         self._log(table, f"vacuum_versions:keep{keep_last}")

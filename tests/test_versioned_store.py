@@ -170,3 +170,24 @@ def test_incremental_dedup_survives_index_compaction(spark, tmp_path):
     store.compact_layers("minhash_sig_index")
     r3 = incremental_minhash_dedup(_docs(spark, [(2, _BASE + " x")]), store)
     assert r3.n_dup_vs_history == 1 and r3.kept.count() == 0
+
+
+def test_vacuum_protects_manifest_referenced_layers(spark, tmp_path):
+    """keep_last counts VERSIONS, but on a layered table a kept
+    version's manifest may reference much older layer directories —
+    vacuum must never delete those (read_union of the current version
+    would break). After compact_layers the old layers lose their last
+    reference and become reclaimable."""
+    store = Store(spark, str(tmp_path / "s"))
+    df = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    store.append_version(df(1), "t")
+    store.append_version(df(2), "t")
+    store.append_version(df(3), "t")
+    dropped = store.vacuum_versions("t", keep_last=1)
+    # v3's manifest references layers 1,2,3 -> nothing reclaimable yet
+    assert dropped == []
+    assert {r["id"] for r in store.read_union("t").collect()} == {1, 2, 3}
+    store.compact_layers("t")
+    dropped = store.vacuum_versions("t", keep_last=1)
+    assert dropped == [1, 2, 3]
+    assert {r["id"] for r in store.read_union("t").collect()} == {1, 2, 3}
