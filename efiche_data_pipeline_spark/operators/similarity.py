@@ -387,3 +387,47 @@ def ivf_index_query(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_index_retrain(
+    store,
+    k: int = 16,
+    index_table: str = "ivf_cells",
+    centroid_table: str = "ivf_centroids",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    sample_limit: int = 10_000,
+) -> int:
+    """The out-of-hot-path centroid MIGRATION for a drifted index:
+    train fresh centroids from the indexed vectors (bounded sample —
+    :func:`train_centroids`), commit them as the next centroid
+    version, and re-assign EVERY stored vector to the new cells in one
+    batch job. Appends stay cheap forever (nprobe=1 against frozen
+    centroids); this is the one deliberate O(index) pass, run on
+    drift, never per batch.
+
+    Re-read-then-overwrite of the same parquet path requires pinning
+    the reassigned rows first (localCheckpoint) — the same self-
+    overwrite discipline as Store.merge_upsert. At real scale prefer
+    writing to a fresh table + pointer swap; the single-table form
+    keeps the registered query surface simple and the semantics
+    identical. Returns the new centroid version; time travel to the
+    old version still replays the old assignment rule via
+    ``read_version(centroid_table, old)``.
+    """
+    vectors = store.read(index_table).select(id_col, vec_col)
+    cents = train_centroids(
+        vectors,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_limit=sample_limit,
+    )
+    version = store.write_version(cents, centroid_table)
+    reassigned = assign_cells(
+        vectors, store.read_version(centroid_table), id_col, vec_col
+    ).localCheckpoint(eager=True)
+    store.overwrite(reassigned, index_table, partition_by=["cell_id"])
+    return version

@@ -1706,6 +1706,138 @@ ORACLES["q106_incremental_kmv_customers"] = _q106_oracle()
 
 
 
+# ---------------------------------------------------------------------------
+# Q107 — distribution DRIFT detection between two ingest slices (the
+# gate that runs before accepting a new batch into a 100 TB corpus):
+# Population Stability Index per column, computed over equi-width
+# buckets for numerics (q80's clamped integer bucket math on a global
+# min/max) and over the raw values for categoricals.  Laplace-smoothed
+# rates ((cnt+1)/(n+B)) keep empty buckets finite; each bucket's PSI
+# term is rounded to a 1e-9 fixed-point INTEGER before the per-column
+# sum, so the aggregation is exact-associative (no float-sum order
+# wobble between engines or between Spark runs) and only the per-term
+# double math (one division, one ln) must agree — the same fixed-order
+# discipline as q88's entropy fold.  Plan: one union of map-side
+# bucket projections, one (column, bucket, side) aggregate, bounded
+# per-column windows over ≤ buckets rows.
+# ---------------------------------------------------------------------------
+_DRIFT_NBUCKETS = 10
+
+
+def q107_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    side = F.when(F.col("o_orderkey") <= split, "ref").otherwise("cur")
+    mm = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    price_bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("_lo"))
+            / ((F.col("_hi") - F.col("_lo")) / _DRIFT_NBUCKETS)
+        ),
+        F.lit(_DRIFT_NBUCKETS - 1),
+    ).cast("int")
+    rows = (
+        o.crossJoin(F.broadcast(mm))
+        .select(
+            F.lit("o_totalprice").alias("column_name"),
+            price_bucket.cast("string").alias("bucket"),
+            side.alias("side"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderpriority").alias("column_name"),
+                F.col("o_orderpriority").alias("bucket"),
+                side.alias("side"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderstatus").alias("column_name"),
+                F.col("o_orderstatus").alias("bucket"),
+                side.alias("side"),
+            )
+        )
+    )
+    per_bucket = rows.groupBy("column_name", "bucket").agg(
+        F.sum((F.col("side") == "ref").cast("long")).alias("c_ref"),
+        F.sum((F.col("side") == "cur").cast("long")).alias("c_cur"),
+    )
+    by_col = W.partitionBy("column_name")
+    per_bucket = (
+        per_bucket.withColumn("n_ref", F.sum("c_ref").over(by_col))
+        .withColumn("n_cur", F.sum("c_cur").over(by_col))
+        .withColumn("n_buckets", F.count(F.lit(1)).over(by_col))
+    )
+    pr = (F.col("c_ref") + 1) / (F.col("n_ref") + F.col("n_buckets"))
+    pc = (F.col("c_cur") + 1) / (F.col("n_cur") + F.col("n_buckets"))
+    term_fp = F.round(((pc - pr) * F.log(pc / pr)) * F.lit(1e9)).cast("long")
+    return (
+        per_bucket.withColumn("_t", term_fp)
+        .groupBy("column_name")
+        .agg(
+            F.round(F.sum("_t") / F.lit(1e9), 4).alias("psi"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+
+
+ORACLES["q107_orders_drift"] = f"""
+WITH s AS (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS split FROM orders),
+mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+rows_ AS (
+    SELECT 'o_totalprice' AS column_name,
+           CAST(CAST(least(floor((o_totalprice - lo)
+                    / ((hi - lo) / {_DRIFT_NBUCKETS})),
+               {_DRIFT_NBUCKETS - 1}) AS INTEGER) AS VARCHAR) AS bucket,
+           CASE WHEN o_orderkey <= split THEN 'ref' ELSE 'cur' END AS side
+    FROM orders CROSS JOIN mm CROSS JOIN s
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority,
+           CASE WHEN o_orderkey <= split THEN 'ref' ELSE 'cur' END
+    FROM orders CROSS JOIN s
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus,
+           CASE WHEN o_orderkey <= split THEN 'ref' ELSE 'cur' END
+    FROM orders CROSS JOIN s
+),
+pb AS (
+    SELECT column_name, bucket,
+           SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+           SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+    FROM rows_ GROUP BY 1, 2
+),
+wn AS (
+    SELECT *,
+           SUM(c_ref) OVER (PARTITION BY column_name) AS n_ref,
+           SUM(c_cur) OVER (PARTITION BY column_name) AS n_cur,
+           COUNT(*) OVER (PARTITION BY column_name) AS n_buckets
+    FROM pb
+),
+terms AS (
+    SELECT column_name, n_ref, n_cur, n_buckets,
+           CAST(ROUND((((c_cur + 1.0) / (n_cur + n_buckets)
+                        - (c_ref + 1.0) / (n_ref + n_buckets))
+                       * ln(((c_cur + 1.0) / (n_cur + n_buckets))
+                            / ((c_ref + 1.0) / (n_ref + n_buckets))))
+                      * 1e9) AS BIGINT) AS t
+    FROM wn
+)
+SELECT column_name,
+       ROUND(SUM(t) / 1e9, 4) AS psi,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       CAST(MAX(n_buckets) AS BIGINT) AS n_buckets
+FROM terms
+GROUP BY column_name
+"""
+
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -481,3 +481,48 @@ def test_bloom_prefilter_ndv_sizing_stays_selective_and_fn_free(spark):
     assert (
         bloom_prefilter(members, "ck", build, bits).count() == members.count()
     )
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI must be ~0 when both slices draw from one distribution and
+    large when the current slice is shifted — the gate semantics."""
+    import os
+    import tempfile
+
+    from efiche_data_pipeline_spark.plans.corpus import q107_orders_drift
+
+    def orders(rows):
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, "
+            "o_orderpriority string",
+        )
+
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    same = [
+        (i, 1, "O", float(100 + (i * 13) % 500), ts, "3-MEDIUM")
+        for i in range(2000)
+    ]
+    # ref half keeps the price law; cur half (keys > split) shifts +1000
+    shifted = [
+        (i, 1, "O", float(100 + (i * 13) % 500) + (1000.0 if i >= 1000 else 0.0),
+         ts, "3-MEDIUM")
+        for i in range(2000)
+    ]
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        orders(same).write.parquet(os.path.join(d1, "orders.parquet"))
+        orders(shifted).write.parquet(os.path.join(d2, "orders.parquet"))
+        calm = {
+            r["column_name"]: r["psi"]
+            for r in q107_orders_drift(spark, d1).collect()
+        }
+        drift = {
+            r["column_name"]: r["psi"]
+            for r in q107_orders_drift(spark, d2).collect()
+        }
+    assert calm["o_totalprice"] < 0.1  # same law -> stable
+    assert drift["o_totalprice"] > 0.5  # shifted law -> alarm
+    assert drift["o_orderpriority"] < 0.1  # untouched column stays calm

@@ -214,3 +214,48 @@ def test_ivf_index_query_prunes_partitions(spark, tmp_path):
     # FileScan must carry the probed cells as a PARTITION filter
     # (plan paths are truncated, so match the filter text itself)
     assert "PartitionFilters: [cell_id" in plan, plan
+
+
+def test_ivf_index_retrain_migrates_and_queries_match_fresh_build(spark, tmp_path):
+    """After retrain: centroid version bumps, every vector survives the
+    migration, and querying the migrated index equals a from-scratch
+    ivf_topk under the NEW centroids."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_query,
+        ivf_index_retrain,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    from .conftest import SMOKE_SF_DIR
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    store = Store(spark, str(tmp_path / "ivf"))
+    r1 = ivf_index_append(emb, store, centroids=pinned)
+    v2 = ivf_index_retrain(store, k=8)
+    assert v2 > r1.centroid_version
+    cells = store.read("ivf_cells")
+    assert cells.count() == emb.count()
+    assert cells.select("cell_id").distinct().count() <= 8
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        map(tuple, ivf_index_query(store, queries, k=5, nprobe=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb,
+                queries,
+                store.read_version("ivf_centroids"),
+                k=5,
+                nprobe=3,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # post-retrain appends keep working against the NEW centroids
+    assert ivf_index_append(emb, store).n_new == 0  # replay: all indexed

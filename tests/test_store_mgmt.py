@@ -76,3 +76,49 @@ def test_append_evolved_rejects_dropped_columns(spark, store):
     store.overwrite(spark.range(0, 5).withColumn("a", F.lit("x")), "e2")
     with pytest.raises(ValueError, match="missing stored columns"):
         store.append_evolved(spark.range(5, 10), "e2")  # no column a
+
+
+def test_zorder_write_gives_2d_selective_file_stats(spark, store):
+    """The Z-order WRITE path: cluster a 64×64 grid by the q86 Morton
+    key via overwrite_sorted, then read each parquet file's (x, y)
+    min/max statistics. Z-ordered files must cover small 2-D tiles
+    (BOTH dimensions selective), while the same data sorted by x alone
+    leaves every file spanning the full y range — the reason a
+    y-predicate prunes nothing on linear layouts. This is the
+    data-skipping contract Delta/Iceberg's OPTIMIZE ZORDER BY sells,
+    assembled here from q86's key + the store's range-clustered
+    write."""
+    import pyarrow.parquet as pq
+
+    from efiche_data_pipeline_spark.plans.corpus import _morton16
+
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def spans(table):
+        out = []
+        for f in os.listdir(store.path(table)):
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(store.path(table), f)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                xs = md.row_group(0).column(idx["x"]).statistics
+                ys = md.row_group(0).column(idx["y"]).statistics
+                out.append((xs.max - xs.min, ys.max - ys.min))
+        return out
+
+    store.overwrite_sorted(
+        grid.withColumn("z", _morton16(F.col("x"), F.col("y"))),
+        "zorder",
+        sort_by=["z"],
+        partitions=16,
+    )
+    store.overwrite_sorted(grid, "xsort", sort_by=["x", "y"], partitions=16)
+    z_spans = spans("zorder")
+    x_spans = spans("xsort")
+    assert len(z_spans) >= 8
+    # every z file is a bounded 2-D tile (≤ ~2 Morton 16×16 tiles)
+    assert max(s[0] for s in z_spans) <= 40
+    assert max(s[1] for s in z_spans) <= 40
+    # linear sort: files are selective in x but span (almost) all of y
+    assert max(s[1] for s in x_spans) >= 48
