@@ -1761,29 +1761,13 @@ def q107_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    from ..operators.drift import psi_from_bucket_counts
+
     per_bucket = rows.groupBy("column_name", "bucket").agg(
         F.sum((F.col("side") == "ref").cast("long")).alias("c_ref"),
         F.sum((F.col("side") == "cur").cast("long")).alias("c_cur"),
     )
-    by_col = W.partitionBy("column_name")
-    per_bucket = (
-        per_bucket.withColumn("n_ref", F.sum("c_ref").over(by_col))
-        .withColumn("n_cur", F.sum("c_cur").over(by_col))
-        .withColumn("n_buckets", F.count(F.lit(1)).over(by_col))
-    )
-    pr = (F.col("c_ref") + 1) / (F.col("n_ref") + F.col("n_buckets"))
-    pc = (F.col("c_cur") + 1) / (F.col("n_cur") + F.col("n_buckets"))
-    term_fp = F.round(((pc - pr) * F.log(pc / pr)) * F.lit(1e9)).cast("long")
-    return (
-        per_bucket.withColumn("_t", term_fp)
-        .groupBy("column_name")
-        .agg(
-            F.round(F.sum("_t") / F.lit(1e9), 4).alias("psi"),
-            F.max("n_ref").alias("n_ref"),
-            F.max("n_cur").alias("n_cur"),
-            F.max("n_buckets").cast("long").alias("n_buckets"),
-        )
-    )
+    return psi_from_bucket_counts(per_bucket)
 
 
 ORACLES["q107_orders_drift"] = f"""
