@@ -157,3 +157,49 @@ def test_dropped_doc_still_dominates_future_batches(spark, tmp_path):
     r2 = incremental_minhash_dedup(_docs(spark, [(10, _BASE + " y")]), store)
     assert r2.kept.count() == 0
     assert r2.n_dup_vs_history == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa",
+]
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=25).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    split_frac=st.integers(min_value=1, max_value=9),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_batch_equals_global_any_corpus(spark, tmp_path_factory, texts, split_frac):
+    """Hypothesis differential for the dominated-rule equivalence: for
+    ANY small corpus (including heavy duplicate collisions from the
+    10-word vocabulary) and ANY id split point, incremental two-batch
+    dedup must keep exactly the global LSH dedup's survivors."""
+    docs = _docs(spark, list(enumerate(texts)))
+    split = (len(texts) - 1) * split_frac // 10
+    store = Store(
+        spark, str(tmp_path_factory.mktemp("hyp_idx"))
+    )
+    r1 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") <= split), store, threshold=_TAU
+    )
+    r2 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") > split), store, threshold=_TAU
+    )
+    kept = {r["doc_id"] for r in r1.kept.collect()} | {
+        r["doc_id"] for r in r2.kept.collect()
+    }
+    assert kept == _global_kept_ids(docs)
