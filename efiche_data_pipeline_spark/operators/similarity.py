@@ -315,6 +315,17 @@ def ivf_index_append(
             if centroids is not None
             else train_centroids(new_vectors, k=train_k, id_col=id_col, vec_col=vec_col)
         )
+        # Committing an EMPTY centroid set (empty/insufficient first
+        # batch) would poison the index permanently: every later
+        # append assigns against zero frozen cells and silently
+        # indexes nothing. Fail loudly instead; the one count() runs
+        # only on the very first call.
+        if cents.count() == 0:
+            raise ValueError(
+                "ivf_index_append: first batch produced no centroids "
+                "(empty batch?) — seed the index with a non-empty batch "
+                "or pass pinned centroids"
+            )
         cv = store.write_version(cents, centroid_table)
         cents = store.read_version(centroid_table)
     fresh = new_vectors.select(id_col, vec_col)

@@ -203,3 +203,15 @@ def test_two_batch_equals_global_any_corpus(spark, tmp_path_factory, texts, spli
         r["doc_id"] for r in r2.kept.collect()
     }
     assert kept == _global_kept_ids(docs)
+
+
+def test_empty_batch_is_clean_noop(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "idx"))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = incremental_minhash_dedup(empty, store)
+    assert r.n_new == 0 and r.index_version == 0 and r.kept.count() == 0
+    # and an empty batch AFTER real history leaves the version alone
+    incremental_minhash_dedup(_docs(spark, [(0, _BASE)]), store)
+    v = store.current_version("minhash_sig_index")
+    r2 = incremental_minhash_dedup(empty, store)
+    assert r2.n_new == 0 and r2.index_version == v

@@ -259,3 +259,25 @@ def test_ivf_index_retrain_migrates_and_queries_match_fresh_build(spark, tmp_pat
     assert got == want
     # post-retrain appends keep working against the NEW centroids
     assert ivf_index_append(emb, store).n_new == 0  # replay: all indexed
+
+
+def test_ivf_empty_first_batch_rejected(spark, tmp_path):
+    """An empty first batch must raise instead of committing EMPTY
+    frozen centroids that would silently index nothing forever."""
+    from efiche_data_pipeline_spark.operators.similarity import ivf_index_append
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    store = Store(spark, str(tmp_path / "ivf"))
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_index_append(empty, store)
+    assert store.current_version("ivf_centroids") is None
+    # but an empty batch AFTER a healthy seed is a clean no-op
+    seeded = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    r1 = ivf_index_append(seeded, store, train_k=4)
+    r2 = ivf_index_append(empty, store)
+    assert r1.n_new == 20 and r2.n_new == 0
+    assert r2.centroid_version == r1.centroid_version
