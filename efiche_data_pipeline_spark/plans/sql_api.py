@@ -214,6 +214,56 @@ SQL_QUERIES: dict[str, str] = {
         FROM zv
         GROUP BY 1
     """,
+    "q107_orders_drift": """
+        WITH s AS (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) DIV 2 AS split
+                   FROM orders),
+        mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders),
+        rows_ AS (
+            SELECT 'o_totalprice' AS column_name,
+                   CAST(CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)),
+                                   9) AS INT) AS STRING) AS bucket,
+                   CASE WHEN o_orderkey <= split THEN 'ref' ELSE 'cur' END AS side
+            FROM orders CROSS JOIN mm CROSS JOIN s
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority,
+                   CASE WHEN o_orderkey <= split THEN 'ref' ELSE 'cur' END
+            FROM orders CROSS JOIN s
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus,
+                   CASE WHEN o_orderkey <= split THEN 'ref' ELSE 'cur' END
+            FROM orders CROSS JOIN s
+        ),
+        pb AS (
+            SELECT column_name, bucket,
+                   SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+            FROM rows_ GROUP BY 1, 2
+        ),
+        wn AS (
+            SELECT *,
+                   SUM(c_ref) OVER (PARTITION BY column_name) AS n_ref,
+                   SUM(c_cur) OVER (PARTITION BY column_name) AS n_cur,
+                   COUNT(*) OVER (PARTITION BY column_name) AS n_buckets
+            FROM pb
+        ),
+        terms AS (
+            SELECT column_name, n_ref, n_cur, n_buckets,
+                   CAST(ROUND((((c_cur + 1.0) / (n_cur + n_buckets)
+                                - (c_ref + 1.0) / (n_ref + n_buckets))
+                               * ln(((c_cur + 1.0) / (n_cur + n_buckets))
+                                    / ((c_ref + 1.0) / (n_ref + n_buckets))))
+                              * 1e9) AS BIGINT) AS t
+            FROM wn
+        )
+        SELECT column_name,
+               ROUND(SUM(t) / 1e9, 4) AS psi,
+               MAX(n_ref) AS n_ref,
+               MAX(n_cur) AS n_cur,
+               CAST(MAX(n_buckets) AS BIGINT) AS n_buckets
+        FROM terms
+        GROUP BY column_name
+    """,
     "q98_ohlc_bars": f"""
         SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS bar_start,
                event_type,
