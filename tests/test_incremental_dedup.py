@@ -215,3 +215,25 @@ def test_empty_batch_is_clean_noop(spark, tmp_path):
     v = store.current_version("minhash_sig_index")
     r2 = incremental_minhash_dedup(empty, store)
     assert r2.n_new == 0 and r2.index_version == v
+
+
+def test_incremental_dedup_partition_independent(spark, tmp_path):
+    """The kept set must not depend on physical layout of the batch
+    (collect_list buckets are array_sorted; joins are equi-joins) —
+    run the same two-batch sequence with the batches re-partitioned
+    1 / 7 / 32 ways and compare kept sets."""
+    docs = _corpus(spark)
+
+    def run(nparts):
+        store = Store(spark, str(tmp_path / f"idx{nparts}"))
+        b1 = docs.filter(F.col("doc_id") <= 2).repartition(nparts)
+        b2 = docs.filter(F.col("doc_id") > 2).repartition(nparts)
+        r1 = incremental_minhash_dedup(b1, store, threshold=_TAU)
+        r2 = incremental_minhash_dedup(b2, store, threshold=_TAU)
+        return {r["doc_id"] for r in r1.kept.collect()} | {
+            r["doc_id"] for r in r2.kept.collect()
+        }
+
+    base = run(1)
+    assert run(7) == base
+    assert run(32) == base

@@ -124,3 +124,32 @@ def test_incremental_weighted_sample_equals_direct_and_replays(spark, tmp_path):
     assert [
         (r["k"], r["w"]) for r in replay.orderBy("p", "k").collect()
     ] == direct
+
+
+def test_incremental_weighted_sample_partition_independent(spark, tmp_path):
+    """Deterministic priorities + key tie-break make the maintained
+    sample layout-independent."""
+    from efiche_data_pipeline_spark.operators.ranking import (
+        incremental_weighted_sample,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = spark.createDataFrame(
+        [(i, (i * 31) % 97 + 1) for i in range(1, 500)], "k long, w long"
+    ).select(
+        "k",
+        "w",
+        (-F.log((F.xxhash64("k").bitwiseAND(F.lit((1 << 40) - 1)) + 1)
+                / F.lit(float(1 << 40))) / F.col("w")).alias("p"),
+    )
+
+    def run(nparts):
+        store = Store(spark, str(tmp_path / f"s{nparts}"))
+        for lo, hi in ((1, 250), (251, 499)):
+            sample, _ = incremental_weighted_sample(
+                rows.filter(F.col("k").between(lo, hi)).repartition(nparts),
+                store, 40, "k", "p",
+            )
+        return sorted((r["k"], r["w"]) for r in sample.collect())
+
+    assert run(1) == run(8) == run(32)
