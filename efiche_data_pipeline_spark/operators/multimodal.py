@@ -24,6 +24,8 @@ behavior — is real and tested.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -239,4 +241,74 @@ def sample_media_frames(
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         batches, FRAME_SCHEMA
+    )
+
+
+@dataclass(frozen=True)
+class IncrementalBinaryDedupResult:
+    kept: DataFrame
+    n_new: int
+    n_dup_vs_history: int  # fresh items whose fingerprint is already indexed
+    n_dup_within: int  # fresh items beaten by a smaller id in the batch
+    index_version: int
+
+
+def incremental_binary_dedup(
+    new_media: DataFrame,
+    store,
+    index_table: str = "binary_fp_index",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> IncrementalBinaryDedupResult:
+    """Exact content-hash dedup of a new MEDIA batch against all
+    history — the multimodal member of the incremental family
+    (operators/dedup.py:incremental_minhash_dedup is the near-dup
+    text form). The persisted index is (id, fp) rows — 32-char
+    fingerprints, never payloads — committed as O(batch) layered
+    deltas (store.append_version); the payload column is read once
+    map-side to fingerprint the batch and never shuffles.
+
+    Keeper rule: an item survives iff its fingerprint is unseen in
+    history AND it has the smallest id for that fingerprint within
+    the batch — which under monotone ids equals the global
+    min-id-per-fingerprint rule (q40), so batch-by-batch ≡ one global
+    dedup, oracle-checked by q108. Replays are filtered by id up
+    front: nothing re-kept, nothing re-committed."""
+    stats = binary_stats(new_media, id_col, content_col).select(id_col, "fp")
+    current = store.current_version(index_table)
+    hist = store.read_union(index_table) if current is not None else None
+    fresh = (
+        stats.join(hist.select(id_col), id_col, "left_anti")
+        if hist is not None
+        else stats
+    ).localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return IncrementalBinaryDedupResult(
+            kept=new_media.limit(0),
+            n_new=0,
+            n_dup_vs_history=0,
+            n_dup_within=0,
+            index_version=current if current is not None else 0,
+        )
+    keeper = fresh.groupBy("fp").agg(F.min(id_col).alias("_keep"))
+    batch_first = fresh.join(keeper, "fp").filter(
+        F.col(id_col) == F.col("_keep")
+    )
+    if hist is not None:
+        hist_fps = hist.select("fp").distinct()
+        kept_ids = batch_first.join(hist_fps, "fp", "left_anti").select(id_col)
+        n_hist = fresh.join(hist_fps, "fp", "left_semi").count()
+    else:
+        kept_ids = batch_first.select(id_col)
+        n_hist = 0
+    kept_ids = kept_ids.localCheckpoint(eager=True)
+    n_kept = kept_ids.count()
+    version = store.append_version(fresh.select(id_col, "fp"), index_table)
+    return IncrementalBinaryDedupResult(
+        kept=new_media.join(kept_ids, id_col, "left_semi"),
+        n_new=n_new,
+        n_dup_vs_history=n_hist,
+        n_dup_within=n_new - n_hist - n_kept,
+        index_version=version,
     )

@@ -1822,6 +1822,51 @@ GROUP BY column_name
 
 
 
+# ---------------------------------------------------------------------------
+# Q108 — incremental BINARY dedup against a persisted fingerprint
+# index (operators/multimodal.py:incremental_binary_dedup): the
+# multimodal member of the incremental family.  Two "daily" media
+# batches (the synthesized binary column, doc-id midpoint split) fold
+# into a layered (id, fp) index; the kept set must equal the global
+# min-id-per-fingerprint rule (q40) over the whole corpus — which is
+# exactly what the oracle computes.
+# ---------------------------------------------------------------------------
+def q108_incremental_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.multimodal import incremental_binary_dedup, synthesize_content
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_content(docs, "doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = Store(spark, tempfile.mkdtemp(prefix="efiche_bindedup_"))
+    r1 = incremental_binary_dedup(media.filter(F.col("doc_id") <= split), store)
+    r2 = incremental_binary_dedup(media.filter(F.col("doc_id") > split), store)
+    assert r2.index_version > r1.index_version, "index version must grow"
+    return r1.kept.select(
+        "doc_id", F.lit(1).cast("int").alias("batch")
+    ).unionByName(r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch")))
+
+
+def _q108_oracle() -> str:
+    from .extensions import _CONTENT_SQL
+
+    return f"""
+WITH c AS ({_CONTENT_SQL}),
+s AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS split FROM documents),
+k AS (SELECT md5(hex(content)) AS fp, MIN(doc_id) AS doc_id FROM c GROUP BY 1)
+SELECT k.doc_id,
+       CAST(CASE WHEN k.doc_id <= s.split THEN 1 ELSE 2 END AS INTEGER) AS batch
+FROM k CROSS JOIN s
+"""
+
+
+ORACLES["q108_incremental_binary_dedup"] = _q108_oracle()
+
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

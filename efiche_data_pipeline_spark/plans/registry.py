@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q105_incremental_weighted_sample",
     "q106_incremental_kmv_customers",
     "q107_orders_drift",
+    "q108_incremental_binary_dedup",
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
     # stale r01/r02 rows (refresh):

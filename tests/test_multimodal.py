@@ -98,3 +98,49 @@ def test_sample_media_frames_fanout_and_determinism(spark):
     # doc, all-'a' frames share a fingerprint (content-addressed frames)
     fps = {r[4] for r in rows if r[0] == 1}
     assert len(fps) == 1
+
+
+def test_incremental_binary_dedup_matches_global_and_replays(spark, tmp_path):
+    """Cross-batch and within-batch duplicate payloads collapse to the
+    global min-id keeper; replays keep and commit nothing."""
+    from efiche_data_pipeline_spark.operators.multimodal import (
+        content_hash_dedup,
+        incremental_binary_dedup,
+        synthesize_content,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same payload text"),
+            # same text but id%3 differs -> different magic header ->
+            # DIFFERENT binary content (kept)
+            (1, "same payload text"),
+            # id 3: same header class as 0 (3%3==0) + same text -> true dup
+            (3, "same payload text"),
+            (4, "other payload"),
+            # batch 2: 6%3==0 -> duplicates id 0 across history
+            (6, "same payload text"),
+            (7, "fresh content"),
+        ],
+        "doc_id long, text string",
+    )
+    media = synthesize_content(docs, "doc_id", "text")
+    store = Store(spark, str(tmp_path / "idx"))
+    r1 = incremental_binary_dedup(
+        media.filter(F.col("doc_id") <= 4), store
+    )
+    r2 = incremental_binary_dedup(media.filter(F.col("doc_id") > 4), store)
+    kept = {r["doc_id"] for r in r1.kept.collect()} | {
+        r["doc_id"] for r in r2.kept.collect()
+    }
+    keepers = {
+        r["keeper_doc_id"]
+        for r in content_hash_dedup(media, "doc_id").collect()
+    }
+    assert kept == keepers
+    assert r1.n_dup_within == 1  # id 3 vs id 0
+    assert r2.n_dup_vs_history == 1  # id 6 vs indexed id 0
+    replay = incremental_binary_dedup(media.filter(F.col("doc_id") > 4), store)
+    assert replay.n_new == 0 and replay.kept.count() == 0
+    assert replay.index_version == r2.index_version
