@@ -503,6 +503,10 @@ class IncrementalDedupResult:
     n_dup_within: int  # fresh docs dominated only within this batch
     index_version: int
     index_delta: DataFrame | None = None  # only with commit=False
+    # qualifying (doc_a, doc_b, _h) pairs at est_sim >= threshold —
+    # _h = 1 for cross-history pairs. The edge feed for
+    # incremental_neardup_components.
+    sim_pairs: DataFrame | None = None
 
 
 def incremental_minhash_dedup(
@@ -607,9 +611,9 @@ def incremental_minhash_dedup(
         id_col,
         n_hashes,
     )
-    dominated = (
+    sim_pairs = (
         within_pairs.filter(F.col("est_sim") >= threshold)
-        .select(F.col("doc_b").alias(id_col))
+        .select("doc_a", "doc_b")
         .withColumn("_h", F.lit(0))
     )
     if hist is not None:
@@ -628,14 +632,16 @@ def incremental_minhash_dedup(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        dominated = dominated.unionByName(
+        sim_pairs = sim_pairs.unionByName(
             _pair_est_sim(cand_hist, hist, fresh_sig, id_col, n_hashes)
             .filter(F.col("est_sim") >= threshold)
-            .select(F.col("doc_b").alias(id_col))
+            .select("doc_a", "doc_b")
             .withColumn("_h", F.lit(1))
         )
+    sim_pairs = sim_pairs.localCheckpoint(eager=True)
     dropped = (
-        dominated.groupBy(id_col)
+        sim_pairs.select(F.col("doc_b").alias(id_col), "_h")
+        .groupBy(id_col)
         .agg(F.max("_h").alias("_h"))
         .localCheckpoint(eager=True)
     )
@@ -657,6 +663,7 @@ def incremental_minhash_dedup(
             n_dup_vs_history=n_hist,
             n_dup_within=n_within,
             index_version=version,
+            sim_pairs=sim_pairs,
         )
     return IncrementalDedupResult(
         kept=kept,
@@ -665,4 +672,115 @@ def incremental_minhash_dedup(
         n_dup_within=n_within,
         index_version=current if current is not None else 0,
         index_delta=index_delta,
+        sim_pairs=sim_pairs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup CLUSTERS: connected components maintained
+# across batches on top of the incremental signature index.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class IncrementalComponentsResult:
+    labels: DataFrame  # (doc_id, component_id) for every ever-paired doc
+    dedup: IncrementalDedupResult
+    labels_version: int
+
+
+def incremental_neardup_components(
+    new_docs: DataFrame,
+    store,
+    index_table: str = "minhash_sig_index",
+    labels_table: str = "neardup_labels",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> IncrementalComponentsResult:
+    """Maintain near-dup CLUSTER labels across batches: run the
+    incremental index dedup (which also yields this batch's
+    est_sim >= threshold pairs, within-batch AND vs-history), then
+    fold those new edges into the persisted label table.
+
+    Correctness rides STAR COMPRESSION: the stored labels are
+    equivalent to edges (node → component-min), and components of
+    (star(labels_{k-1}) ∪ new_pairs_k) equal components of the union
+    of ALL pairs ever seen — so batch-by-batch label maintenance is
+    EXACTLY global clustering (oracle-checked by q109, including the
+    merge case where a new doc joins two previously-separate
+    components into one). Per batch the propagation input is
+    O(ever-paired nodes + new pairs), never the corpus; the label
+    table is (doc_id, component_id) rows, rewritten per batch
+    (O(clustered-nodes · 16 B) — negligible next to any corpus).
+
+    Only docs that have ever appeared in a qualifying pair carry a
+    label (q57's convention); singletons are implicit."""
+    ded = incremental_minhash_dedup(
+        new_docs,
+        store,
+        index_table=index_table,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        portable=portable,
+    )
+    cur = store.current_version(labels_table)
+    hist_labels = store.read_version(labels_table) if cur is not None else None
+    if (
+        ded.sim_pairs is None
+        or ded.n_new == 0
+        or ded.sim_pairs.limit(1).count() == 0
+    ):  # replay / empty batch / no qualifying pairs: labels unchanged
+        return IncrementalComponentsResult(
+            labels=hist_labels
+            if hist_labels is not None
+            else new_docs.select(F.col(id_col)).limit(0).withColumn(
+                "component_id", F.col(id_col)
+            ),
+            dedup=ded,
+            labels_version=cur if cur is not None else 0,
+        )
+    version = fold_component_labels(
+        store, ded.sim_pairs.select("doc_a", "doc_b"), labels_table, id_col
+    )
+    return IncrementalComponentsResult(
+        labels=store.read_version(labels_table, version),
+        dedup=ded,
+        labels_version=version,
+    )
+
+
+def fold_component_labels(
+    store,
+    new_pairs: DataFrame,
+    labels_table: str = "neardup_labels",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold a batch of (doc_a, doc_b) edges into the persisted
+    component-label table via STAR COMPRESSION: stored labels re-enter
+    the propagation as (node → component) edges, so a new edge that
+    touches two existing components relabels BOTH to their common
+    minimum — the merge case — while untouched components pass through
+    verbatim. components(star(labels) ∪ new_pairs) ≡ components(all
+    pairs ever seen); the deterministic merge unit test lives in
+    tests/test_incremental_dedup.py. Returns the committed version."""
+    cur = store.current_version(labels_table)
+    hist_labels = store.read_version(labels_table) if cur is not None else None
+    edges = new_pairs
+    if hist_labels is not None:
+        edges = edges.unionByName(
+            hist_labels.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("component_id").alias("doc_b"),
+            )
+        )
+    comp = dedup_components(edges, "doc_a", "doc_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    return store.write_version(comp, labels_table)

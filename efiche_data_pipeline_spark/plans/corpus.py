@@ -1867,6 +1867,71 @@ ORACLES["q108_incremental_binary_dedup"] = _q108_oracle()
 
 
 
+# ---------------------------------------------------------------------------
+# Q109 — incremental near-dup CLUSTER maintenance
+# (operators/dedup.py:incremental_neardup_components): two "daily"
+# batches fold their LSH pairs (within-batch AND vs-history) into a
+# persisted label table via star compression; the final labels must
+# equal one GLOBAL connected-components run over the full corpus's
+# LSH pairs — which is what the oracle computes (q28's portable pair
+# pipeline closed under a recursive CTE, q57's shape).  This includes
+# the MERGE case: a batch-2 doc similar to two separate batch-1
+# components relabels both to one.
+# ---------------------------------------------------------------------------
+def q109_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import incremental_neardup_components
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = Store(spark, tempfile.mkdtemp(prefix="efiche_inccomp_"))
+    incremental_neardup_components(
+        docs.filter(F.col("doc_id") <= split),
+        store,
+        threshold=_INC_DEDUP_SIM,
+        portable=True,
+    )
+    r2 = incremental_neardup_components(
+        docs.filter(F.col("doc_id") > split),
+        store,
+        threshold=_INC_DEDUP_SIM,
+        portable=True,
+    )
+    return r2.labels
+
+
+def _inc_components_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component_id
+FROM reach
+GROUP BY src
+"""
+
+
+ORACLES["q109_incremental_components"] = _inc_components_oracle()
+
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q106_incremental_kmv_customers",
     "q107_orders_drift",
     "q108_incremental_binary_dedup",
+    "q109_incremental_components",
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
     # stale r01/r02 rows (refresh):

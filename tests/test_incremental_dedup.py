@@ -237,3 +237,93 @@ def test_incremental_dedup_partition_independent(spark, tmp_path):
     base = run(1)
     assert run(7) == base
     assert run(32) == base
+
+
+def _py_components(pairs):
+    """Reference closure: min-reachable label per node."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {}
+    for start in adj:
+        if start in labels:
+            continue
+        seen, stack = {start}, [start]
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        root = min(seen)
+        for n in seen:
+            labels[n] = root
+    return labels
+
+
+def test_incremental_components_equal_global_and_merge(spark, tmp_path):
+    """Chained near-dups split across batches: the maintained labels
+    must equal the global closure over ALL LSH pairs, including a
+    cross-batch MERGE (two batch-1 components united by a batch-2
+    bridge doc)."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_components,
+    )
+
+    texts = {i: _BASE + " " + " ".join(f"pad{j}" for j in range(i)) for i in range(7)}
+    docs = _docs(spark, sorted(texts.items()))
+    global_pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=_TAU
+        ).collect()
+    ]
+    expected = _py_components(global_pairs)
+    assert expected, "fixture must produce pairs"
+
+    store = Store(spark, str(tmp_path / "idx"))
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)  # note: ids NOT monotone
+    # monotone split instead: low half then high half
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    b2 = docs.filter(F.col("doc_id") > 3)
+    r1 = incremental_neardup_components(b1, store, threshold=_TAU)
+    r2 = incremental_neardup_components(b2, store, threshold=_TAU)
+    got = {
+        r["doc_id"]: r["component_id"] for r in r2.labels.collect()
+    }
+    assert got == expected
+    assert r2.labels_version > r1.labels_version
+
+    # replay: labels version and content unchanged
+    r3 = incremental_neardup_components(b2, store, threshold=_TAU)
+    assert r3.labels_version == r2.labels_version
+    assert {
+        r["doc_id"]: r["component_id"] for r in r3.labels.collect()
+    } == expected
+
+
+def test_fold_component_labels_merges_existing_components(spark, tmp_path):
+    """The deterministic MERGE case at the label level: two separate
+    components from batch 1 are united by one batch-2 edge, and every
+    member — including ones the new edge never touched — relabels to
+    the common minimum."""
+    from efiche_data_pipeline_spark.operators.dedup import fold_component_labels
+
+    store = Store(spark, str(tmp_path / "lbl"))
+    pairs = lambda *ps: spark.createDataFrame(
+        list(ps), "doc_a long, doc_b long"
+    )
+    fold_component_labels(store, pairs((0, 1), (4, 5), (8, 9)))
+    l1 = {
+        r["doc_id"]: r["component_id"]
+        for r in store.read_version("neardup_labels").collect()
+    }
+    assert l1 == {0: 0, 1: 0, 4: 4, 5: 4, 8: 8, 9: 8}
+    # batch 2: one edge bridging components {0,1} and {4,5}
+    fold_component_labels(store, pairs((1, 4)))
+    l2 = {
+        r["doc_id"]: r["component_id"]
+        for r in store.read_version("neardup_labels").collect()
+    }
+    assert l2 == {0: 0, 1: 0, 4: 0, 5: 0, 8: 8, 9: 8}
