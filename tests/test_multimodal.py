@@ -144,3 +144,30 @@ def test_incremental_binary_dedup_matches_global_and_replays(spark, tmp_path):
     replay = incremental_binary_dedup(media.filter(F.col("doc_id") > 4), store)
     assert replay.n_new == 0 and replay.kept.count() == 0
     assert replay.index_version == r2.index_version
+
+
+def test_incremental_binary_dedup_partition_independent(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.multimodal import (
+        incremental_binary_dedup,
+        synthesize_content,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i % 9}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    media = synthesize_content(docs, "doc_id", "text")
+
+    def run(nparts):
+        store = Store(spark, str(tmp_path / f"s{nparts}"))
+        kept = set()
+        for lo, hi in ((0, 29), (30, 59)):
+            r = incremental_binary_dedup(
+                media.filter(F.col("doc_id").between(lo, hi)).repartition(nparts),
+                store,
+            )
+            kept |= {row["doc_id"] for row in r.kept.collect()}
+        return kept
+
+    assert run(1) == run(8) == run(32)

@@ -159,3 +159,24 @@ def test_incremental_kmv_equals_direct_and_replays(spark, tmp_path):
         rows.filter(F.col("k").between(200, 399)), store, ["g"], "v", k=32
     )
     assert {r["g"]: r["kmv_estimate"] for r in replay.collect()} == direct
+
+
+def test_incremental_kmv_partition_independent(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.sketch import incremental_kmv
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = spark.createDataFrame(
+        [(i, f"g{i % 2}", f"v{i % 311}") for i in range(700)],
+        "k long, g string, v string",
+    )
+
+    def run(nparts):
+        store = Store(spark, str(tmp_path / f"s{nparts}"))
+        for lo, hi in ((0, 349), (350, 699)):
+            est, _ = incremental_kmv(
+                rows.filter(F.col("k").between(lo, hi)).repartition(nparts),
+                store, ["g"], "v", k=32,
+            )
+        return sorted(map(tuple, est.collect()))
+
+    assert run(1) == run(8) == run(32)
