@@ -20,6 +20,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a second writer races a versioned commit on the same
+    table. The Store's versioned API is single-writer by contract; this
+    error is the contract ENFORCED — the loser raises before touching
+    any layer, manifest, or pointer, so the winner's commit is never
+    clobbered. A claim file left behind by a CRASHED writer also lands
+    here; ``vacuum_versions`` clears stale claims."""
+
+
 class Store:
     def __init__(self, spark: SparkSession, root: str, audit: bool = False):
         import threading
@@ -107,6 +116,7 @@ class Store:
         return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))
 
     def read(self, table: str) -> DataFrame:
+        self._recover_compact(table)
         return self.spark.read.parquet(self.path(table))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
@@ -207,20 +217,47 @@ class Store:
         whose open/footer overhead eventually dominates scan time.
         ``coalesce`` (no shuffle) merges read-splits in-task; content is
         unchanged as a multiset. The rewrite goes through a temp
-        directory + atomic swap so a crash mid-compact leaves either the
-        old or the new table, never a partial one."""
+        directory + a two-rename swap (final→``_precompact``, tmp→final,
+        then delete the old copy), so the path holds a COMPLETE table at
+        every instant except the sub-microsecond window between the two
+        renames — and a crash inside that window leaves the old table
+        intact under ``_precompact_<table>``, which the next ``compact``
+        (or ``read``, via the recovery below) restores. Contrast the
+        naive rmtree-then-rename, whose crash window leaves NO table at
+        the path (tests/test_store_mgmt.py pins every intermediate
+        state)."""
         import shutil
 
+        self._recover_compact(table)
         df = self.read(table).coalesce(target_files)
         tmp = self.path(f"_compact_{table}")
         df.write.mode("overwrite").parquet(tmp)
         final = self.path(table)
-        shutil.rmtree(final)
+        old = self.path(f"_precompact_{table}")
+        os.rename(final, old)
         os.rename(tmp, final)
+        shutil.rmtree(old)
         self._log(table, "compact")
         return sum(
             1 for f in os.listdir(final) if f.endswith(".parquet")
         )
+
+    def _recover_compact(self, table: str) -> None:
+        """Heal a crash inside :meth:`compact`'s swap: if the table path
+        is missing but ``_precompact_<table>`` survives, the crash hit
+        between the two renames — rename the old copy back. If both
+        exist, the crash hit after the second rename (new table live);
+        the leftover old copy is just deleted."""
+        import shutil
+
+        final = self.path(table)
+        old = self.path(f"_precompact_{table}")
+        if not os.path.exists(old):
+            return
+        if os.path.exists(final):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, final)
 
     def append_evolved(self, df: DataFrame, table: str) -> None:
         """Append a frame whose schema is a SUPERSET of the stored
@@ -265,6 +302,76 @@ class Store:
     def _current_file(self, table: str) -> str:
         return os.path.join(self.path(table), "_CURRENT")
 
+    def _claim_file(self, table: str, version: int) -> str:
+        return os.path.join(self.path(table), f"_claim_v{version}")
+
+    def _claim_next_version(self, table: str) -> int:
+        """Atomically CLAIM the next version slot — the compare-and-swap
+        that turns the single-writer contract from hoped-for into
+        enforced. The claim is an O_CREAT|O_EXCL marker file: two
+        writers that both computed the same next slot race the create,
+        exactly one wins, the loser raises :class:`ConcurrentWriteError`
+        BEFORE writing any data. A stale claim (crashed writer: marker
+        exists, slot never committed) also raises — ``vacuum_versions``
+        clears it. After claiming, the slot is re-checked against a
+        committed ``_SUCCESS`` to close the stale-read race (a writer
+        that computed its slot before another's commit+claim-release
+        must not overwrite the committed directory). The caller removes
+        the claim in a ``finally`` once its commit completes or fails
+        cleanly."""
+        committed = self.versions(table)
+        nxt = max(committed, default=0) + 1
+        os.makedirs(self.path(table), exist_ok=True)
+        try:
+            fd = os.open(
+                self._claim_file(table, nxt),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{table}: version slot _v{nxt} is already claimed — "
+                "another writer is committing concurrently, or a crashed "
+                "writer left a stale claim (vacuum_versions clears it)"
+            ) from None
+        if os.path.exists(os.path.join(self._vdir(table, nxt), "_SUCCESS")):
+            os.remove(self._claim_file(table, nxt))
+            raise ConcurrentWriteError(
+                f"{table}: version _v{nxt} was committed by a concurrent "
+                "writer between slot computation and claim"
+            )
+        return nxt
+
+    def _release_claim(self, table: str, version: int) -> None:
+        try:
+            os.remove(self._claim_file(table, version))
+        except FileNotFoundError:
+            pass
+
+    def is_layered(self, table: str) -> bool:
+        """True iff the table's CURRENT version was committed through
+        the layered API (``append_version``/``compact_layers``) — i.e.
+        it carries a layer manifest. Snapshot (``write_version``) and
+        layered commits cannot be mixed on one table; the write/read
+        methods of each family check this and raise a clear error
+        instead of silently reading a delta as if it were a full
+        snapshot."""
+        cur = self.current_version(table)
+        return cur is not None and os.path.exists(
+            self._manifest_file(table, cur)
+        )
+
+    def layer_count(self, table: str) -> int:
+        """Number of delta layers the current version unions over
+        (0 for an uncommitted table). The public compaction-trigger
+        accessor — callers (streaming/dedup_stream.py) size
+        ``compact_every`` against this instead of reaching into the
+        manifest internals."""
+        cur = self.current_version(table)
+        if cur is None or not os.path.exists(self._manifest_file(table, cur)):
+            return 0
+        return len(self._layers(table, cur))
+
     def current_version(self, table: str) -> int | None:
         try:
             with open(self._current_file(table)) as f:
@@ -299,13 +406,22 @@ class Store:
         committed snapshot means a post-rollback write becomes _v4 and
         the rolled-back-over versions remain intact (orphaned forward
         history; vacuum reclaims it)."""
-        committed = self.versions(table)
-        nxt = max(committed, default=0) + 1
-        df.write.mode("overwrite").parquet(self._vdir(table, nxt))
-        tmp = self._current_file(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._current_file(table))  # atomic pointer swap
+        if self.is_layered(table):
+            raise ValueError(
+                f"{table} was committed with append_version (layered): "
+                "snapshot and layered APIs cannot be mixed on one table "
+                "— use append_version, or compact_layers then vacuum to "
+                "migrate"
+            )
+        nxt = self._claim_next_version(table)
+        try:
+            df.write.mode("overwrite").parquet(self._vdir(table, nxt))
+            tmp = self._current_file(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(nxt))
+            os.replace(tmp, self._current_file(table))  # atomic pointer swap
+        finally:
+            self._release_claim(table, nxt)
         self._log(table, f"write_version:{nxt}")
         return nxt
 
@@ -315,6 +431,15 @@ class Store:
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"{table}: no versioned snapshots")
+        if (
+            os.path.exists(self._manifest_file(table, v))
+            and len(self._layers(table, v)) > 1
+        ):
+            raise ValueError(
+                f"{table} _v{v} is a LAYERED version ({table} was "
+                "committed with append_version); its _v directory holds "
+                "only the delta — use read_union to see the full table"
+            )
         return self.spark.read.parquet(self._vdir(table, v))
 
     def rollback(self, table: str, version: int) -> None:
@@ -338,7 +463,13 @@ class Store:
         MANIFEST pins every layer it unions over, so all layers
         referenced by a kept manifest are protected too — vacuuming
         after :meth:`compact_layers` is what actually reclaims old
-        layers (the compacted manifest references only itself)."""
+        layers (the compacted manifest references only itself).
+
+        Also clears STALE CLAIM markers (a writer that crashed between
+        claiming a version slot and committing it leaves the marker
+        behind, blocking that slot with :class:`ConcurrentWriteError`
+        for every later writer) — only run vacuum while no writer is in
+        flight, per the single-writer contract."""
         import shutil
 
         cur = self.current_version(table)
@@ -350,6 +481,10 @@ class Store:
         dropped = []
         root = self.path(table)
         for d in os.listdir(root):
+            if d.startswith("_claim_v") and d[8:].isdigit():
+                if int(d[8:]) not in committed:  # stale (crashed) claim
+                    os.remove(os.path.join(root, d))
+                continue
             if not (d.startswith("_v") and d[2:].isdigit()):
                 continue
             v = int(d[2:])
@@ -387,17 +522,32 @@ class Store:
         """Commit ``df`` as the next DELTA layer of ``table``; readers
         (:meth:`read_union`) see the union of the committed layers.
         Write cost is O(df), independent of the accumulated size."""
-        committed = self.versions(table)
         cur = self.current_version(table)
-        base = self._layers(table, cur) if cur is not None else []
-        nxt = max(committed, default=0) + 1
-        df.write.mode("overwrite").parquet(self._vdir(table, nxt))
-        with open(self._manifest_file(table, nxt), "w") as f:
-            f.write(" ".join(str(x) for x in base + [nxt]))
-        tmp = self._current_file(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._current_file(table))
+        if cur is not None and not os.path.exists(
+            self._manifest_file(table, cur)
+        ):
+            raise ValueError(
+                f"{table} was committed with write_version (snapshot): "
+                "snapshot and layered APIs cannot be mixed on one table "
+                "— keep using write_version, or start the layered table "
+                "under a different name"
+            )
+        nxt = self._claim_next_version(table)
+        try:
+            # Re-read the base AFTER the claim: the claim is the
+            # serialization point, so the manifest this commit extends
+            # is guaranteed to be the latest.
+            cur = self.current_version(table)
+            base = self._layers(table, cur) if cur is not None else []
+            df.write.mode("overwrite").parquet(self._vdir(table, nxt))
+            with open(self._manifest_file(table, nxt), "w") as f:
+                f.write(" ".join(str(x) for x in base + [nxt]))
+            tmp = self._current_file(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(nxt))
+            os.replace(tmp, self._current_file(table))
+        finally:
+            self._release_claim(table, nxt)
         self._log(table, f"append_version:{nxt}")
         return nxt
 
@@ -409,26 +559,57 @@ class Store:
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"{table}: no committed versions")
+        if not os.path.exists(self._manifest_file(table, v)):
+            raise ValueError(
+                f"{table} _v{v} has no layer manifest ({table} was "
+                "committed with write_version): snapshot and layered "
+                "APIs cannot be mixed — use read_version"
+            )
         dirs = [self._vdir(table, x) for x in self._layers(table, v)]
         return self.spark.read.parquet(*dirs)
 
-    def compact_layers(self, table: str) -> int:
+    def compact_layers(self, table: str, target_files: int | None = None) -> int:
         """Rewrite the current union as ONE new layer (the OPTIMIZE /
         checkpoint step): subsequent reads scan a single directory and
         older layers become vacuumable once no kept manifest references
-        them. Returns the new version."""
+        them. Returns the new version.
+
+        ``target_files`` coalesces the rewrite to that many files; the
+        default (None) auto-sizes to ceil(union bytes / 128 MB), floor
+        one — without a target the compacted layer inherits one file
+        per read split, and for many-small-layer tables (the streaming
+        intake's shape, where ``openCostInBytes`` makes every tiny
+        file its own split) the file count would NOT drop even though
+        the layer count does. Auto-sizing keeps files near the scan's
+        preferred partition size at any scale; the measured sawtooth
+        test (tests/test_dedup_stream.py) pins that compaction
+        actually resets the per-fold listing cost."""
         cur = self.current_version(table)
         if cur is None:
             raise FileNotFoundError(f"{table}: no committed versions")
-        merged = self.read_union(table).localCheckpoint(eager=True)
-        committed = self.versions(table)
-        nxt = max(committed, default=0) + 1
-        merged.write.mode("overwrite").parquet(self._vdir(table, nxt))
-        with open(self._manifest_file(table, nxt), "w") as f:
-            f.write(str(nxt))
-        tmp = self._current_file(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._current_file(table))
+        if target_files is None:
+            total = 0
+            for layer in self._layers(table, cur):
+                d = self._vdir(table, layer)
+                total += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            target_files = max(1, -(-total // (128 << 20)))
+        merged = self.read_union(table).coalesce(target_files).localCheckpoint(
+            eager=True
+        )
+        nxt = self._claim_next_version(table)
+        try:
+            merged.write.mode("overwrite").parquet(self._vdir(table, nxt))
+            with open(self._manifest_file(table, nxt), "w") as f:
+                f.write(str(nxt))
+            tmp = self._current_file(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(nxt))
+            os.replace(tmp, self._current_file(table))
+        finally:
+            self._release_claim(table, nxt)
         self._log(table, f"compact_layers:{nxt}")
         return nxt

@@ -48,10 +48,19 @@ from .curation import stream_documents
 
 @dataclass(frozen=True)
 class StreamDedupReport:
+    """``n_batches``/``n_new``/``n_dropped`` tally the batches THIS
+    PROCESS ran — a run resumed from a checkpoint after a crash counts
+    only its own batches, not the pre-crash ones (the stream's durable
+    truth lives in the store, not in driver memory). ``n_kept_total``
+    and ``index_version`` are therefore derived FROM the store after
+    the stream drains: they are cumulative across every run and crash,
+    and are what a monitoring caller should alert on."""
+
     n_batches: int
     n_new: int
     n_dropped: int
     index_version: int
+    n_kept_total: int = 0  # store-derived: rows in the kept sink
 
 
 def run_incremental_dedup_stream(
@@ -99,8 +108,8 @@ def run_incremental_dedup_stream(
         # once — both derive from the operator's localCheckpointed
         # signature scan, so neither re-runs the text pass.
         store.append_new(res.kept.select("doc_id"), kept_table, key="doc_id")
-        v = store.append_version(res.index_delta, index_table)
-        if compact_every and len(store._layers(index_table, v)) >= compact_every:
+        store.append_version(res.index_delta, index_table)
+        if compact_every and store.layer_count(index_table) >= compact_every:
             store.compact_layers(index_table)
         totals["new"] += res.n_new
         totals["dropped"] += res.n_dup_vs_history + res.n_dup_within
@@ -120,4 +129,5 @@ def run_incremental_dedup_stream(
         n_new=totals["new"],
         n_dropped=totals["dropped"],
         index_version=v if v is not None else 0,
+        n_kept_total=store.count(kept_table),
     )

@@ -90,9 +90,87 @@ def test_stream_dedup_auto_compaction_preserves_semantics(spark, tmp_path):
     r = run_incremental_dedup_stream(spark, src, store, ckpt, compact_every=2)
     kept = {row["doc_id"] for row in store.read("dedup_kept_docs").collect()}
     assert kept == _global_kept(spark, f1 + f2 + f3)
-    v = store.current_version("minhash_sig_index")
-    assert len(store._layers("minhash_sig_index", v)) < 3
+    assert store.layer_count("minhash_sig_index") < 3
     assert {
         row["doc_id"]
         for row in store.read_union("minhash_sig_index").collect()
     } == {0, 1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# "O(batch) commits" — MEASURED, not argued (VERDICT r05 Next #5).
+# ---------------------------------------------------------------------------
+def _index_layer_stats(store, table="minhash_sig_index"):
+    """(n_files, n_bytes) across the CURRENT manifest's layers — what
+    read_union will list and scan next fold — plus per-layer dirs."""
+    import os
+
+    cur = store.current_version(table)
+    if cur is None:
+        return 0, 0
+    files = bytes_ = 0
+    for layer in store._layers(table, cur):
+        d = store._vdir(table, layer)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(d, f))
+    return files, bytes_
+
+
+def test_layered_index_commit_cost_flat_measured(spark, tmp_path):
+    """8 equal-size folds into the layered index with compact_every=4:
+    per-fold COMMIT cost (bytes written into the new delta layer) must
+    stay flat while the cumulative index grows 8x, and the per-fold
+    LISTING cost (files in the manifest read_union opens) must follow
+    the layer-count sawtooth — growing to compact_every, resetting
+    after compaction, never trending up with history. This turns the
+    operator's 'O(batch) by design' claim into O(batch), measured."""
+    import os
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    store = Store(spark, str(tmp_path / "flat"))
+    compact_every = 4
+    layer_bytes: list[int] = []
+    files_before_fold: list[int] = []
+    layer_counts: list[int] = []
+    for fold in range(8):
+        docs = spark.createDataFrame(
+            [
+                (fold * 12 + j, f"wholly distinct document {fold:03d}-{j:03d} "
+                                f"alpha bravo charlie {fold * 12 + j:05d}")
+                for j in range(12)
+            ],
+            "doc_id long, text string",
+        )
+        files_before_fold.append(_index_layer_stats(store)[0])
+        before = set(store.versions("minhash_sig_index"))
+        incremental_minhash_dedup(docs, store, threshold=_TAU)
+        new_layer = max(set(store.versions("minhash_sig_index")) - before)
+        d = store._vdir("minhash_sig_index", new_layer)
+        layer_bytes.append(
+            sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        )
+        layer_counts.append(store.layer_count("minhash_sig_index"))
+        if store.layer_count("minhash_sig_index") >= compact_every:
+            store.compact_layers("minhash_sig_index")
+    # COMMIT cost flat: every delta layer within 2x of the smallest
+    # (identical batch shapes; parquet framing is the only wiggle) —
+    # the cumulative index meanwhile grew 8x.
+    assert max(layer_bytes) <= 2 * min(layer_bytes), layer_bytes
+    # LISTING cost sawtooths, bounded by compact_every — and the peak
+    # of the SECOND cycle (folds 5-8, history 2x larger) must not
+    # exceed the first cycle's peak plus one layer's files: flat in
+    # history, not merely sublinear.
+    assert max(layer_counts) <= compact_every, layer_counts
+    first_cycle = max(files_before_fold[1:4])
+    second_cycle = max(files_before_fold[5:8])
+    per_layer = max(1, first_cycle // compact_every)
+    assert second_cycle <= first_cycle + per_layer, files_before_fold

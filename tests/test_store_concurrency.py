@@ -1,0 +1,207 @@
+"""Store hardening — the crash-window and concurrency contracts:
+
+- ``compact``'s swap holds a readable table at every intermediate
+  state (the old rmtree-then-rename left NO table if the process died
+  between the two calls);
+- versioned commits CLAIM their slot with an O_CREAT|O_EXCL marker, so
+  the single-writer contract is enforced (the losing concurrent writer
+  raises ConcurrentWriteError before touching anything) instead of
+  hoped for — a crashed writer's stale claim is cleared by vacuum;
+- the layered (append_version/read_union) and snapshot
+  (write_version/read_version) APIs refuse to mix on one table with a
+  clear error instead of silently reading a delta as a full snapshot.
+
+Reference analogue: the reference leans on PostgreSQL transactions for
+all of this (etl_pipeline.py:106-107 commits batches; the DB serializes
+writers); a parquet store must build the same guarantees from rename
+atomicity, which these tests pin state by state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.pipeline.store import (
+    ConcurrentWriteError,
+    Store,
+)
+
+
+def _df(spark, n, tag="x"):
+    return spark.range(n).select("id", F.lit(tag).alias("tag"))
+
+
+# ---------------------------------------------------------------------------
+# compact: atomic swap, crash-state walk
+# ---------------------------------------------------------------------------
+def _setup(spark, tmp_path, name):
+    store = Store(spark, str(tmp_path / name))
+    _df(spark, 5).repartition(4).write.parquet(store.path("t"))
+    return store
+
+
+def test_compact_crash_after_tmp_write(spark, tmp_path):
+    """Crash after the compacted copy is written but before any rename:
+    the live table is untouched; the next compact just rewrites tmp."""
+    store = _setup(spark, tmp_path, "a")
+    store.read("t").coalesce(1).write.mode("overwrite").parquet(
+        store.path("_compact_t")
+    )
+    assert store.read("t").count() == 5
+    assert store.compact("t", target_files=1) == 1
+    assert store.read("t").count() == 5
+
+
+def test_compact_crash_between_renames_recovers(spark, tmp_path):
+    """THE window the old implementation got wrong: after
+    final→_precompact but before tmp→final there is no table at the
+    path — read() and compact() must recover the old copy."""
+    store = _setup(spark, tmp_path, "b")
+    os.rename(store.path("t"), store.path("_precompact_t"))
+    assert not os.path.exists(store.path("t"))
+    assert store.read("t").count() == 5  # recovery renames it back
+    assert os.path.exists(store.path("t"))
+    assert not os.path.exists(store.path("_precompact_t"))
+
+
+def test_compact_crash_after_swap_cleans_leftover(spark, tmp_path):
+    """Crash after tmp→final: the NEW table is live; the leftover old
+    copy must be dropped, not restored over the new data."""
+    store = _setup(spark, tmp_path, "c")
+    # simulate: old copy parked, new (1-file) table live
+    os.rename(store.path("t"), store.path("_precompact_t"))
+    _df(spark, 5).coalesce(1).write.parquet(store.path("t"))
+    assert store.read("t").count() == 5
+    assert not os.path.exists(store.path("_precompact_t"))
+    n_files = sum(
+        1 for f in os.listdir(store.path("t")) if f.endswith(".parquet")
+    )
+    assert n_files == 1  # the new copy survived, not the 4-file old one
+
+
+# ---------------------------------------------------------------------------
+# single-writer CAS on versioned commits
+# ---------------------------------------------------------------------------
+def test_inflight_claim_makes_second_writer_raise(spark, tmp_path):
+    """Deterministic form of the race: writer A holds the _claim for
+    the next slot (mid-commit); writer B must raise BEFORE writing any
+    layer, manifest, or pointer."""
+    store = Store(spark, str(tmp_path / "cas"))
+    store.append_version(_df(spark, 2, "a"), "t")
+    claimed = store._claim_next_version("t")  # writer A, mid-flight
+    with pytest.raises(ConcurrentWriteError, match="claimed"):
+        store.append_version(_df(spark, 3, "b"), "t")
+    with pytest.raises(ConcurrentWriteError):
+        store.compact_layers("t")
+    # A finishes: nothing B did corrupted the table
+    store._release_claim("t", claimed)
+    v = store.append_version(_df(spark, 3, "b"), "t")
+    assert {r["tag"] for r in store.read_union("t").collect()} == {"a", "b"}
+    assert v == claimed  # the freed slot is reused, no gap
+
+
+def test_stale_claim_cleared_by_vacuum(spark, tmp_path):
+    """A writer that crashed between claim and commit blocks the slot;
+    vacuum_versions clears the stale claim and commits flow again."""
+    store = Store(spark, str(tmp_path / "stale"))
+    store.append_version(_df(spark, 2, "a"), "t")
+    store._claim_next_version("t")  # crashed writer: claim never released
+    with pytest.raises(ConcurrentWriteError):
+        store.append_version(_df(spark, 2, "b"), "t")
+    store.vacuum_versions("t", keep_last=5)
+    v = store.append_version(_df(spark, 2, "b"), "t")
+    assert v == 2
+    assert store.read_union("t").count() == 4
+
+
+def test_concurrent_writers_never_lose_a_commit(spark, tmp_path):
+    """Two threads race append_version on one table. The enforced
+    contract: either one raises ConcurrentWriteError (the other's
+    commit intact), or the OS scheduler serialized them (both commit,
+    both layers in the final manifest). What must NEVER happen — and
+    did before the claim existed — is both 'succeeding' with one
+    writer's layer missing from the current manifest."""
+    store = Store(spark, str(tmp_path / "race"))
+    store.append_version(_df(spark, 1, "base"), "t")
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+    committed: list[str] = []
+
+    def writer(tag: str) -> None:
+        df = _df(spark, 1, tag)
+        barrier.wait()
+        try:
+            store.append_version(df, "t")
+            committed.append(tag)
+        except ConcurrentWriteError as e:
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("w1", "w2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(errors) + len(committed) == 2
+    tags = {r["tag"] for r in store.read_union("t").collect()}
+    # every writer that reported success is actually in the union
+    assert tags == {"base", *committed}
+
+
+def test_failed_write_releases_claim(spark, tmp_path):
+    """An exception during the snapshot write (executor failure) must
+    not leave the slot claimed forever."""
+    store = Store(spark, str(tmp_path / "fail"))
+    poison = spark.range(1).select(
+        F.assert_true(F.lit(False)).alias("boom")
+    )
+    with pytest.raises(Exception, match="(?i)not true"):
+        store.write_version(poison, "t")
+    # the failed slot was never committed (no _SUCCESS) and its claim
+    # was released, so the retry REUSES it — no gap, no block
+    assert store.write_version(_df(spark, 3, "ok"), "t") == 1
+    assert store.read_version("t").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# layered/snapshot API mixing guard
+# ---------------------------------------------------------------------------
+def test_snapshot_then_layered_raises(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "mix1"))
+    store.write_version(_df(spark, 2), "t")
+    with pytest.raises(ValueError, match="write_version"):
+        store.append_version(_df(spark, 2), "t")
+    with pytest.raises(ValueError, match="read_version"):
+        store.read_union("t")
+
+
+def test_layered_then_snapshot_raises(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "mix2"))
+    store.append_version(_df(spark, 2, "a"), "t")
+    store.append_version(_df(spark, 2, "b"), "t")
+    with pytest.raises(ValueError, match="append_version"):
+        store.write_version(_df(spark, 2), "t")
+    with pytest.raises(ValueError, match="read_union"):
+        store.read_version("t")
+    # a compacted (single-layer) version reads fine through either API
+    store.compact_layers("t")
+    assert store.read_version("t").count() == 4
+    assert store.read_union("t").count() == 4
+
+
+def test_layer_count_accessor(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "lc"))
+    assert store.layer_count("t") == 0
+    store.append_version(_df(spark, 1), "t")
+    assert store.layer_count("t") == 1
+    store.append_version(_df(spark, 1), "t")
+    assert store.layer_count("t") == 2
+    store.compact_layers("t")
+    assert store.layer_count("t") == 1
+    # snapshot tables report 0 layers (they aren't layered at all)
+    store.write_version(_df(spark, 1), "snap")
+    assert store.layer_count("snap") == 0
