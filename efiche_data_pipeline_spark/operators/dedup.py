@@ -34,6 +34,35 @@ from ..functions.hashing import portable_chunk_hash, portable_hash60, seeded_has
 from ..functions.text import tokens, word_shingles
 
 
+def nfc_normalize_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """NFC-normalize a text column (é as one codepoint ≡ e + combining
+    accent) — the one canonicalization step Spark has no built-in for.
+    Runs as an Arrow-batched ``mapInPandas`` pass (the same sanctioned
+    Python boundary as operators/multimodal.py — never a row-at-a-time
+    UDF); schema is preserved, so it composes as a prefix of any text
+    pipeline: ``canonical_text`` (functions/text.py) after this equals
+    the DuckDB oracle's ``nfc_normalize → lower → strip → collapse``
+    chain exactly.
+
+    Cost note: pure-ASCII batches round-trip through Arrow unchanged —
+    at 100 TB, run this only on corpora that may carry decomposed
+    forms, or push it into the same mapInPandas as other unavoidable
+    Python work (language-specific segmentation, HTML stripping)."""
+    from unicodedata import normalize
+
+    schema = df.schema
+
+    def batches(it):
+        for pdf in it:
+            pdf[text_col] = [
+                normalize("NFC", s) if s is not None else None
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: md5(text) → (keeper = min id, n_copies).
 
@@ -717,7 +746,19 @@ def incremental_neardup_components(
     (O(clustered-nodes · 16 B) — negligible next to any corpus).
 
     Only docs that have ever appeared in a qualifying pair carry a
-    label (q57's convention); singletons are implicit."""
+    label (q57's convention); singletons are implicit.
+
+    Crash-safe by WRITE ORDER (the dedup_stream discipline): the inner
+    dedup runs with ``commit=False``, the batch's edges fold into the
+    label table FIRST, and the signature-index delta commits LAST. The
+    index commit is what makes a replay a no-op — so any crash before
+    it leaves the batch's ids un-indexed, and the replay re-derives the
+    SAME pairs and re-folds them (star compression is idempotent on
+    repeated edges), converging to the single-run state. The previous
+    index-first order had a window where a crash between the two
+    commits lost that batch's edges from the label table forever."""
+    import dataclasses
+
     ded = incremental_minhash_dedup(
         new_docs,
         store,
@@ -729,14 +770,11 @@ def incremental_neardup_components(
         shingle_n=shingle_n,
         threshold=threshold,
         portable=portable,
+        commit=False,
     )
     cur = store.current_version(labels_table)
     hist_labels = store.read_version(labels_table) if cur is not None else None
-    if (
-        ded.sim_pairs is None
-        or ded.n_new == 0
-        or ded.sim_pairs.limit(1).count() == 0
-    ):  # replay / empty batch / no qualifying pairs: labels unchanged
+    if ded.n_new == 0:  # replayed / empty batch: nothing to persist
         return IncrementalComponentsResult(
             labels=hist_labels
             if hist_labels is not None
@@ -746,13 +784,31 @@ def incremental_neardup_components(
             dedup=ded,
             labels_version=cur if cur is not None else 0,
         )
-    version = fold_component_labels(
-        store, ded.sim_pairs.select("doc_a", "doc_b"), labels_table, id_col
+    has_pairs = (
+        ded.sim_pairs is not None and ded.sim_pairs.limit(1).count() > 0
     )
+    if has_pairs:  # labels BEFORE the index commit (see docstring)
+        labels_version = fold_component_labels(
+            store, ded.sim_pairs.select("doc_a", "doc_b"), labels_table, id_col
+        )
+    index_version = store.append_version(ded.index_delta, index_table)
+    ded = dataclasses.replace(
+        ded, index_version=index_version, index_delta=None
+    )
+    if not has_pairs:  # fresh docs, no qualifying pairs: labels unchanged
+        return IncrementalComponentsResult(
+            labels=hist_labels
+            if hist_labels is not None
+            else new_docs.select(F.col(id_col)).limit(0).withColumn(
+                "component_id", F.col(id_col)
+            ),
+            dedup=ded,
+            labels_version=cur if cur is not None else 0,
+        )
     return IncrementalComponentsResult(
-        labels=store.read_version(labels_table, version),
+        labels=store.read_version(labels_table, labels_version),
         dedup=ded,
-        labels_version=version,
+        labels_version=labels_version,
     )
 
 

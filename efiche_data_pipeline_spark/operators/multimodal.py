@@ -251,6 +251,7 @@ class IncrementalBinaryDedupResult:
     n_dup_vs_history: int  # fresh items whose fingerprint is already indexed
     n_dup_within: int  # fresh items beaten by a smaller id in the batch
     index_version: int
+    index_delta: DataFrame | None = None  # only with commit=False
 
 
 def incremental_binary_dedup(
@@ -259,6 +260,7 @@ def incremental_binary_dedup(
     index_table: str = "binary_fp_index",
     id_col: str = "doc_id",
     content_col: str = "content",
+    commit: bool = True,
 ) -> IncrementalBinaryDedupResult:
     """Exact content-hash dedup of a new MEDIA batch against all
     history — the multimodal member of the incremental family
@@ -273,7 +275,17 @@ def incremental_binary_dedup(
     the batch — which under monotone ids equals the global
     min-id-per-fingerprint rule (q40), so batch-by-batch ≡ one global
     dedup, oracle-checked by q108. Replays are filtered by id up
-    front: nothing re-kept, nothing re-committed."""
+    front: nothing re-kept, nothing re-committed.
+
+    ``commit=False`` returns the batch's (id, fp) delta in
+    ``index_delta`` instead of committing it — the same hook as the
+    text twin (operators/dedup.py:incremental_minhash_dedup), so a
+    crash-safe caller can persist the kept frame into its sink FIRST
+    and commit the index LAST (a crash in between makes the replay
+    recompute the same kept set and converge; a caller that commits
+    via the result but crashes before persisting ``kept`` would
+    otherwise lose those docs forever — replay would find every id
+    already indexed and keep nothing)."""
     stats = binary_stats(new_media, id_col, content_col).select(id_col, "fp")
     current = store.current_version(index_table)
     hist = store.read_union(index_table) if current is not None else None
@@ -304,11 +316,21 @@ def incremental_binary_dedup(
         n_hist = 0
     kept_ids = kept_ids.localCheckpoint(eager=True)
     n_kept = kept_ids.count()
-    version = store.append_version(fresh.select(id_col, "fp"), index_table)
+    delta = fresh.select(id_col, "fp")
+    if commit:
+        version = store.append_version(delta, index_table)
+        return IncrementalBinaryDedupResult(
+            kept=new_media.join(kept_ids, id_col, "left_semi"),
+            n_new=n_new,
+            n_dup_vs_history=n_hist,
+            n_dup_within=n_new - n_hist - n_kept,
+            index_version=version,
+        )
     return IncrementalBinaryDedupResult(
         kept=new_media.join(kept_ids, id_col, "left_semi"),
         n_new=n_new,
         n_dup_vs_history=n_hist,
         n_dup_within=n_new - n_hist - n_kept,
-        index_version=version,
+        index_version=current if current is not None else 0,
+        index_delta=delta,
     )

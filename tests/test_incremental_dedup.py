@@ -303,6 +303,69 @@ def test_incremental_components_equal_global_and_merge(spark, tmp_path):
     } == expected
 
 
+class _CrashBeforeIndexCommitStore(Store):
+    """Injects ONE crash at the index-commit point (append_version on
+    the signature index) when armed — the exact window the round-5
+    advice flagged: labels already folded, index not yet committed."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def append_version(self, df, table):
+        if self.armed and table == "minhash_sig_index":
+            self.armed = False
+            raise RuntimeError("injected crash before index commit")
+        return super().append_version(df, table)
+
+
+def test_components_crash_before_index_commit_converges(spark, tmp_path):
+    """Crash between the label fold and the index commit, then replay:
+    because the index commit is LAST (the replay trigger), the retried
+    batch re-derives the same pairs, re-folds them (idempotent), and
+    commits — final labels equal the global closure, same as a crash-
+    free run. Under the old index-first order this crash permanently
+    lost the batch's edges from the label table."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_components,
+    )
+
+    texts = {i: _BASE + " " + " ".join(f"pad{j}" for j in range(i)) for i in range(7)}
+    docs = _docs(spark, sorted(texts.items()))
+    expected = _py_components(
+        [
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=_TAU
+            ).collect()
+        ]
+    )
+    store = _CrashBeforeIndexCommitStore(spark, str(tmp_path / "crash"))
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    b2 = docs.filter(F.col("doc_id") > 3)
+    incremental_neardup_components(b1, store, threshold=_TAU)
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_neardup_components(b2, store, threshold=_TAU)
+    # batch-2 ids are NOT indexed (commit never happened) → the replay
+    # is a full re-run, not a no-op
+    idx_ids = {
+        r["doc_id"]
+        for r in store.read_union("minhash_sig_index").select("doc_id").collect()
+    }
+    assert idx_ids == {0, 1, 2, 3}
+    r = incremental_neardup_components(b2, store, threshold=_TAU)
+    assert {
+        row["doc_id"]: row["component_id"] for row in r.labels.collect()
+    } == expected
+    # and a further replay is now a clean no-op
+    r2 = incremental_neardup_components(b2, store, threshold=_TAU)
+    assert r2.labels_version == r.labels_version
+    assert r2.dedup.n_new == 0
+
+
 def test_fold_component_labels_merges_existing_components(spark, tmp_path):
     """The deterministic MERGE case at the label level: two separate
     components from batch 1 are united by one batch-2 edge, and every

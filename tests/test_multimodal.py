@@ -146,6 +146,42 @@ def test_incremental_binary_dedup_matches_global_and_replays(spark, tmp_path):
     assert replay.index_version == r2.index_version
 
 
+def test_incremental_binary_dedup_commit_false_orders_sink_first(spark, tmp_path):
+    """The crash-safe hook (round-5 advice): with ``commit=False`` the
+    index is untouched and the (id, fp) delta comes back for the caller
+    to commit AFTER its sink write — a crash in between replays to the
+    same kept set (history unchanged), and committing the returned
+    delta then makes the true replay a no-op. Mirrors the text twin's
+    contract used by streaming/dedup_stream.py."""
+    from efiche_data_pipeline_spark.operators.multimodal import (
+        incremental_binary_dedup,
+        synthesize_content,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (3, "a")], "doc_id long, text string"
+    )
+    media = synthesize_content(docs, "doc_id", "text")
+    store = Store(spark, str(tmp_path / "idx"))
+    r = incremental_binary_dedup(media, store, commit=False)
+    assert store.current_version("binary_fp_index") is None  # nothing persisted
+    assert r.index_delta is not None
+    assert {row["doc_id"] for row in r.index_delta.collect()} == {0, 1, 3}
+    kept1 = {row["doc_id"] for row in r.kept.collect()}
+    # "crash" before the caller's commit: rerun recomputes the SAME set
+    r_retry = incremental_binary_dedup(media, store, commit=False)
+    assert {row["doc_id"] for row in r_retry.kept.collect()} == kept1
+    # caller's write order: sink first, then the index delta
+    store.append_new(
+        r_retry.kept.select("doc_id"), "kept_media", key="doc_id"
+    )
+    store.append_version(r_retry.index_delta, "binary_fp_index")
+    replay = incremental_binary_dedup(media, store, commit=True)
+    assert replay.n_new == 0 and replay.kept.count() == 0
+    assert store.current_version("binary_fp_index") == 1
+
+
 def test_incremental_binary_dedup_partition_independent(spark, tmp_path):
     from efiche_data_pipeline_spark.operators.multimodal import (
         incremental_binary_dedup,
