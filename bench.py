@@ -58,6 +58,11 @@ HEADLINE = (
     # sketch profiler (the 100 TB form of the multi-distinct Expand)
     "q103_incremental_minhash_dedup",
     "q101_orders_profile_kmv",
+    # round-6 additions: incremental embedding dedup (two batches vs a
+    # cell-partitioned vector index under frozen centroids) and the
+    # canonicalized near-dup front-end (Arrow NFC pass + banded LSH)
+    "q110_incremental_embedding_dedup",
+    "q112_canonical_neardup_pairs",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an
@@ -67,8 +72,33 @@ HEADLINE = (
 )
 
 
+def _quiet_known_benign_window_warnings(spark) -> None:
+    """Raise the WindowExec logger to ERROR for THIS bench session
+    only. The documented bounded unpartitioned windows (kmv_merge's
+    ≤ groups×k sketch rows, ranking/packing offset frames — see
+    docs/PLAN_AUDIT.md) each emit 'No Partition Defined for Window' per
+    run; by round 5 those 7 known-benign copies dominated the bench
+    tail, exactly the noise a REAL unpartitioned-window regression
+    could hide behind (VERDICT r05 Next #7). Unit tests and ad-hoc
+    sessions keep the warning — only the bench, whose plans are
+    audited, silences it."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+            "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+        ):
+            configurator.setLevel(cls, level)
+    except Exception:
+        pass  # logging cosmetics must never fail the bench
+
+
 def main() -> None:
     spark = get_spark(app_name="efiche-bench")
+    _quiet_known_benign_window_warnings(spark)
     # Warm-up: JVM, codegen, and the parquet footer of EVERY table
     # family, so the first timed query of a family doesn't pay
     # footer/codegen cost inside its measurement.

@@ -25,6 +25,54 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 PUNCT_CLASS = r"[.,;:!?]"
 
 
+# Explicit whitespace class instead of \s: Java regex \s includes
+# \x0B (vertical tab) while RE2's (DuckDB's) does not — pinning the
+# characters keeps the Spark expression and the DuckDB oracle
+# byte-identical on every input.
+_WS = r"\t\n\f\r "
+
+
+def canonical_text(text: str | Column) -> Column:
+    """Unicode-robust canonical form for dedup keys: lowercase, map
+    every non-letter/digit character to a space, collapse whitespace
+    runs, trim. Real crawls contain the SAME document differing only
+    in case, punctuation, or spacing — shingling raw text treats those
+    as distinct and near-dup misses them (the q103/q28 front-end gap
+    named by VERDICT r05 Next #6).
+
+    All JVM built-ins (lower + two regexp_replace) — this runs inside
+    whole-stage codegen on the full corpus scan. NFC normalization
+    (é as one codepoint vs e+combining accent) is NOT expressible with
+    Spark built-ins; compose with
+    :func:`efiche_data_pipeline_spark.operators.dedup.nfc_normalize_docs`
+    first when the corpus may carry decomposed forms — the fixture and
+    oracle pipeline apply exactly that order (NFC → lower → strip →
+    collapse).
+
+    Oracle mirror (DuckDB): ``trim(regexp_replace(regexp_replace(
+    lower(nfc_normalize(text)), '[^...]', ' ', 'g'), '[ws]+', ' ',
+    'g'))`` — see :func:`oracle_canonical_sql`. Character classes use
+    ``\\p{L}\\p{N}`` (identical semantics in Java regex and RE2) and
+    the pinned whitespace class above."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, f"[^\\p{{L}}\\p{{N}}{_WS}]", " ")
+    c = F.regexp_replace(c, f"[{_WS}]+", " ")
+    return F.trim(c)
+
+
+def oracle_canonical_sql(text_expr: str) -> str:
+    """The DuckDB replay of NFC → :func:`canonical_text` over
+    ``text_expr`` (DuckDB's nfc_normalize supplies the NFC step that
+    the Spark side runs as an Arrow batch pass)."""
+    return (
+        "trim(regexp_replace(regexp_replace("
+        f"lower(nfc_normalize({text_expr})), "
+        f"'[^\\p{{L}}\\p{{N}}{_WS}]', ' ', 'g'), "
+        f"'[{_WS}]+', ' ', 'g'))"
+    )
+
+
 def tokens(text: str | Column) -> Column:
     """Whitespace tokenization → array<string>.
     Oracle: ``regexp_split_to_array(text, '\\s+')``."""

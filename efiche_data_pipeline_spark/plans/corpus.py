@@ -1532,7 +1532,31 @@ ORACLES["q102_dataset_card_sketch"] = _card_sketch_oracle()
 _INC_DEDUP_SIM = 0.5
 
 
+def _require(cond: bool, msg: str) -> None:
+    """Contract check for the incremental query wrappers. A plain
+    ``assert`` vanishes under ``python -O`` — these contracts (version
+    monotonicity, frozen centroids) ARE the operators' correctness
+    story, so they must fail loudly in every mode."""
+    if not cond:
+        raise RuntimeError(msg)
+
+
+def _finish_with_store(result: DataFrame, tmp_root: str) -> DataFrame:
+    """Materialize an incremental wrapper's result, then delete its
+    throwaway store directory. The result plan lazily reads store
+    parquet (history index / labels / cells), so it must be pinned
+    (localCheckpoint) BEFORE the directory goes away; without the
+    cleanup every bench rep of q103-q109 leaked a tempfile.mkdtemp
+    tree (round-5 advice)."""
+    import shutil
+
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return out
+
+
 def q103_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.dedup import incremental_minhash_dedup
@@ -1541,23 +1565,32 @@ def q103_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2
-    store = Store(spark, tempfile.mkdtemp(prefix="efiche_incdedup_"))
-    r1 = incremental_minhash_dedup(
-        docs.filter(F.col("doc_id") <= split),
-        store,
-        threshold=_INC_DEDUP_SIM,
-        portable=True,
-    )
-    r2 = incremental_minhash_dedup(
-        docs.filter(F.col("doc_id") > split),
-        store,
-        threshold=_INC_DEDUP_SIM,
-        portable=True,
-    )
-    assert r2.index_version > r1.index_version, "index version must grow"
-    return r1.kept.select(
-        "doc_id", F.lit(1).cast("int").alias("batch")
-    ).unionByName(r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch")))
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incdedup_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        r2 = incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        _require(r2.index_version > r1.index_version, "index version must grow")
+        return _finish_with_store(
+            r1.kept.select("doc_id", F.lit(1).cast("int").alias("batch"))
+            .unionByName(
+                r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch"))
+            ),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
 
 
 def _inc_dedup_oracle() -> str:
@@ -1595,6 +1628,7 @@ ORACLES["q103_incremental_minhash_dedup"] = _inc_dedup_oracle()
 # centroid contract is asserted in-line.
 # ---------------------------------------------------------------------------
 def q104_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.similarity import ivf_index_append, ivf_index_query
@@ -1603,16 +1637,29 @@ def q104_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
     split = (int(lo) + int(hi)) // 2
-    store = Store(spark, tempfile.mkdtemp(prefix="efiche_ivf_"))
+    tmp_root = tempfile.mkdtemp(prefix="efiche_ivf_")
+    store = Store(spark, tmp_root)
     pinned = emb.filter(F.col("vec_id") < 16).select(
         (F.col("vec_id") + 1).alias("cell_id"), "embedding"
     )
-    r1 = ivf_index_append(emb.filter(F.col("vec_id") <= split), store, centroids=pinned)
-    r2 = ivf_index_append(emb.filter(F.col("vec_id") > split), store)
-    assert r2.centroid_version == r1.centroid_version, "centroids must stay frozen"
-    return ivf_index_query(
-        store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=8
-    )
+    try:
+        r1 = ivf_index_append(
+            emb.filter(F.col("vec_id") <= split), store, centroids=pinned
+        )
+        r2 = ivf_index_append(emb.filter(F.col("vec_id") > split), store)
+        _require(
+            r2.centroid_version == r1.centroid_version,
+            "centroids must stay frozen",
+        )
+        return _finish_with_store(
+            ivf_index_query(
+                store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=8
+            ),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
 
 
 def _ivf_inc_oracle() -> str:
@@ -1639,6 +1686,7 @@ ORACLES["q104_incremental_ivf_topk"] = _ivf_inc_oracle()
 # drifted from the from-scratch computation.
 # ---------------------------------------------------------------------------
 def q105_incremental_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.ranking import incremental_weighted_sample
@@ -1654,15 +1702,22 @@ def q105_incremental_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
     rows = o.select(
         "o_orderkey", cents.alias("weight_cents"), (-F.log(u) / cents).alias("_k")
     )
-    store = Store(spark, tempfile.mkdtemp(prefix="efiche_wsample_"))
-    _, v1 = incremental_weighted_sample(
-        rows.filter(F.col("o_orderkey") <= split), store, _WES_N, "o_orderkey", "_k"
-    )
-    sample, v2 = incremental_weighted_sample(
-        rows.filter(F.col("o_orderkey") > split), store, _WES_N, "o_orderkey", "_k"
-    )
-    assert v2 > v1, "sample state version must grow"
-    return sample.select("o_orderkey", "weight_cents")
+    tmp_root = tempfile.mkdtemp(prefix="efiche_wsample_")
+    store = Store(spark, tmp_root)
+    try:
+        _, v1 = incremental_weighted_sample(
+            rows.filter(F.col("o_orderkey") <= split), store, _WES_N, "o_orderkey", "_k"
+        )
+        sample, v2 = incremental_weighted_sample(
+            rows.filter(F.col("o_orderkey") > split), store, _WES_N, "o_orderkey", "_k"
+        )
+        _require(v2 > v1, "sample state version must grow")
+        return _finish_with_store(
+            sample.select("o_orderkey", "weight_cents"), tmp_root
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
 
 
 def _q105_oracle() -> str:
@@ -1670,6 +1725,7 @@ def _q105_oracle() -> str:
 
 
 def q106_incremental_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.sketch import incremental_kmv
@@ -1680,15 +1736,20 @@ def q106_incremental_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
     lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     split = (int(lo) + int(hi)) // 2
-    store = Store(spark, tempfile.mkdtemp(prefix="efiche_kmvinc_"))
-    _, v1 = incremental_kmv(
-        o.filter(F.col("o_orderkey") <= split), store, ["o_orderpriority"], "ck"
-    )
-    est, v2 = incremental_kmv(
-        o.filter(F.col("o_orderkey") > split), store, ["o_orderpriority"], "ck"
-    )
-    assert v2 > v1, "sketch state version must grow"
-    return est
+    tmp_root = tempfile.mkdtemp(prefix="efiche_kmvinc_")
+    store = Store(spark, tmp_root)
+    try:
+        _, v1 = incremental_kmv(
+            o.filter(F.col("o_orderkey") <= split), store, ["o_orderpriority"], "ck"
+        )
+        est, v2 = incremental_kmv(
+            o.filter(F.col("o_orderkey") > split), store, ["o_orderpriority"], "ck"
+        )
+        _require(v2 > v1, "sketch state version must grow")
+        return _finish_with_store(est, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
 
 
 def _q106_oracle() -> str:
@@ -1832,6 +1893,7 @@ GROUP BY column_name
 # exactly what the oracle computes.
 # ---------------------------------------------------------------------------
 def q108_incremental_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.multimodal import incremental_binary_dedup, synthesize_content
@@ -1841,13 +1903,22 @@ def q108_incremental_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     media = synthesize_content(docs, "doc_id", "text")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2
-    store = Store(spark, tempfile.mkdtemp(prefix="efiche_bindedup_"))
-    r1 = incremental_binary_dedup(media.filter(F.col("doc_id") <= split), store)
-    r2 = incremental_binary_dedup(media.filter(F.col("doc_id") > split), store)
-    assert r2.index_version > r1.index_version, "index version must grow"
-    return r1.kept.select(
-        "doc_id", F.lit(1).cast("int").alias("batch")
-    ).unionByName(r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch")))
+    tmp_root = tempfile.mkdtemp(prefix="efiche_bindedup_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_binary_dedup(media.filter(F.col("doc_id") <= split), store)
+        r2 = incremental_binary_dedup(media.filter(F.col("doc_id") > split), store)
+        _require(r2.index_version > r1.index_version, "index version must grow")
+        return _finish_with_store(
+            r1.kept.select("doc_id", F.lit(1).cast("int").alias("batch"))
+            .unionByName(
+                r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch"))
+            ),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
 
 
 def _q108_oracle() -> str:
@@ -1879,6 +1950,7 @@ ORACLES["q108_incremental_binary_dedup"] = _q108_oracle()
 # components relabels both to one.
 # ---------------------------------------------------------------------------
 def q109_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.dedup import incremental_neardup_components
@@ -1887,20 +1959,25 @@ def q109_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2
-    store = Store(spark, tempfile.mkdtemp(prefix="efiche_inccomp_"))
-    incremental_neardup_components(
-        docs.filter(F.col("doc_id") <= split),
-        store,
-        threshold=_INC_DEDUP_SIM,
-        portable=True,
-    )
-    r2 = incremental_neardup_components(
-        docs.filter(F.col("doc_id") > split),
-        store,
-        threshold=_INC_DEDUP_SIM,
-        portable=True,
-    )
-    return r2.labels
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inccomp_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_neardup_components(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        r2 = incremental_neardup_components(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        return _finish_with_store(r2.labels, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
 
 
 def _inc_components_oracle() -> str:
@@ -1930,6 +2007,199 @@ GROUP BY src
 
 ORACLES["q109_incremental_components"] = _inc_components_oracle()
 
+
+
+# ---------------------------------------------------------------------------
+# Q110 — incremental EMBEDDING near-dup dedup (the SemDeDup shape;
+# operators/similarity.py:incremental_embedding_dedup): two "daily"
+# embedding batches (vec-id midpoint split) deduped against a
+# persisted cell-partitioned vector index under PINNED frozen
+# centroids (the q30/q104 fixture centroids: vec_id 0..15, cell_id =
+# vec_id+1).  Drop rule: a vector is dropped iff a smaller-id vector
+# whose HOME cell lies among its nprobe=4 probed cells is within
+# cosine tau — home/probe are pure functions of (vector, frozen
+# centroids), so the rule is order-free and the two-batch run must
+# equal one GLOBAL pass, which is exactly what the oracle replays
+# (q30's assignment SQL + the q103 dominated-rule shape).  tau=0.35
+# because the fixture embeddings are isotropic (q47's threshold);
+# real near-dup corpora use ~0.9.  Completes the incremental dedup
+# family: text q103, binary q108, clusters q109, vectors q110.
+# Reference anchor: the dormant VECTOR(768) similarity column
+# (sql/01_schema.sql:95) under the incremental-consumption contract
+# (etl_pipeline.py:125-132).
+# ---------------------------------------------------------------------------
+_EMB_DEDUP_TAU = 0.35
+_EMB_DEDUP_NPROBE = 4
+
+
+def q110_incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import incremental_embedding_dedup
+    from ..pipeline.store import Store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="efiche_embdedup_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_embedding_dedup(
+            emb.filter(F.col("vec_id") <= split),
+            store,
+            centroids=pinned,
+            tau=_EMB_DEDUP_TAU,
+            nprobe=_EMB_DEDUP_NPROBE,
+        )
+        r2 = incremental_embedding_dedup(
+            emb.filter(F.col("vec_id") > split),
+            store,
+            tau=_EMB_DEDUP_TAU,
+            nprobe=_EMB_DEDUP_NPROBE,
+        )
+        _require(
+            r2.n_indexed_total == r1.n_indexed_total + r2.n_new,
+            "index must grow by exactly the fresh batch",
+        )
+        return _finish_with_store(
+            r1.kept.select("vec_id", F.lit(1).cast("int").alias("batch"))
+            .unionByName(
+                r2.kept.select("vec_id", F.lit(2).cast("int").alias("batch"))
+            ),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q110_incremental_embedding_dedup"] = f"""
+WITH cent AS (
+    SELECT vec_id + 1 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+asn AS (  -- every vector's centroid ranking under the frozen centroids
+    SELECT c.vec_id, ct.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+               AS rn
+    FROM corpus c, cent ct
+),
+cand AS (  -- a's HOME cell among b's nprobe probed cells, a < b
+    SELECT DISTINCT h.vec_id AS id_a, p.vec_id AS id_b
+    FROM (SELECT vec_id, cell_id FROM asn WHERE rn = 1) h
+    JOIN (SELECT vec_id, cell_id FROM asn WHERE rn <= {_EMB_DEDUP_NPROBE}) p
+      USING (cell_id)
+    WHERE h.vec_id < p.vec_id
+),
+dropped AS (
+    SELECT DISTINCT id_b FROM cand
+    JOIN corpus a ON a.vec_id = cand.id_a
+    JOIN corpus b ON b.vec_id = cand.id_b
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_EMB_DEDUP_TAU}
+),
+s AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS split FROM embeddings)
+SELECT c.vec_id,
+       CAST(CASE WHEN c.vec_id <= s.split THEN 1 ELSE 2 END AS INTEGER) AS batch
+FROM corpus c CROSS JOIN s
+WHERE c.vec_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Q111 / Q112 — Unicode CANONICALIZATION front-end for text dedup
+# (VERDICT r05 Next #6): real crawls carry the same document differing
+# only in case, punctuation, spacing, or NFC-vs-decomposed accents;
+# raw-text hashing/shingling treats those as distinct and misses the
+# duplicate.  The chain is NFC (Arrow mapInPandas,
+# operators/dedup.py:nfc_normalize_docs — Spark has no built-in) →
+# lower → non-alphanumeric→space → whitespace collapse → trim
+# (functions/text.py:canonical_text, all JVM codegen), mirrored in
+# DuckDB as nfc_normalize → the same regex chain
+# (functions/text.py:oracle_canonical_sql; cross-engine agreement
+# incl. planted confusables pinned in tests/test_dedup.py).
+#
+# q111: exact dedup on the canonical form — md5(canonical) groups,
+#       min-id keeper, variant count (q35's shape, canonicalized).
+# q112: the near-dup front-end — the q28 banded-LSH pipeline run on
+#       canonicalized text (shingles from the canonical tokens).
+# ---------------------------------------------------------------------------
+def q111_canonical_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import canonical_text
+    from ..operators.dedup import nfc_normalize_docs
+
+    docs = nfc_normalize_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return (
+        docs.select("doc_id", F.md5(canonical_text("text")).alias("canon_fp"))
+        .groupBy("canon_fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select("canon_fp", "keeper_doc_id", "n_variants")
+    )
+
+
+def _q111_oracle() -> str:
+    from ..functions.text import oracle_canonical_sql
+
+    return f"""
+WITH c AS (
+    SELECT doc_id, md5({oracle_canonical_sql("text")}) AS canon_fp
+    FROM documents
+)
+SELECT canon_fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM c GROUP BY canon_fp
+"""
+
+
+ORACLES["q111_canonical_exact_dedup"] = _q111_oracle()
+
+
+def q112_canonical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import canonical_text
+    from ..operators.dedup import minhash_lsh_pairs, nfc_normalize_docs
+
+    docs = nfc_normalize_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("text", canonical_text("text"))
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5,
+        portable=True,
+    )
+
+
+def _q112_oracle() -> str:
+    from ..functions.text import oracle_canonical_sql
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "cdocs", "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5
+    )
+    return f"""
+WITH cdocs AS (
+    SELECT doc_id, {oracle_canonical_sql("text")} AS text FROM documents
+),
+pairs AS ({lsh})
+SELECT doc_a, doc_b, est_sim FROM pairs
+"""
+
+
+ORACLES["q112_canonical_neardup_pairs"] = _q112_oracle()
 
 
 QUERIES = {

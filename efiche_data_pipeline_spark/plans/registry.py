@@ -46,69 +46,44 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# ROUND 5 rotation (executes VERDICT r04 Next #2 — freshness): the
-# whole r04 priority block (q64, q28/q30/q41, q68-q100) landed 50/50
-# green driver rows in CORRECTNESS_r04.json and rotates to the tail.
-# Front of the window, in order of need:
-#   1. round-5 additions (no driver row exists yet by definition):
-#      incremental index dedup q103, KMV scale-twins q101/q102;
-#   2. the 17 queries whose newest driver row dates from r01/r02 —
-#      oldest verification first, so no green row is ever >3 rounds
-#      stale;
-#   3. the r03-green block, whose rows would otherwise age past 2
-#      rounds this round.
-# That fills 36 of the 50 driver slots; _MIDDLE (all r04-green, in
-# numeric order) supplies the remaining 14.
+# ROUND 6 rotation (executes VERDICT r05 Next #2 — freshness): the
+# round-5 priority block landed 50/50 green in CORRECTNESS_r05.json
+# and rotates out. Front of the window, in order of need:
+#   1. round-6 additions (no driver row yet by definition): the
+#      incremental embedding dedup q110 and the canonical-text dedup
+#      q111/q112;
+#   2. the 17 queries whose newest driver row dates from r03 (q31-35,
+#      q39, q40, q42-q51) — refresh so nothing ages past 3 rounds;
+#   3. the whole r04-green block (q64, q28/q30/q41, q68-q100: 37
+#      queries), whose rows would otherwise age past 2 rounds.
+# 2+3 alone would overflow the 50 slots, so the tail of the r04 block
+# (q90-q100) flows into _MIDDLE ordering naturally — still inside the
+# window because 3+17+26 < 50 leaves room; anything past slot 50 keeps
+# its pytest differential.
 _DRIVER_PRIORITY = [
-    # round-5 additions:
-    "q103_incremental_minhash_dedup",
-    "q104_incremental_ivf_topk",
-    "q105_incremental_weighted_sample",
-    "q106_incremental_kmv_customers",
-    "q107_orders_drift",
-    "q108_incremental_binary_dedup",
-    "q109_incremental_components",
-    "q101_orders_profile_kmv",
-    "q102_dataset_card_sketch",
-    # stale r01/r02 rows (refresh):
-    "q05_pct_of_total_by_priority",
-    "q06_conditional_agg_by_nation",
-    "q08_loyal_customers_having",
-    "q10_urgent_customers_semi_join",
-    "q11_no_urgent_anti_join",
-    "q14_dim_time_from_orders",
-    "q15_json_extract_events",
-    "q16_explode_part_tokens",
-    "q17_union_all_counts",
-    "q18_topk_orders",
-    "q19_global_ratio_agg",
-    "q20_acctbal_buckets",
-    "q21_weekend_orders",
-    "q23_segment_priority_mv",
-    "q25_bow_fingerprint_dedup",
-    "q52_grouping_sets",
-    "q53_doc_chunks",
-    # r03-green block (keep rows <=2 rounds old):
-    "q36_wh_monthly_encounters",
-    "q37_wh_procedure_volume",
-    "q38_wh_diagnosis_by_age_group",
-    "q54_top_bigrams",
-    "q55_salted_supplier_revenue",
-    "q56_train_val_test_split",
-    "q57_neardup_components",
-    "q58_stratified_sample",
-    "q59_moving_avg_revenue",
-    "q60_customer_revenue_deciles",
-    "q61_media_frames",
-    "q62_scd2_dim_customer",
-    "q63_cdc_latest_state",
-    "q65_pii_redaction",
-    "q66_benchmark_decontamination",
-    "q67_repetition_metrics",
-]
-_ROTATED_OUT = [
-    # r04-green block (50/50 in CORRECTNESS_r04.json; still
-    # differentially oracle-checked every pytest run):
+    # round-6 additions:
+    "q110_incremental_embedding_dedup",
+    "q111_canonical_exact_dedup",
+    "q112_canonical_neardup_pairs",
+    # r03-stale rows (VERDICT r05 Next #2, refresh first):
+    "q31_token_stats",
+    "q32_quality_score",
+    "q33_lang_id_heuristic",
+    "q34_events_hourly_window",
+    "q35_user_sessions",
+    "q39_media_type_stats",
+    "q40_binary_dedup",
+    "q42_date_parse",
+    "q43_random_sample",
+    "q44_asof_purchase_attribution",
+    "q45_range_join_windows",
+    "q46_rollup_revenue",
+    "q47_cosine_neardup_pairs",
+    "q48_session_detail",
+    "q49_cube_lineitem_status",
+    "q50_order_price_percentiles",
+    "q51_curation_pipeline",
+    # r04-green block (keep rows <=2 rounds old):
     "q64_sequence_packing",
     "q28_minhash_lsh_pairs",
     "q30_knn_ivf",
@@ -146,6 +121,52 @@ _ROTATED_OUT = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
+]
+_ROTATED_OUT = [
+    # r05-green block (50/50 in CORRECTNESS_r05.json; still
+    # differentially oracle-checked every pytest run):
+    "q103_incremental_minhash_dedup",
+    "q104_incremental_ivf_topk",
+    "q105_incremental_weighted_sample",
+    "q106_incremental_kmv_customers",
+    "q107_orders_drift",
+    "q108_incremental_binary_dedup",
+    "q109_incremental_components",
+    "q101_orders_profile_kmv",
+    "q102_dataset_card_sketch",
+    "q05_pct_of_total_by_priority",
+    "q06_conditional_agg_by_nation",
+    "q08_loyal_customers_having",
+    "q10_urgent_customers_semi_join",
+    "q11_no_urgent_anti_join",
+    "q14_dim_time_from_orders",
+    "q15_json_extract_events",
+    "q16_explode_part_tokens",
+    "q17_union_all_counts",
+    "q18_topk_orders",
+    "q19_global_ratio_agg",
+    "q20_acctbal_buckets",
+    "q21_weekend_orders",
+    "q23_segment_priority_mv",
+    "q25_bow_fingerprint_dedup",
+    "q52_grouping_sets",
+    "q53_doc_chunks",
+    "q36_wh_monthly_encounters",
+    "q37_wh_procedure_volume",
+    "q38_wh_diagnosis_by_age_group",
+    "q54_top_bigrams",
+    "q55_salted_supplier_revenue",
+    "q56_train_val_test_split",
+    "q57_neardup_components",
+    "q58_stratified_sample",
+    "q59_moving_avg_revenue",
+    "q60_customer_revenue_deciles",
+    "q61_media_frames",
+    "q62_scd2_dim_customer",
+    "q63_cdc_latest_state",
+    "q65_pii_redaction",
+    "q66_benchmark_decontamination",
+    "q67_repetition_metrics",
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT

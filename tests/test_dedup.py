@@ -201,3 +201,60 @@ def test_dedup_components_direction_independent(spark):
         (r["node"], r["component"]) for r in dedup_components(pairs).collect()
     }
     assert got == {(1, 1), (5, 1), (9, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization front-end (q111/q112).
+# ---------------------------------------------------------------------------
+def test_canonicalization_collapses_planted_confusables(spark):
+    """Case / punctuation / whitespace / NFC-vs-decomposed variants of
+    one document canonicalize identically — and a genuinely different
+    document does not."""
+    from efiche_data_pipeline_spark.functions.text import canonical_text
+    from efiche_data_pipeline_spark.operators.dedup import nfc_normalize_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Café visits, rose 10%!"),  # NFC e-acute
+            (1, "café   visits rose 10"),  # decomposed e + U+0301
+            (2, "CAFÉ VISITS;ROSE\t10"),  # decomposed + case + punct
+            (3, "cafe visits rose 10"),  # ascii-folded: DIFFERENT doc
+        ],
+        "doc_id long, text string",
+    )
+    out = nfc_normalize_docs(docs).select(
+        "doc_id", canonical_text("text").alias("c")
+    )
+    got = {r["doc_id"]: r["c"] for r in out.collect()}
+    assert got[0] == got[1] == got[2] == "café visits rose 10"
+    assert got[3] == "cafe visits rose 10" != got[0]
+
+
+def test_canonical_exact_dedup_merges_variant_groups(spark):
+    """exact_dedup over the canonical form groups the confusables the
+    raw-text form misses."""
+    from efiche_data_pipeline_spark.functions.text import canonical_text
+    from efiche_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        nfc_normalize_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello,   World!"),
+            (1, "hello world"),
+            (2, "HELLO\tWORLD"),
+            (3, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = exact_dedup(docs, "doc_id", "text")
+    assert raw.count() == 4  # raw text sees four distinct docs
+    canon = nfc_normalize_docs(docs).withColumn(
+        "text", canonical_text("text")
+    )
+    out = {
+        r["keeper_doc_id"]: r["n_copies"]
+        for r in exact_dedup(canon, "doc_id", "text").collect()
+    }
+    assert out == {0: 3, 3: 1}

@@ -281,3 +281,223 @@ def test_ivf_empty_first_batch_rejected(spark, tmp_path):
     r2 = ivf_index_append(empty, store)
     assert r1.n_new == 20 and r2.n_new == 0
     assert r2.centroid_version == r1.centroid_version
+
+
+# ---------------------------------------------------------------------------
+# Incremental EMBEDDING near-dup dedup (SemDeDup shape) — the
+# operator-level properties beyond the q110 oracle differential.
+# ---------------------------------------------------------------------------
+def _emb_centroids(clustered):
+    """Pinned frozen centroids: one member per planted cluster."""
+    return clustered.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") / 25 + 1).cast("int").alias("cell_id"), "embedding"
+    )
+
+
+def _run_emb_dedup(spark, clustered, tmp_path, name, splits, tau=0.9, nprobe=2):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    store = Store(spark, str(tmp_path / name))
+    cents = _emb_centroids(clustered)
+    kept = set()
+    results = []
+    for lo, hi in splits:
+        r = incremental_embedding_dedup(
+            clustered.filter(F.col("vec_id").between(lo, hi)).select(
+                "vec_id", "embedding"
+            ),
+            store,
+            centroids=cents,
+            tau=tau,
+            nprobe=nprobe,
+        )
+        kept |= {row["vec_id"] for row in r.kept.collect()}
+        results.append(r)
+    return kept, results, store
+
+
+def test_incremental_embedding_two_batch_equals_oneshot(spark, clustered, tmp_path):
+    """The dominated rule is order-free under frozen centroids: any
+    batching of the corpus must keep exactly the one-shot run's
+    survivors (the q103 merge-closure argument for vectors)."""
+    one, _, _ = _run_emb_dedup(spark, clustered, tmp_path, "one", [(0, 499)])
+    two, res2, _ = _run_emb_dedup(
+        spark, clustered, tmp_path, "two", [(0, 249), (250, 499)]
+    )
+    three, _, _ = _run_emb_dedup(
+        spark, clustered, tmp_path, "three", [(0, 99), (100, 399), (400, 499)]
+    )
+    assert one == two == three
+    # planted shape: each cluster collapses toward its smallest ids,
+    # and batch 2 sees real cross-history domination
+    assert len(one) < 500
+    assert res2[1].n_dup_vs_history > 0
+
+
+def test_incremental_embedding_replay_noop(spark, clustered, tmp_path):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    kept, res, store = _run_emb_dedup(
+        spark, clustered, tmp_path, "rp", [(0, 249), (250, 499)]
+    )
+    n_before = res[-1].n_indexed_total
+    replay = incremental_embedding_dedup(
+        clustered.filter(F.col("vec_id") > 249).select("vec_id", "embedding"),
+        store,
+        tau=0.9,
+        nprobe=2,
+    )
+    assert replay.n_new == 0 and replay.kept.count() == 0
+    assert replay.n_indexed_total == n_before == 500
+
+
+def test_incremental_embedding_dropped_still_dominates(spark, tmp_path):
+    """v1 is dropped as a dup of v0; v2 (next batch) is near BOTH.
+    The dominated rule drops v2 regardless of v1's fate — requires the
+    index to retain dropped vectors."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    base = [1.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0]
+    nearer = [0.998, 0.02, 0.0]
+    far = [0.0, 1.0, 0.0]
+    cents = None
+    store = Store(spark, str(tmp_path / "dom"))
+    pinned = spark.createDataFrame(
+        [(1, base), (2, far)], "cell_id int, embedding array<double>"
+    )
+    b1 = spark.createDataFrame(
+        [(0, base), (1, near)], "vec_id long, embedding array<double>"
+    )
+    b2 = spark.createDataFrame(
+        [(2, nearer)], "vec_id long, embedding array<double>"
+    )
+    r1 = incremental_embedding_dedup(b1, store, centroids=pinned, tau=0.9)
+    assert {r["vec_id"] for r in r1.kept.collect()} == {0}
+    assert r1.n_dup_within == 1
+    r2 = incremental_embedding_dedup(b2, store, tau=0.9)
+    assert r2.kept.count() == 0 and r2.n_dup_vs_history == 1
+
+
+def test_incremental_embedding_partition_invariant(spark, clustered, tmp_path):
+    def run(nparts):
+        from efiche_data_pipeline_spark.operators.similarity import (
+            incremental_embedding_dedup,
+        )
+        from efiche_data_pipeline_spark.pipeline.store import Store
+
+        store = Store(spark, str(tmp_path / f"p{nparts}"))
+        cents = _emb_centroids(clustered)
+        kept = set()
+        for lo, hi in ((0, 249), (250, 499)):
+            r = incremental_embedding_dedup(
+                clustered.filter(F.col("vec_id").between(lo, hi))
+                .select("vec_id", "embedding")
+                .repartition(nparts),
+                store,
+                centroids=cents,
+                tau=0.9,
+                nprobe=2,
+            )
+            kept |= {row["vec_id"] for row in r.kept.collect()}
+        return kept
+
+    assert run(1) == run(8) == run(32)
+
+
+def test_incremental_embedding_commit_false(spark, clustered, tmp_path):
+    """commit=False leaves the cell index untouched and returns the
+    home-cell delta — the dedup_stream write-order hook."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    store = Store(spark, str(tmp_path / "cf"))
+    cents = _emb_centroids(clustered)
+    b1 = clustered.filter(F.col("vec_id") <= 99).select("vec_id", "embedding")
+    r = incremental_embedding_dedup(
+        b1, store, centroids=cents, tau=0.9, commit=False
+    )
+    assert not store.exists("semdedup_cells")
+    assert r.index_delta is not None
+    assert r.index_delta.count() == 100  # kept AND dropped, with home cells
+    assert set(r.index_delta.columns) == {"vec_id", "embedding", "cell_id"}
+    # caller's order: sink, then index
+    store.append_new(
+        r.index_delta, "semdedup_cells", key="vec_id", partition_by=["cell_id"]
+    )
+    replay = incremental_embedding_dedup(b1, store, tau=0.9)
+    assert replay.n_new == 0 and replay.kept.count() == 0
+
+
+def test_incremental_embedding_empty_first_batch_rejected(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    store = Store(spark, str(tmp_path / "emp"))
+    with pytest.raises(ValueError, match="no centroids"):
+        incremental_embedding_dedup(empty, store)
+    assert store.current_version("ivf_centroids") is None
+
+
+def test_incremental_embedding_dedup_prunes_history_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """The probed cell_id IN (...) literal must reach the persisted
+    vector index as a PARTITION filter — history files outside the
+    batch's probed cells are never opened (the SemDeDup 1/K scan).
+    The operator checkpoints its dropped-set internally, so the history
+    scan never appears in the RETURNED frame's plan; capture the plan
+    at the checkpoint boundary instead."""
+    # Spark 4: the concrete classic DataFrame overrides the abstract
+    # base's localCheckpoint — patch the class actually dispatched.
+    import pyspark.sql.classic.dataframe as _dfmod
+
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    from .conftest import SMOKE_SF_DIR
+
+    captured: list[str] = []
+    orig = _dfmod.DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        try:
+            captured.append(
+                self._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            pass
+        return out
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    store = Store(spark, str(tmp_path / "sd"))
+    incremental_embedding_dedup(
+        emb.filter(F.col("vec_id") < 30), store, centroids=pinned, tau=0.35
+    )
+    monkeypatch.setattr(_dfmod.DataFrame, "localCheckpoint", spy)
+    r = incremental_embedding_dedup(
+        emb.filter(F.col("vec_id") >= 30), store, tau=0.35, nprobe=2
+    )
+    monkeypatch.undo()
+    assert r.n_new > 0
+    pruned = [p for p in captured if "PartitionFilters: [cell_id" in p]
+    assert pruned, captured
