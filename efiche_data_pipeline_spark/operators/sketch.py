@@ -184,3 +184,152 @@ def incremental_kmv(
         .alias("kmv_estimate")
     )
     return estimates, version
+
+
+def incremental_dataset_card(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    k: int = 64,
+    scalar_table: str = "card_scalars",
+    sketch_table: str = "card_kinds_sketch",
+) -> tuple[DataFrame, int]:
+    """Maintain a corpus RELEASE CARD across batches — q102's one-row
+    summary (docs, token/char mass, min/max doc tokens, KMV distinct
+    estimates for texts/sources/langs) as persisted state folded per
+    batch, never rescanning history. Returns (card row, committed
+    scalar version).
+
+    Two state pieces, each with an exact merge property:
+
+    - **Scalars** (one row): COUNT/SUM/MIN/MAX are associative — fold
+      the batch aggregate into the stored row.
+    - **Distinct estimates**: :func:`incremental_kmv` bottom-k
+      closure, keyed by kind ∈ {fp, source, lang}.
+
+    so the maintained card is provably IDENTICAL to q102's one-shot
+    global card — which is exactly what q114's oracle (q102's oracle,
+    verbatim) checks per round.
+
+    Replay safety by WRITE ORDER: the batch is first cut to
+    ``id_col > stored max id`` (the monotone-id contract every
+    incremental operator shares — reference: etl_pipeline.py:125-132
+    consumes strictly-new rows). The kind sketches commit FIRST
+    (set-union bottom-k — idempotent under replay), the scalar row —
+    whose max id IS the replay watermark — commits LAST. A crash
+    between the two leaves the watermark unmoved, so the retried batch
+    re-folds the sketch (no-op) and then completes the scalars:
+    sink-before-trigger, the dedup_stream discipline.
+
+    Scale shape: one pass over the batch text (token/char counts +
+    md5, all map-side), one O(batch) aggregate row, one groups×k
+    sketch fold. History cost: reading one scalar row + 3k hashes.
+    """
+    cur = store.current_version(scalar_table)
+    state = store.read_version(scalar_table).first() if cur is not None else None
+    fresh = new_docs
+    if state is not None:
+        fresh = fresh.filter(F.col(id_col) > state["max_doc_id"])
+    from ..functions.text import token_count
+
+    feat = fresh.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+    ).localCheckpoint(eager=True)
+    batch = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("total_chars"),
+        F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        F.max(id_col).alias("max_doc_id"),
+    ).first()
+    if batch["n_docs"] == 0:  # replay / empty batch: card unchanged
+        if state is None:
+            raise ValueError(
+                "incremental_dataset_card: no state and an empty first "
+                "batch — seed the card with a non-empty batch"
+            )
+        return _card_row(store, scalar_table, sketch_table, k), cur
+    kinds = feat.select(
+        F.expr("stack(3, 'fp', fp, 'source', source, 'lang', lang) as (kind, val)")
+    )
+    # Sketch FIRST (idempotent), scalars (the watermark) LAST.
+    incremental_kmv(kinds, store, ["kind"], "val", k=k, table=sketch_table)
+    merged = {
+        "max_doc_id": batch["max_doc_id"],
+        "n_docs": batch["n_docs"],
+        "total_tokens": batch["total_tokens"],
+        "total_chars": batch["total_chars"],
+        "min_doc_tokens": batch["min_doc_tokens"],
+        "max_doc_tokens": batch["max_doc_tokens"],
+    }
+    if state is not None:
+        merged["n_docs"] += state["n_docs"]
+        merged["total_tokens"] += state["total_tokens"]
+        merged["total_chars"] += state["total_chars"]
+        merged["min_doc_tokens"] = min(
+            merged["min_doc_tokens"], state["min_doc_tokens"]
+        )
+        merged["max_doc_tokens"] = max(
+            merged["max_doc_tokens"], state["max_doc_tokens"]
+        )
+    spark = new_docs.sparkSession
+    row = spark.createDataFrame(
+        [tuple(merged[c] for c in (
+            "max_doc_id", "n_docs", "total_tokens", "total_chars",
+            "min_doc_tokens", "max_doc_tokens",
+        ))],
+        "max_doc_id long, n_docs long, total_tokens long, total_chars long, "
+        "min_doc_tokens long, max_doc_tokens long",
+    )
+    version = store.write_version(row, scalar_table)
+    return _card_row(store, scalar_table, sketch_table, k), version
+
+
+def _card_row(store, scalar_table: str, sketch_table: str, k: int) -> DataFrame:
+    """Assemble the q102-shaped card from the persisted state (exact
+    scalars row × pivoted KMV estimates)."""
+    scalars = store.read_version(scalar_table)
+    # stored rows ARE each group's bottom-k already (incremental_kmv
+    # re-takes the bottom-k on every fold), so max(_h) is h_k directly.
+    est = (
+        store.read_version(sketch_table)
+        .groupBy("kind")
+        .agg(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+            .otherwise(F.round(F.lit(k - 1) * F.lit(HASH_SPACE) / F.max("_h"), 0))
+            .cast("long")
+            .alias("kmv_estimate")
+        )
+    )
+    one = est.agg(
+        *[
+            F.max(F.when(F.col("kind") == kind, F.col("kmv_estimate")))
+            .cast("long")
+            .alias(alias)
+            for kind, alias in (
+                ("fp", "n_unique_texts_est"),
+                ("source", "n_sources_est"),
+                ("lang", "n_langs_est"),
+            )
+        ]
+    )
+    return scalars.crossJoin(F.broadcast(one)).select(
+        "n_docs",
+        "n_unique_texts_est",
+        "n_sources_est",
+        "n_langs_est",
+        "total_tokens",
+        "total_chars",
+        "min_doc_tokens",
+        "max_doc_tokens",
+        (F.col("total_chars") / F.col("total_tokens")).alias("chars_per_token"),
+    )

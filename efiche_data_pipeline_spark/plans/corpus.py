@@ -2202,6 +2202,137 @@ SELECT doc_a, doc_b, est_sim FROM pairs
 ORACLES["q112_canonical_neardup_pairs"] = _q112_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q113 — EMBEDDING distribution drift gate: PSI between two ingest
+# slices over the frozen-centroid CELL histogram.  q107 gates scalar
+# columns; embeddings need their own drift signal — it is what decides
+# when the IVF lifecycle's one deliberate O(index) migration
+# (ivf_index_retrain) actually runs.  Cell assignment under frozen
+# centroids is a pure function of the vector (the q30/q110 machinery),
+# so the per-cell (ref, cur) counts — and therefore the fixed-point
+# PSI fold (operators/drift.py) — replay exactly in DuckDB.  One
+# broadcast assignment pass over the vectors, one (cell, side)
+# aggregate, one bounded window: no vector ever shuffles.
+# ---------------------------------------------------------------------------
+def q113_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_from_bucket_counts
+    from ..operators.similarity import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    pinned = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    cells = assign_cells(emb, pinned, "vec_id", "embedding", nprobe=1)
+    per_bucket = (
+        cells.select(
+            F.lit("embedding_cell").alias("column_name"),
+            F.col("cell_id").cast("string").alias("bucket"),
+            F.when(F.col("vec_id") <= split, "ref").otherwise("cur").alias("side"),
+        )
+        .groupBy("column_name", "bucket")
+        .agg(
+            F.sum((F.col("side") == "ref").cast("long")).alias("c_ref"),
+            F.sum((F.col("side") == "cur").cast("long")).alias("c_cur"),
+        )
+    )
+    return psi_from_bucket_counts(per_bucket)
+
+
+ORACLES["q113_embedding_drift"] = """
+WITH cent AS (
+    SELECT vec_id + 1 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS split FROM embeddings),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus c, cent ct
+    ) WHERE rn = 1
+),
+pb AS (
+    SELECT 'embedding_cell' AS column_name,
+           CAST(cell_id AS VARCHAR) AS bucket,
+           SUM(CASE WHEN a.vec_id <= s.split THEN 1 ELSE 0 END) AS c_ref,
+           SUM(CASE WHEN a.vec_id > s.split THEN 1 ELSE 0 END) AS c_cur
+    FROM assign a CROSS JOIN s
+    GROUP BY 1, 2
+),
+wn AS (
+    SELECT *,
+           SUM(c_ref) OVER (PARTITION BY column_name) AS n_ref,
+           SUM(c_cur) OVER (PARTITION BY column_name) AS n_cur,
+           COUNT(*) OVER (PARTITION BY column_name) AS n_buckets
+    FROM pb
+),
+terms AS (
+    SELECT column_name, n_ref, n_cur, n_buckets,
+           CAST(ROUND((((c_cur + 1.0) / (n_cur + n_buckets)
+                        - (c_ref + 1.0) / (n_ref + n_buckets))
+                       * ln(((c_cur + 1.0) / (n_cur + n_buckets))
+                            / ((c_ref + 1.0) / (n_ref + n_buckets))))
+                      * 1e9) AS BIGINT) AS t
+    FROM wn
+)
+SELECT column_name,
+       ROUND(SUM(t) / 1e9, 4) AS psi,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       CAST(MAX(n_buckets) AS BIGINT) AS n_buckets
+FROM terms
+GROUP BY column_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q114 — INCREMENTAL dataset card
+# (operators/sketch.py:incremental_dataset_card): q102's one-row
+# release card maintained as persisted state across two "daily"
+# batches — exact scalars fold associatively, distinct estimates ride
+# the KMV bottom-k closure — so the maintained card must equal the
+# one-shot global card EXACTLY, and the oracle IS q102's oracle,
+# verbatim.  The state read per fold is one scalar row + 3·k hashes;
+# history text is never rescanned.
+# ---------------------------------------------------------------------------
+def q114_incremental_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_dataset_card
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inccard_")
+    store = Store(spark, tmp_root)
+    try:
+        _, v1 = incremental_dataset_card(
+            docs.filter(F.col("doc_id") <= split), store, k=_PROFILE_KMV_K
+        )
+        card, v2 = incremental_dataset_card(
+            docs.filter(F.col("doc_id") > split), store, k=_PROFILE_KMV_K
+        )
+        _require(v2 > v1, "card state version must grow")
+        return _finish_with_store(card, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q114_incremental_dataset_card"] = _card_sketch_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

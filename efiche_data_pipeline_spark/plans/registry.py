@@ -65,6 +65,8 @@ _DRIVER_PRIORITY = [
     "q110_incremental_embedding_dedup",
     "q111_canonical_exact_dedup",
     "q112_canonical_neardup_pairs",
+    "q113_embedding_drift",
+    "q114_incremental_dataset_card",
     # r03-stale rows (VERDICT r05 Next #2, refresh first):
     "q31_token_stats",
     "q32_quality_score",

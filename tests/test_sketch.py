@@ -180,3 +180,148 @@ def test_incremental_kmv_partition_independent(spark, tmp_path):
         return sorted(map(tuple, est.collect()))
 
     assert run(1) == run(8) == run(32)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dataset card (q114).
+# ---------------------------------------------------------------------------
+def _card_docs(spark, n=40):
+    rows = [
+        (
+            i,
+            f"document body {'x' * (i % 7)} number {i % 11} tail",
+            f"src{i % 3}",
+            ("en", "es", "de")[i % 3],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+
+
+def test_incremental_card_equals_oneshot_and_replays(spark, tmp_path):
+    """Any batching of the corpus yields the SAME card as one shot
+    (associative scalars + KMV closure), and a replayed batch changes
+    nothing."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_dataset_card,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = _card_docs(spark)
+    one_store = Store(spark, str(tmp_path / "one"))
+    card_one, _ = incremental_dataset_card(docs, one_store, k=8)
+    expected = card_one.collect()[0].asDict()
+
+    store = Store(spark, str(tmp_path / "three"))
+    for lo, hi in ((0, 9), (10, 24), (25, 39)):
+        card, v = incremental_dataset_card(
+            docs.filter(F.col("doc_id").between(lo, hi)), store, k=8
+        )
+    assert card.collect()[0].asDict() == expected
+    # replay of the last batch: version and card unchanged
+    card2, v2 = incremental_dataset_card(
+        docs.filter(F.col("doc_id").between(25, 39)), store, k=8
+    )
+    assert v2 == v
+    assert card2.collect()[0].asDict() == expected
+
+
+def test_incremental_card_crash_between_sketch_and_scalars_converges(
+    spark, tmp_path
+):
+    """Injected crash AFTER the sketch fold but BEFORE the scalar
+    (watermark) commit: the retry re-folds the sketch (idempotent
+    set-union) and completes the scalars — the card converges to the
+    crash-free value."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_dataset_card,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = _card_docs(spark)
+
+    class CrashStore(Store):
+        armed = False
+
+        def write_version(self, df, table):
+            if self.armed and table == "card_scalars":
+                self.armed = False
+                raise RuntimeError("injected crash before scalar commit")
+            return super().write_version(df, table)
+
+    store = CrashStore(spark, str(tmp_path / "crash"))
+    incremental_dataset_card(docs.filter(F.col("doc_id") <= 19), store, k=8)
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_dataset_card(docs.filter(F.col("doc_id") > 19), store, k=8)
+    card, _ = incremental_dataset_card(
+        docs.filter(F.col("doc_id") > 19), store, k=8
+    )
+    one_store = Store(spark, str(tmp_path / "one"))
+    card_one, _ = incremental_dataset_card(docs, one_store, k=8)
+    assert card.collect()[0].asDict() == card_one.collect()[0].asDict()
+
+
+def test_incremental_card_empty_first_batch_rejected(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_dataset_card,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    import pytest
+
+    store = Store(spark, str(tmp_path / "emp"))
+    empty = _card_docs(spark).limit(0)
+    with pytest.raises(ValueError, match="empty first"):
+        incremental_dataset_card(empty, store, k=8)
+
+
+def test_embedding_cell_drift_detects_planted_shift(spark):
+    """q113's composition (frozen-centroid cell histogram → PSI): a
+    current slice drawn from a DIFFERENT cluster than the reference
+    must alarm (PSI > 0.25), while an identically-distributed slice
+    stays calm (< 0.1)."""
+    from efiche_data_pipeline_spark.operators.drift import (
+        psi_from_bucket_counts,
+    )
+    from efiche_data_pipeline_spark.operators.similarity import assign_cells
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cell_id int, embedding array<double>"
+    )
+
+    def psi_of(rows):
+        emb = spark.createDataFrame(
+            rows, "vec_id long, side string, embedding array<double>"
+        )
+        cells = assign_cells(
+            emb.select("vec_id", "embedding"), cents, "vec_id", "embedding"
+        ).join(emb.select("vec_id", "side"), "vec_id")
+        pb = (
+            cells.select(
+                F.lit("embedding_cell").alias("column_name"),
+                F.col("cell_id").cast("string").alias("bucket"),
+                "side",
+            )
+            .groupBy("column_name", "bucket")
+            .agg(
+                F.sum((F.col("side") == "ref").cast("long")).alias("c_ref"),
+                F.sum((F.col("side") == "cur").cast("long")).alias("c_cur"),
+            )
+        )
+        return psi_from_bucket_counts(pb).collect()[0]["psi"]
+
+    axis0 = lambda i: [1.0, 0.01 * (i % 5)]
+    axis1 = lambda i: [0.01 * (i % 5), 1.0]
+    calm = [(i, "ref", axis0(i)) for i in range(40)] + [
+        (100 + i, "cur", axis0(i)) for i in range(40)
+    ]
+    shifted = [(i, "ref", axis0(i)) for i in range(40)] + [
+        (100 + i, "cur", axis1(i)) for i in range(40)
+    ]
+    assert psi_of(calm) < 0.1
+    assert psi_of(shifted) > 0.25
