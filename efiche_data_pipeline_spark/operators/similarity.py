@@ -400,6 +400,79 @@ def ivf_index_query(
     )
 
 
+def quantized_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-SQ8: approximate cosine top-k where the CANDIDATE side is
+    scored against int8-quantized vectors (q94's per-vector symmetric
+    scheme: scale = max|x|, q_i = round(x_i·127/scale)) — the
+    memory-bound ANN play. At 100 TB the cell store holds 1 byte per
+    dimension plus one scale instead of 8 (4-8× less I/O per probed
+    cell); queries stay full-precision, so the only error is the
+    candidate quantization (recall@5 vs the float path is asserted in
+    tests/test_similarity.py).
+
+    Every step is deterministic — assignment on the ORIGINAL vectors
+    (the build side sees them once, at ingest), quantize/dequantize in
+    exact dyadic-safe arithmetic (q94's cross-engine discipline), sims
+    in fixed index order — so the DuckDB oracle replays the whole
+    chain bit-for-bit (q116): an approximate-and-compressed operator
+    with an exact correctness gate.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    cells = assign_cells(c, centroids, id_col, vec_col)
+    scale = F.array_max(F.transform(vec_col, F.abs))
+    with_scale = cells.withColumn("_scale", scale)
+    deq = F.when(
+        F.col("_scale") > 0,
+        F.transform(
+            vec_col,
+            lambda x: F.round(x * F.lit(127) / F.col("_scale"))
+            .cast("int")  # the stored int8 payload
+            .cast("double")
+            * F.col("_scale")
+            / F.lit(127),
+        ),
+    ).otherwise(F.transform(vec_col, lambda x: F.lit(0.0)))
+    cand = with_scale.select(
+        F.col(id_col).alias("neighbor_id"), deq.alias("_deq"), "cell_id"
+    )
+    q_cells = assign_cells(
+        queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        centroids,
+        id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
+    )
+    sims = (
+        cand.join(F.broadcast(q_cells), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "_deq"), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental EMBEDDING near-dup dedup (the SemDeDup shape): drop a
 # new vector if a smaller-id vector already in the corpus — or earlier

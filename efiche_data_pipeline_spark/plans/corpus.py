@@ -2333,6 +2333,170 @@ def q114_incremental_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLES["q114_incremental_dataset_card"] = _card_sketch_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q115 — the production intake composition: CANONICALIZE (q111's NFC +
+# lower/strip/collapse front-end), then INCREMENTAL index dedup
+# (q103's operator) — so case/punct/spacing/accent variants of one
+# document dedup across batches too, not just within a one-shot pass.
+# Pure composition: no new operator code; the canonical projection
+# runs in the same scan as the signature pass.  Canonicalization is a
+# pure per-doc function, so the dominated-rule equivalence is
+# untouched and the oracle is q103's global replay over the canonical
+# CTE.
+# ---------------------------------------------------------------------------
+def q115_incremental_canonical_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..functions.text import canonical_text
+    from ..operators.dedup import incremental_minhash_dedup, nfc_normalize_docs
+    from ..pipeline.store import Store
+
+    docs = nfc_normalize_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("text", canonical_text("text"))
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inccanon_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        r2 = incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        _require(r2.index_version > r1.index_version, "index version must grow")
+        return _finish_with_store(
+            r1.kept.select("doc_id", F.lit(1).cast("int").alias("batch"))
+            .unionByName(
+                r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch"))
+            ),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _inc_canonical_oracle() -> str:
+    from ..functions.text import oracle_canonical_sql
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "cdocs", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    return f"""
+WITH cdocs AS (
+    SELECT doc_id, {oracle_canonical_sql("text")} AS text FROM documents
+),
+pairs AS ({lsh}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+s AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS split FROM documents)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id <= s.split THEN 1 ELSE 2 END AS INTEGER) AS batch
+FROM documents d CROSS JOIN s
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+ORACLES["q115_incremental_canonical_dedup"] = _inc_canonical_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q116 — IVF-SQ8 quantized vector search
+# (operators/similarity.py:quantized_ivf_topk): the q30 pipeline with
+# the candidate side scored against int8-quantized vectors (q94's
+# per-vector symmetric scheme) — the memory-bound form of the cell
+# store (1 byte/dim + one scale instead of 8 ⇒ 4-8× less I/O per
+# probed cell at 100 TB).  Assignment runs on the original vectors,
+# quantize→dequantize is exact dyadic-safe arithmetic, sims fold in
+# index order — fully deterministic, so the oracle replays the whole
+# chain (q30's assignment SQL + q94's quantization SQL composed).
+# ---------------------------------------------------------------------------
+def q116_quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+    return quantized_ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=8
+    )
+
+
+ORACLES["q116_quantized_ivf_topk"] = """
+WITH cent AS (
+    SELECT vec_id + 1 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+quant AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS q_scale
+    FROM corpus
+),
+deq AS (
+    SELECT vec_id,
+           CASE WHEN q_scale > 0
+                THEN list_transform(v, x -> CAST(CAST(round(x * 127 / q_scale)
+                                                      AS INTEGER) AS DOUBLE)
+                                            * q_scale / 127)
+                ELSE list_transform(v, x -> CAST(0 AS DOUBLE))
+           END AS dv
+    FROM quant
+),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus c, cent ct
+    ) WHERE rn = 1
+),
+qprobe AS (
+    SELECT vec_id AS query_id, cell_id FROM (
+        SELECT q.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus q, cent ct WHERE q.vec_id < 10
+    ) WHERE rn <= 8
+),
+cand AS (
+    SELECT qp.query_id, a.vec_id AS neighbor_id
+    FROM qprobe qp JOIN assign a USING (cell_id)
+    WHERE a.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND(list_cosine_similarity(q.v, d.dv), 4) AS sim
+    FROM cand
+    JOIN corpus q ON q.vec_id = cand.query_id
+    JOIN deq d ON d.vec_id = cand.neighbor_id
+)
+QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

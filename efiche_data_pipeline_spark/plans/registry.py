@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = [
     "q112_canonical_neardup_pairs",
     "q113_embedding_drift",
     "q114_incremental_dataset_card",
+    "q115_incremental_canonical_dedup",
+    "q116_quantized_ivf_topk",
     # r03-stale rows (VERDICT r05 Next #2, refresh first):
     "q31_token_stats",
     "q32_quality_score",

@@ -501,3 +501,40 @@ def test_incremental_embedding_dedup_prunes_history_partitions(
     assert r.n_new > 0
     pruned = [p for p in captured if "PartitionFilters: [cell_id" in p]
     assert pruned, captured
+
+
+def test_quantized_ivf_recall_vs_float_path(clustered, tmp_path):
+    """IVF-SQ8 (int8 candidate vectors) must track the full-precision
+    IVF path closely: same cells probed, recall@5 >= 0.9 on clustered
+    data, and per-pair sim error bounded by the quantization step."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        quantized_ivf_topk,
+    )
+
+    cents = _emb_centroids(clustered)
+    queries = clustered.filter(F.col("vec_id") % 25 == 0)
+    full = ivf_topk(clustered, queries, cents, "vec_id", "embedding", k=5, nprobe=2)
+    quant = quantized_ivf_topk(
+        clustered, queries, cents, "vec_id", "embedding", k=5, nprobe=2
+    )
+    f = {}
+    for r in full.collect():
+        f.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    q = {}
+    qsims = {}
+    for r in quant.collect():
+        q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        qsims[(r["query_id"], r["neighbor_id"])] = r["sim"]
+    recalls = [
+        len(f[k_] & q.get(k_, set())) / len(f[k_]) for k_ in f
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # sims of shared pairs differ by at most ~the int8 step (1/127
+    # per element, amplified by normalization — generous 0.02 bound)
+    fsims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in full.collect()
+    }
+    shared = set(fsims) & set(qsims)
+    assert shared
+    assert max(abs(fsims[p] - qsims[p]) for p in shared) <= 0.02
