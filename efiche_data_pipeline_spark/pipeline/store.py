@@ -568,6 +568,90 @@ class Store:
         dirs = [self._vdir(table, x) for x in self._layers(table, v)]
         return self.spark.read.parquet(*dirs)
 
+    def delete_keys(self, table: str, keys: DataFrame, key_col: str) -> int | None:
+        """Delete every row whose ``key_col`` appears in ``keys`` — the
+        right-to-be-forgotten primitive a 100 TB corpus must support
+        (the reference would run ``DELETE FROM`` and let PostgreSQL
+        handle it; a parquet store has to rewrite files). Dispatches on
+        the table's commit style:
+
+        - **layered** (``append_version``): rewrites ONLY the layers
+          that actually contain affected keys — located with one
+          union scan tagged by ``input_file_name`` — as new layer
+          directories, then commits a new version whose manifest swaps
+          the rewritten layers in. Unaffected layers (at scale: almost
+          all of them) are not read twice, not rewritten, and stay
+          byte-identical on disk. Returns the new version, or the
+          current one if no layer was affected (idempotent replay).
+        - **snapshot-versioned** (``write_version``): commits the
+          anti-joined table as the next snapshot.
+        - **plain**: in-place overwrite with a localCheckpoint pin.
+
+        Deletion COMPLETES at vacuum, exactly like Delta/Iceberg:
+        older versions still time-travel to the pre-delete data until
+        ``vacuum_versions`` drops their manifests and layers — run it
+        (with a retention of 0-1) to make the purge physical; the
+        GDPR test walks every surviving parquet file to prove the keys
+        are gone."""
+        from pyspark.sql import functions as F
+
+        keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
+        if self.is_layered(table):
+            cur = self.current_version(table)
+            tagged = self.read_union(table).withColumn(
+                "_layer",
+                F.regexp_extract(F.input_file_name(), r"_v(\d+)/", 1).cast("int"),
+            )
+            affected = sorted(
+                r["_layer"]
+                for r in tagged.join(F.broadcast(keys), key_col, "left_semi")
+                .select("_layer")
+                .distinct()
+                .collect()
+            )
+            if not affected:
+                return cur
+            replacement: dict[int, int] = {}
+            for layer in affected:
+                nxt = self._claim_next_version(table)
+                try:
+                    cleaned = (
+                        self.spark.read.parquet(self._vdir(table, layer))
+                        .join(F.broadcast(keys), key_col, "left_anti")
+                        .localCheckpoint(eager=True)
+                    )
+                    cleaned.write.mode("overwrite").parquet(
+                        self._vdir(table, nxt)
+                    )
+                    replacement[layer] = nxt
+                finally:
+                    self._release_claim(table, nxt)
+            new_layers = [
+                replacement.get(x, x) for x in self._layers(table, cur)
+            ]
+            commit = replacement[affected[-1]]  # last rewritten dir = commit
+            with open(self._manifest_file(table, commit), "w") as f:
+                f.write(" ".join(str(x) for x in new_layers))
+            tmp = self._current_file(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(commit))
+            os.replace(tmp, self._current_file(table))
+            self._log(table, f"delete_keys:{commit}")
+            return commit
+        if self.current_version(table) is not None:  # snapshot-versioned
+            remaining = self.read_version(table).join(
+                F.broadcast(keys), key_col, "left_anti"
+            )
+            return self.write_version(remaining, table)
+        remaining = (
+            self.read(table)
+            .join(F.broadcast(keys), key_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        self.overwrite(remaining, table)
+        self._log(table, "delete_keys")
+        return None
+
     def compact_layers(self, table: str, target_files: int | None = None) -> int:
         """Rewrite the current union as ONE new layer (the OPTIMIZE /
         checkpoint step): subsequent reads scan a single directory and

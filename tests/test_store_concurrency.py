@@ -205,3 +205,96 @@ def test_layer_count_accessor(spark, tmp_path):
     # snapshot tables report 0 layers (they aren't layered at all)
     store.write_version(_df(spark, 1), "snap")
     assert store.layer_count("snap") == 0
+
+
+# ---------------------------------------------------------------------------
+# delete_keys — the right-to-be-forgotten primitive.
+# ---------------------------------------------------------------------------
+def _keys(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_delete_keys_layered_rewrites_only_affected_layers(spark, tmp_path):
+    """Keys confined to layer 2: layers 1 and 3 must stay byte-
+    identical on disk (file lists unchanged), the union loses exactly
+    the deleted rows, and the pre-delete version still time-travels
+    until vacuumed."""
+    import os
+
+    store = Store(spark, str(tmp_path / "gdpr"))
+    mk = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], "id long, tag string"
+    )
+    store.append_version(mk(0, 10, "a"), "t")
+    store.append_version(mk(10, 20, "b"), "t")
+    v3 = store.append_version(mk(20, 30, "c"), "t")
+
+    def files_of(layer):
+        d = store._vdir("t", layer)
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_1, before_3 = files_of(1), files_of(3)
+    v4 = store.delete_keys("t", _keys(spark, 12, 17), "id")
+    assert v4 is not None and v4 > v3
+    got = {r["id"] for r in store.read_union("t").collect()}
+    assert got == set(range(30)) - {12, 17}
+    assert files_of(1) == before_1 and files_of(3) == before_3
+    # time travel to the pre-delete version still sees the rows
+    assert {r["id"] for r in store.read_union("t", v3).collect()} == set(
+        range(30)
+    )
+    # idempotent replay: nothing affected, version unchanged
+    assert store.delete_keys("t", _keys(spark, 12, 17), "id") == v4
+
+
+def test_delete_keys_purge_completes_at_vacuum(spark, tmp_path):
+    """After vacuum drops the pre-delete manifests/layers, NO surviving
+    parquet file anywhere under the table contains a deleted key — the
+    physical-purge guarantee GDPR actually requires."""
+    import os
+
+    import duckdb
+
+    store = Store(spark, str(tmp_path / "purge"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"row{i}") for i in range(lo, hi)], "id long, payload string"
+    )
+    store.append_version(mk(0, 10), "t")
+    store.append_version(mk(10, 20), "t")
+    store.delete_keys("t", _keys(spark, 3, 15), "id")
+    store.vacuum_versions("t", keep_last=1)
+    survivors = []
+    for root, _, names in os.walk(store.path("t")):
+        survivors += [
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        ]
+    assert survivors
+    con = duckdb.connect()
+    ids = {
+        r[0]
+        for f in survivors
+        for r in con.execute(f"SELECT id FROM read_parquet('{f}')").fetchall()
+    }
+    assert ids == set(range(20)) - {3, 15}
+    # and the table still reads fine post-vacuum
+    assert store.read_union("t").count() == 18
+
+
+def test_delete_keys_snapshot_and_plain_tables(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "modes"))
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)], "id long, x long")
+    store.write_version(df, "snap")
+    v = store.delete_keys("snap", _keys(spark, 1, 2), "id")
+    assert v == 2
+    assert {r["id"] for r in store.read_version("snap").collect()} == set(
+        range(10)
+    ) - {1, 2}
+    assert store.read_version("snap", 1).count() == 10  # time travel intact
+
+    store.overwrite(df, "plain")
+    assert store.delete_keys("plain", _keys(spark, 0, 9), "id") is None
+    assert {r["id"] for r in store.read("plain").collect()} == set(range(1, 9))
