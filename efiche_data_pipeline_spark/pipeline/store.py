@@ -596,6 +596,34 @@ class Store:
         from pyspark.sql import functions as F
 
         keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
+        locate = lambda df: df.join(F.broadcast(keys), key_col, "left_semi")
+        clean = lambda df: df.join(F.broadcast(keys), key_col, "left_anti")
+        return self._delete_rows(table, locate, clean, "delete_keys")
+
+    def delete_where(self, table: str, condition) -> int | None:
+        """Predicate form of :meth:`delete_keys` — the RETENTION
+        primitive (``DELETE WHERE ts < cutoff``). Same mechanics:
+        layered tables rewrite only layers containing matching rows;
+        snapshot tables commit the filtered next version; physical
+        purge completes at vacuum. ``condition`` is a Column
+        predicate; rows where it is TRUE are deleted."""
+        locate = lambda df: df.filter(condition)
+        # ~condition keeps NULL-predicate rows? NO: filter drops rows
+        # where the predicate is NULL, which would silently delete
+        # them — coalesce pins NULL to "not matched", so only rows the
+        # predicate POSITIVELY matches are removed.
+        from pyspark.sql import functions as F
+
+        keep = ~F.coalesce(condition, F.lit(False))
+        clean = lambda df: df.filter(keep)
+        return self._delete_rows(table, locate, clean, "delete_where")
+
+    def _delete_rows(self, table, locate, clean, op: str) -> int | None:
+        """Shared engine for the two delete forms. ``locate(df)``
+        returns the rows to delete (for affected-layer discovery);
+        ``clean(df)`` returns the rows to keep."""
+        from pyspark.sql import functions as F
+
         if self.is_layered(table):
             cur = self.current_version(table)
             tagged = self.read_union(table).withColumn(
@@ -604,10 +632,7 @@ class Store:
             )
             affected = sorted(
                 r["_layer"]
-                for r in tagged.join(F.broadcast(keys), key_col, "left_semi")
-                .select("_layer")
-                .distinct()
-                .collect()
+                for r in locate(tagged).select("_layer").distinct().collect()
             )
             if not affected:
                 return cur
@@ -615,11 +640,9 @@ class Store:
             for layer in affected:
                 nxt = self._claim_next_version(table)
                 try:
-                    cleaned = (
+                    cleaned = clean(
                         self.spark.read.parquet(self._vdir(table, layer))
-                        .join(F.broadcast(keys), key_col, "left_anti")
-                        .localCheckpoint(eager=True)
-                    )
+                    ).localCheckpoint(eager=True)
                     cleaned.write.mode("overwrite").parquet(
                         self._vdir(table, nxt)
                     )
@@ -636,20 +659,13 @@ class Store:
             with open(tmp, "w") as f:
                 f.write(str(commit))
             os.replace(tmp, self._current_file(table))
-            self._log(table, f"delete_keys:{commit}")
+            self._log(table, f"{op}:{commit}")
             return commit
         if self.current_version(table) is not None:  # snapshot-versioned
-            remaining = self.read_version(table).join(
-                F.broadcast(keys), key_col, "left_anti"
-            )
-            return self.write_version(remaining, table)
-        remaining = (
-            self.read(table)
-            .join(F.broadcast(keys), key_col, "left_anti")
-            .localCheckpoint(eager=True)
-        )
+            return self.write_version(clean(self.read_version(table)), table)
+        remaining = clean(self.read(table)).localCheckpoint(eager=True)
         self.overwrite(remaining, table)
-        self._log(table, "delete_keys")
+        self._log(table, op)
         return None
 
     def compact_layers(self, table: str, target_files: int | None = None) -> int:

@@ -75,6 +75,7 @@ def run_incremental_dedup_stream(
     n_hashes: int = 16,
     bands: int = 4,
     compact_every: int | None = None,
+    canonicalize: bool = False,
 ) -> StreamDedupReport:
     """availableNow consumption of parquet document files under
     ``source_dir``: each micro-batch is deduped against the index and
@@ -87,13 +88,29 @@ def run_incremental_dedup_stream(
     — itself an atomic commit, so a crash mid-compaction just leaves
     the uncompacted layers current). Without it a long-running intake
     accumulates one layer per productive batch and every dedup pays a
-    growing file-listing cost."""
+    growing file-listing cost.
+
+    ``canonicalize=True`` runs the q111/q115 front-end (NFC +
+    lower/strip/collapse) on each micro-batch before signing, so
+    case/punct/spacing/accent variants dedup across the stream — the
+    production-crawl configuration. Canonicalization is per-doc pure,
+    so every crash/replay property above is unchanged."""
     totals = {"batches": 0, "new": 0, "dropped": 0}
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         totals["batches"] += 1
+        docs = batch.select("doc_id", "text")
+        if canonicalize:
+            from pyspark.sql import functions as F
+
+            from ..functions.text import canonical_text
+            from ..operators.dedup import nfc_normalize_docs
+
+            docs = nfc_normalize_docs(docs).withColumn(
+                "text", canonical_text(F.col("text"))
+            )
         res = incremental_minhash_dedup(
-            batch.select("doc_id", "text"),
+            docs,
             store,
             index_table=index_table,
             threshold=threshold,

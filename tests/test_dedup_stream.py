@@ -174,3 +174,38 @@ def test_layered_index_commit_cost_flat_measured(spark, tmp_path):
     second_cycle = max(files_before_fold[5:8])
     per_layer = max(1, first_cycle // compact_every)
     assert second_cycle <= first_cycle + per_layer, files_before_fold
+
+
+def test_stream_dedup_canonicalize_catches_variant_docs(spark, tmp_path):
+    """canonicalize=True: case/punctuation/whitespace variants of one
+    document arriving in DIFFERENT files dedup across the stream,
+    while the raw-text stream would keep them all."""
+    from efiche_data_pipeline_spark.functions.text import canonical_text
+    from efiche_data_pipeline_spark.operators.dedup import nfc_normalize_docs
+
+    src = str(tmp_path / "src")
+    f1 = [(0, _BASE), (1, _OTHER)]
+    f2 = [(2, _BASE.upper() + "!!"), (3, _THIRD)]  # 2 ≡ 0 canonically
+    for f in (f1, f2):
+        _write_file(spark, src, f)
+    canon = run_incremental_dedup_stream(
+        spark,
+        src,
+        Store(spark, str(tmp_path / "s1")),
+        str(tmp_path / "c1"),
+        canonicalize=True,
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in f1 + f2], "doc_id long, text string"
+    )
+    cdocs = nfc_normalize_docs(docs).withColumn("text", canonical_text("text"))
+    expected = _global_kept(
+        spark, [(r["doc_id"], r["text"]) for r in cdocs.collect()]
+    )
+    kept = {
+        r["doc_id"]
+        for r in Store(spark, str(tmp_path / "s1")).read("dedup_kept_docs").collect()
+    }
+    assert kept == expected
+    assert 2 not in kept  # the shouting variant deduped against doc 0
+    assert canon.n_dropped >= 1

@@ -298,3 +298,27 @@ def test_delete_keys_snapshot_and_plain_tables(spark, tmp_path):
     store.overwrite(df, "plain")
     assert store.delete_keys("plain", _keys(spark, 0, 9), "id") is None
     assert {r["id"] for r in store.read("plain").collect()} == set(range(1, 9))
+
+
+def test_delete_where_retention_and_null_safety(spark, tmp_path):
+    """Predicate deletes (the retention primitive): rows where the
+    predicate is TRUE go; rows where it is NULL are KEPT (a NULL
+    match must never silently delete). Affected-layer surgery and
+    idempotency as in delete_keys."""
+    store = Store(spark, str(tmp_path / "ret"))
+    mk = lambda rows: spark.createDataFrame(rows, "id long, age int")
+    store.append_version(mk([(0, 5), (1, 50)]), "t")
+    store.append_version(mk([(2, 7), (3, None)]), "t")
+    store.append_version(mk([(4, 9)]), "t")
+    import os
+
+    files_l3 = sorted(os.listdir(store._vdir("t", 3)))
+    v = store.delete_where("t", F.col("age") > 30)
+    got = {r["id"] for r in store.read_union("t").collect()}
+    assert got == {0, 2, 3, 4}  # id 1 deleted; NULL-age id 3 kept
+    assert sorted(os.listdir(store._vdir("t", 3))) == files_l3  # untouched
+    assert store.delete_where("t", F.col("age") > 30) == v  # idempotent
+    # snapshot mode
+    store.write_version(mk([(0, 1), (1, 99)]), "snap")
+    store.delete_where("snap", F.col("age") > 30)
+    assert {r["id"] for r in store.read_version("snap").collect()} == {0}
