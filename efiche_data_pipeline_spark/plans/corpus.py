@@ -2497,6 +2497,116 @@ QUALIFY rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Q117 — the END-TO-END incremental intake, one query: per "daily"
+# batch, CANONICALIZE (q111 front-end) → INCREMENTAL index dedup
+# (q103 operator, canonical form) → fold the SURVIVORS into the
+# INCREMENTAL release card (q114 operator).  This is the composition a
+# production corpus pipeline actually runs on every drop; each stage
+# carries an exact merge property, so the composed maintained state is
+# provably identical to the one-shot global run — kept set = global
+# canonical dominated rule, card = global card over the kept set —
+# which is exactly what the oracle replays.
+# ---------------------------------------------------------------------------
+def q117_incremental_intake_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..functions.text import canonical_text
+    from ..operators.dedup import incremental_minhash_dedup, nfc_normalize_docs
+    from ..operators.sketch import incremental_dataset_card
+    from ..pipeline.store import Store
+
+    docs = nfc_normalize_docs(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source", "lang"
+        )
+    ).withColumn("text", canonical_text("text"))
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_intake_")
+    store = Store(spark, tmp_root)
+    try:
+        card = None
+        for batch in (
+            docs.filter(F.col("doc_id") <= split),
+            docs.filter(F.col("doc_id") > split),
+        ):
+            ded = incremental_minhash_dedup(
+                batch.select("doc_id", "text"),
+                store,
+                threshold=_INC_DEDUP_SIM,
+                portable=True,
+            )
+            kept = batch.join(ded.kept.select("doc_id"), "doc_id", "left_semi")
+            card, _ = incremental_dataset_card(kept, store, k=_PROFILE_KMV_K)
+        return _finish_with_store(card, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _intake_e2e_oracle() -> str:
+    from ..functions.text import oracle_canonical_sql
+    from ..operators.sketch import oracle_kmv_sql
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "cdocs", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    kmv = oracle_kmv_sql("kinds", "kind", "val", _PROFILE_KMV_K)
+    return f"""
+WITH cdocs AS (
+    SELECT doc_id, {oracle_canonical_sql("text")} AS text, source, lang
+    FROM documents
+),
+pairs AS ({lsh}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+kept AS (
+    SELECT * FROM cdocs WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+feat AS (
+    SELECT md5(text) AS fp, source, lang,
+           length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM kept
+),
+kinds AS (
+    SELECT 'fp' AS kind, fp AS val FROM feat
+    UNION ALL SELECT 'source', source FROM feat
+    UNION ALL SELECT 'lang', lang FROM feat
+),
+approx AS ({kmv}),
+one AS (
+    SELECT
+        CAST(MAX(CASE WHEN g = 'fp' THEN kmv_estimate END) AS BIGINT)
+            AS n_unique_texts_est,
+        CAST(MAX(CASE WHEN g = 'source' THEN kmv_estimate END) AS BIGINT)
+            AS n_sources_est,
+        CAST(MAX(CASE WHEN g = 'lang' THEN kmv_estimate END) AS BIGINT)
+            AS n_langs_est
+    FROM approx
+),
+exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+    FROM feat
+)
+SELECT n_docs, n_unique_texts_est, n_sources_est, n_langs_est,
+       total_tokens, total_chars, min_doc_tokens, max_doc_tokens,
+       chars_per_token
+FROM exact CROSS JOIN one
+"""
+
+
+ORACLES["q117_incremental_intake_e2e"] = _intake_e2e_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

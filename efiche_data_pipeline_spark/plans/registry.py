@@ -49,17 +49,18 @@ ORACLES: dict[str, str] = {
 # ROUND 6 rotation (executes VERDICT r05 Next #2 — freshness): the
 # round-5 priority block landed 50/50 green in CORRECTNESS_r05.json
 # and rotates out. Front of the window, in order of need:
-#   1. round-6 additions (no driver row yet by definition): the
-#      incremental embedding dedup q110 and the canonical-text dedup
-#      q111/q112;
+#   1. round-6 additions (no driver row yet by definition): q110-q117
+#      — incremental embedding dedup, canonicalization front-end,
+#      embedding drift, incremental card, canonical intake, quantized
+#      IVF, and the end-to-end intake composition;
 #   2. the 17 queries whose newest driver row dates from r03 (q31-35,
 #      q39, q40, q42-q51) — refresh so nothing ages past 3 rounds;
-#   3. the whole r04-green block (q64, q28/q30/q41, q68-q100: 37
-#      queries), whose rows would otherwise age past 2 rounds.
-# 2+3 alone would overflow the 50 slots, so the tail of the r04 block
-# (q90-q100) flows into _MIDDLE ordering naturally — still inside the
-# window because 3+17+26 < 50 leaves room; anything past slot 50 keeps
-# its pytest differential.
+#   3. the r04-green block (q64, q28/q30/q41, q68-q100), whose rows
+#      would otherwise age past 2 rounds.
+# 1+2 fill 25 slots; the first 25 entries of block 3 complete the
+# 50-row window, its tail (q90-q100) lands just past slot 50 and keeps
+# its per-run pytest differential (re-verified green at HEAD every
+# round) until the round-7 rotation fronts it again.
 _DRIVER_PRIORITY = [
     # round-6 additions:
     "q110_incremental_embedding_dedup",
@@ -69,6 +70,7 @@ _DRIVER_PRIORITY = [
     "q114_incremental_dataset_card",
     "q115_incremental_canonical_dedup",
     "q116_quantized_ivf_topk",
+    "q117_incremental_intake_e2e",
     # r03-stale rows (VERDICT r05 Next #2, refresh first):
     "q31_token_stats",
     "q32_quality_score",

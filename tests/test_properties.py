@@ -200,3 +200,46 @@ def test_prefix_sum_and_packing_match_sequential(spark, rows, bucket, budget):
         end = start + max(n, 1) - 1
         assert first == start // budget and last == end // budget
         assert span == last - first + 1
+
+
+_CANON_ALPHABET = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs"),
+        include_characters=" \t\n.,;é É",
+    ),
+    max_size=60,
+)
+
+
+@given(texts=st.lists(_CANON_ALPHABET, min_size=1, max_size=6))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_canonical_text_idempotent_and_case_insensitive(spark, texts):
+    """canonical_text is a CLOSURE operator: applying it twice equals
+    once (idempotency — the property that lets the canonical form be
+    stored and re-canonicalized safely), and upper/lower variants of
+    the same text canonicalize identically."""
+    from efiche_data_pipeline_spark.functions.text import canonical_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        canonical_text("text").alias("c1"),
+        canonical_text(canonical_text("text")).alias("c2"),
+        canonical_text(F.upper("text")).alias("cu"),
+    ).collect()
+    by_id = dict(rows)
+    for r in out:
+        assert r["c2"] == r["c1"]  # idempotent
+        # case-insensitivity holds for case-roundtrippable text (ß
+        # uppercases to SS — one-way by Unicode design, excluded)
+        t = by_id[r["doc_id"]]
+        if t.upper().lower() == t.lower():
+            assert r["cu"] == r["c1"]
+        # canonical form never holds runs of spaces or edge spaces
+        assert "  " not in r["c1"] and r["c1"] == r["c1"].strip()
