@@ -286,9 +286,14 @@ class Store:
     # ------------------------------------------------------------------
     # Versioned snapshots — parquet-native time travel.
     #
-    # Layout: <table>/_v<N>/ holds immutable snapshot data; the single
-    # small file <table>/_CURRENT names the live version. A write lands
-    # fully in its own _v directory FIRST, then the pointer swaps via
+    # Layout: <table>/v<N>/ holds immutable snapshot data; the single
+    # small file <table>/_CURRENT names the live version. (No leading
+    # underscore on version dirs: Spark's hidden-path convention would
+    # make every read_version/read_union log a spurious "All paths
+    # were ignored" warning for the explicitly-passed directory; a
+    # versioned table's ROOT is never read directly, so hiddenness
+    # buys nothing.) A write lands
+    # fully in its own v<N> directory FIRST, then the pointer swaps via
     # atomic rename — readers see the old or the new snapshot, never a
     # partial one, and a crash mid-write leaves the pointer untouched
     # (the orphaned _v directory is vacuumed later). This is the core
@@ -297,7 +302,7 @@ class Store:
     # ------------------------------------------------------------------
 
     def _vdir(self, table: str, version: int) -> str:
-        return os.path.join(self.path(table), f"_v{version}")
+        return os.path.join(self.path(table), f"v{version}")
 
     def _current_file(self, table: str) -> str:
         return os.path.join(self.path(table), "_CURRENT")
@@ -330,14 +335,14 @@ class Store:
             os.close(fd)
         except FileExistsError:
             raise ConcurrentWriteError(
-                f"{table}: version slot _v{nxt} is already claimed — "
+                f"{table}: version slot v{nxt} is already claimed — "
                 "another writer is committing concurrently, or a crashed "
                 "writer left a stale claim (vacuum_versions clears it)"
             ) from None
         if os.path.exists(os.path.join(self._vdir(table, nxt), "_SUCCESS")):
             os.remove(self._claim_file(table, nxt))
             raise ConcurrentWriteError(
-                f"{table}: version _v{nxt} was committed by a concurrent "
+                f"{table}: version v{nxt} was committed by a concurrent "
                 "writer between slot computation and claim"
             )
         return nxt
@@ -386,9 +391,9 @@ class Store:
         if not os.path.isdir(root):
             return []
         found = sorted(
-            int(d[2:])
+            int(d[1:])
             for d in os.listdir(root)
-            if d.startswith("_v") and d[2:].isdigit()
+            if d.startswith("v") and d[1:].isdigit()
             and os.path.exists(os.path.join(root, d, "_SUCCESS"))
         )
         return found
@@ -399,11 +404,11 @@ class Store:
         ``read_version`` until vacuumed.
 
         The next version is max(committed) + 1, NOT pointer + 1: after
-        ``rollback('t', 1)`` with committed _v2/_v3 still on disk,
-        pointer+1 would overwrite committed _v2 in place — destroying
+        ``rollback('t', 1)`` with committed v2/v3 still on disk,
+        pointer+1 would overwrite committed v2 in place — destroying
         history rollback promises stays readable — and leave a stale
-        _v3 ranked newest by ``versions()``. Allocating past every
-        committed snapshot means a post-rollback write becomes _v4 and
+        v3 ranked newest by ``versions()``. Allocating past every
+        committed snapshot means a post-rollback write becomes v4 and
         the rolled-back-over versions remain intact (orphaned forward
         history; vacuum reclaims it)."""
         if self.is_layered(table):
@@ -436,7 +441,7 @@ class Store:
             and len(self._layers(table, v)) > 1
         ):
             raise ValueError(
-                f"{table} _v{v} is a LAYERED version ({table} was "
+                f"{table} v{v} is a LAYERED version ({table} was "
                 "committed with append_version); its _v directory holds "
                 "only the delta — use read_union to see the full table"
             )
@@ -447,7 +452,7 @@ class Store:
         snapshots remain until vacuumed — rollback of the rollback is
         possible)."""
         if not os.path.exists(os.path.join(self._vdir(table, version), "_SUCCESS")):
-            raise FileNotFoundError(f"{table}: no committed snapshot _v{version}")
+            raise FileNotFoundError(f"{table}: no committed snapshot v{version}")
         tmp = self._current_file(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -485,9 +490,9 @@ class Store:
                 if int(d[8:]) not in committed:  # stale (crashed) claim
                     os.remove(os.path.join(root, d))
                 continue
-            if not (d.startswith("_v") and d[2:].isdigit()):
+            if not (d.startswith("v") and d[1:].isdigit()):
                 continue
-            v = int(d[2:])
+            v = int(d[1:])
             committed_dir = os.path.exists(os.path.join(root, d, "_SUCCESS"))
             if v not in keep or not committed_dir:
                 shutil.rmtree(os.path.join(root, d))
@@ -561,7 +566,7 @@ class Store:
             raise FileNotFoundError(f"{table}: no committed versions")
         if not os.path.exists(self._manifest_file(table, v)):
             raise ValueError(
-                f"{table} _v{v} has no layer manifest ({table} was "
+                f"{table} v{v} has no layer manifest ({table} was "
                 "committed with write_version): snapshot and layered "
                 "APIs cannot be mixed — use read_version"
             )
@@ -628,7 +633,7 @@ class Store:
             cur = self.current_version(table)
             tagged = self.read_union(table).withColumn(
                 "_layer",
-                F.regexp_extract(F.input_file_name(), r"_v(\d+)/", 1).cast("int"),
+                F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
             )
             affected = sorted(
                 r["_layer"]
