@@ -333,3 +333,146 @@ def _card_row(store, scalar_table: str, sketch_table: str, k: int) -> DataFrame:
         "max_doc_tokens",
         (F.col("total_chars") / F.col("total_tokens")).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sample quantiles: the mergeable quantile sketch.
+# ---------------------------------------------------------------------------
+def hash_sample_bottom(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group deterministic uniform VALUE sample: the rows whose
+    :func:`portable_hash60` of ``key_col`` are the k smallest. The
+    hash plays the role of a random draw (uniform over keys) while
+    staying a pure function of the key — so the sample is
+    reproducible by any engine, and MERGEABLE by the same bottom-k
+    closure as KMV: the union's k smallest key-hashes lie in each
+    side's k smallest, so per-batch samples fold into exactly the
+    sample a global pass would draw. Returns
+    (group_cols..., _h, _val): ≤ k rows per group."""
+    h = portable_hash60(F.col(key_col).cast("string"))
+    # (_h, _val) order: the _val tie-break makes a (vanishingly rare)
+    # hash collision deterministic in BOTH engines.
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_val")
+    return (
+        df.select(*group_cols, h.alias("_h"), F.col(value_col).alias("_val"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "_h", "_val")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact quantiles OF THE SAMPLE (which estimate the population's):
+    the p-quantile is the value at rank ceil(p·n) under the total
+    order (value, hash) — the hash tie-break makes equal values
+    deterministic, so the DuckDB oracle replays this bit-for-bit.
+    Output: (group_cols..., n_sample, p50, p90, ...) with column names
+    derived from the requested quantiles."""
+    w = Window.partitionBy(*group_cols).orderBy("_val", "_h")
+    n = Window.partitionBy(*group_cols)
+    ranked = sample.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(n)
+    )
+    aggs = [F.max("_n").alias("n_sample")]
+    for p in quantiles:
+        name = f"p{round(p * 100)}"
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")),
+                    F.col("_val"),
+                )
+            ).alias(name)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_quantiles(
+    new_rows: DataFrame,
+    store,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    table: str = "quantile_sample",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> tuple[DataFrame, int]:
+    """Maintain a per-group quantile DASHBOARD across batches without
+    rescanning history — the quantile member of the incremental sketch
+    family (distinct counts: :func:`incremental_kmv`). State is the
+    ≤ groups×k row hash-sample; each fold unions the batch's bottom-k
+    with the stored sample and re-takes the bottom-k (exact by the
+    closure property — the maintained sample IS the global sample, so
+    q118's oracle replays the from-scratch global form and the value
+    hash proves no drift). Replay-idempotent: re-folding committed
+    rows is a set-union no-op. Sample-vs-population error follows the
+    uniform-sample quantile bound (~1/sqrt(k) rank error; error-bound
+    test vs the exact percentiles in tests/test_sketch.py).
+
+    Returns (quantile estimates, committed version)."""
+    fresh = hash_sample_bottom(new_rows, group_cols, key_col, value_col, k)
+    cur = store.current_version(table)
+    if cur is not None:
+        fresh = store.read_version(table).unionByName(fresh)
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_val")
+    merged = (
+        fresh.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "_h", "_val")
+        .localCheckpoint(eager=True)
+    )
+    version = store.write_version(merged, table)
+    return sample_quantiles(merged, group_cols, quantiles), version
+
+
+def oracle_sample_quantiles_sql(
+    table: str,
+    group_expr: str,
+    key_expr: str,
+    value_expr: str,
+    k: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of the global hash-sample quantile pipeline —
+    identical hash, identical rank rule, so q118 hash-matches."""
+    from ..functions.hashing import oracle_hash60
+
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL({p} * n) AS BIGINT) THEN val END)"
+        f" AS p{round(p * 100)}"
+        for p in quantiles
+    )
+    return f"""
+WITH hashed AS (
+    SELECT {group_expr} AS g, {oracle_hash60(key_expr)} AS h,
+           {value_expr} AS val
+    FROM {table}
+),
+bk AS (
+    SELECT g, h, val FROM (
+        SELECT g, h, val,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, val) AS brn
+        FROM hashed
+    ) WHERE brn <= {k}
+),
+ranked AS (
+    SELECT g, val,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY val, h) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM bk
+)
+SELECT g, CAST(MAX(n) AS BIGINT) AS n_sample,
+       {picks}
+FROM ranked
+GROUP BY g
+"""

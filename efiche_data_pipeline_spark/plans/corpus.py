@@ -2607,6 +2607,80 @@ FROM exact CROSS JOIN one
 ORACLES["q117_incremental_intake_e2e"] = _intake_e2e_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q118 — INCREMENTAL quantile dashboard
+# (operators/sketch.py:incremental_quantiles): per-priority
+# p50/p90/p99 of order value, maintained across two "daily" batches as
+# a persisted ≤ groups×k row hash-sample.  The sample is the k rows
+# with the smallest portable hash of the KEY — a deterministic uniform
+# draw that is MERGEABLE by the same bottom-k closure as KMV, so the
+# maintained sample provably equals the global sample and the oracle
+# replays the from-scratch global pipeline (hash → bottom-k →
+# rank-ceil quantile picks, identical tie-breaks).  The quantile
+# member of the incremental sketch family (distinct counts q106, card
+# q114); sample-vs-exact error is bounded in tests/test_sketch.py.
+# ---------------------------------------------------------------------------
+_QS_K = 256
+
+
+def q118_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_quantiles
+    from ..pipeline.store import Store
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incq_")
+    store = Store(spark, tmp_root)
+    try:
+        _, v1 = incremental_quantiles(
+            o.filter(F.col("o_orderkey") <= split),
+            store,
+            ["o_orderpriority"],
+            "o_orderkey",
+            "o_totalprice",
+            k=_QS_K,
+        )
+        est, v2 = incremental_quantiles(
+            o.filter(F.col("o_orderkey") > split),
+            store,
+            ["o_orderpriority"],
+            "o_orderkey",
+            "o_totalprice",
+            k=_QS_K,
+        )
+        _require(v2 > v1, "sample state version must grow")
+        return _finish_with_store(est, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _q118_oracle() -> str:
+    from ..operators.sketch import oracle_sample_quantiles_sql
+
+    inner = oracle_sample_quantiles_sql(
+        "orders",
+        "o_orderpriority",
+        "CAST(o_orderkey AS VARCHAR)",
+        "o_totalprice",
+        k=_QS_K,
+    )
+    return f"""
+WITH direct AS ({inner})
+SELECT g AS o_orderpriority, n_sample, p50, p90, p99
+FROM direct
+"""
+
+
+ORACLES["q118_incremental_quantiles"] = _q118_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

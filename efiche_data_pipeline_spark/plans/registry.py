@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q115_incremental_canonical_dedup",
     "q116_quantized_ivf_topk",
     "q117_incremental_intake_e2e",
+    "q118_incremental_quantiles",
     # r03-stale rows (VERDICT r05 Next #2, refresh first):
     "q31_token_stats",
     "q32_quality_score",

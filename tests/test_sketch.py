@@ -325,3 +325,103 @@ def test_embedding_cell_drift_detects_planted_shift(spark):
     ]
     assert psi_of(calm) < 0.1
     assert psi_of(shifted) > 0.25
+
+
+# ---------------------------------------------------------------------------
+# Incremental hash-sample quantiles (q118).
+# ---------------------------------------------------------------------------
+def _orders(spark, n=900):
+    # value pattern: deterministic, skewed-ish across 3 groups
+    return spark.createDataFrame(
+        [
+            (i, ("A", "B", "C")[i % 3], float((i * 37) % 1000) + 0.25)
+            for i in range(n)
+        ],
+        "k long, g string, v double",
+    )
+
+
+def test_incremental_quantiles_equal_direct_and_replay(spark, tmp_path):
+    """Bottom-k-by-key-hash closure: any batching folds to EXACTLY the
+    global sample, hence identical quantile picks; replays are
+    set-union no-ops on the sample (version bumps, values frozen)."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        hash_sample_bottom,
+        incremental_quantiles,
+        sample_quantiles,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = _orders(spark)
+    direct = {
+        r["g"]: (r["n_sample"], r["p50"], r["p90"], r["p99"])
+        for r in sample_quantiles(
+            hash_sample_bottom(rows, ["g"], "k", "v", k=64), ["g"]
+        ).collect()
+    }
+    store = Store(spark, str(tmp_path / "inc"))
+    for lo, hi in ((0, 299), (300, 599), (600, 899)):
+        est, v = incremental_quantiles(
+            rows.filter(F.col("k").between(lo, hi)), store, ["g"], "k", "v", k=64
+        )
+    got = {
+        r["g"]: (r["n_sample"], r["p50"], r["p90"], r["p99"])
+        for r in est.collect()
+    }
+    assert got == direct
+    est2, v2 = incremental_quantiles(
+        rows.filter(F.col("k") >= 600), store, ["g"], "k", "v", k=64
+    )
+    assert {
+        r["g"]: (r["n_sample"], r["p50"], r["p90"], r["p99"])
+        for r in est2.collect()
+    } == direct
+
+
+def test_sample_quantiles_error_bounded_vs_exact(spark, tmp_path):
+    """Uniform-sample quantile accuracy: with k=256 of n=900 the
+    estimated p50/p90 must sit within 0.08 rank-fraction of the exact
+    population quantile (DKW-style bound, generous margin)."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        hash_sample_bottom,
+        sample_quantiles,
+    )
+
+    rows = _orders(spark).filter(F.col("g") == "A")
+    est = sample_quantiles(
+        hash_sample_bottom(rows, ["g"], "k", "v", k=256), ["g"]
+    ).collect()[0]
+    vals = sorted(r["v"] for r in rows.collect())
+    n = len(vals)
+    for p, got in ((0.5, est["p50"]), (0.9, est["p90"])):
+        # exact rank-fraction of the estimated value in the population
+        import bisect
+
+        frac = bisect.bisect_right(vals, got) / n
+        assert abs(frac - p) <= 0.08, (p, got, frac)
+
+
+def test_incremental_quantiles_partition_invariant(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_quantiles,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = _orders(spark, 300)
+
+    def run(nparts):
+        store = Store(spark, str(tmp_path / f"p{nparts}"))
+        for lo, hi in ((0, 149), (150, 299)):
+            est, _ = incremental_quantiles(
+                rows.filter(F.col("k").between(lo, hi)).repartition(nparts),
+                store,
+                ["g"],
+                "k",
+                "v",
+                k=32,
+            )
+        return {
+            r["g"]: (r["p50"], r["p90"], r["p99"]) for r in est.collect()
+        }
+
+    assert run(1) == run(8) == run(32)
