@@ -276,6 +276,38 @@ SQL_QUERIES: dict[str, str] = {
         FROM events
         GROUP BY window(ts, '15 minutes'), event_type
     """,
+    # q118's SQL twin is the GLOBAL hash-sample pipeline — equal to the
+    # registered incremental form by the bottom-k merge closure, so the
+    # differential test proves the closure through a third path
+    # (incremental DataFrame ≡ global SparkSQL ≡ global DuckDB).
+    "q118_incremental_quantiles": """
+        WITH hashed AS (
+            SELECT o_orderpriority AS g,
+                   CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 15),
+                             16, 10) AS BIGINT) AS h,
+                   o_totalprice AS val
+            FROM orders
+        ),
+        bk AS (
+            SELECT g, h, val FROM (
+                SELECT g, h, val,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, val) AS brn
+                FROM hashed
+            ) WHERE brn <= 256
+        ),
+        ranked AS (
+            SELECT g, val,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY val, h) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM bk
+        )
+        SELECT g AS o_orderpriority, MAX(n) AS n_sample,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN val END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN val END) AS p90,
+               MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN val END) AS p99
+        FROM ranked
+        GROUP BY g
+    """,
 }
 
 
