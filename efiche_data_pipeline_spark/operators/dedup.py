@@ -840,3 +840,143 @@ def fold_component_labels(
         F.col("node").alias(id_col), F.col("component").alias("component_id")
     )
     return store.write_version(comp, labels_table)
+
+
+# ---------------------------------------------------------------------------
+# Incremental FIRST-INTRODUCER novelty: per-doc fraction of shingles
+# the doc introduced to the corpus, maintained across batches.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class IncrementalNoveltyResult:
+    scores: DataFrame  # (doc_id, n_shingles, n_introduced, introduced_frac)
+    n_new: int
+    index_version: int
+
+
+def incremental_novelty(
+    new_docs: DataFrame,
+    store,
+    index_table: str = "shingle_introducer",
+    scores_table: str = "novelty_scores",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> IncrementalNoveltyResult:
+    """Score each NEW document by the fraction of its distinct
+    ``shingle_n``-gram shingles that IT introduced to the corpus — a
+    doc near 1.0 carries genuinely new content at its position in the
+    intake stream; a doc near 0.0 re-treads what earlier ids already
+    said (the at-ingest curation signal q72's corpus-global
+    uniqueness can't give, because q72 needs the WHOLE corpus before
+    any doc can be scored).
+
+    Semantics — the order-free "first introducer" rule: shingle ``g``
+    is credited to the SMALLEST doc id that contains it, across the
+    entire corpus ever seen. MIN is associative, so folding each
+    batch's (shingle, min_doc) pairs into the persisted index with a
+    min-merge yields EXACTLY the global assignment regardless of
+    batching — the q103 dominated-rule argument with min-per-key in
+    place of the pairwise drop — and q119's oracle simply replays the
+    GLOBAL rule. Replay-idempotent by the same algebra: re-folding a
+    committed batch cannot lower any min, and the score recomputation
+    still finds the doc's own id as introducer wherever it was first.
+
+    State and cost: the index is (shingle_hash, first_doc_id) — 16
+    bytes per DISTINCT shingle ever seen, committed as O(batch)
+    layered deltas with min-merge-on-read (read_union → min per hash;
+    ``store.compact_layers`` folds the layers periodically). Per
+    batch: one text pass over the batch (the only one), one
+    O(batch-shingles) aggregate, one broadcast-friendly semi-lookup
+    of the batch's hashes against history — history text is never
+    rescanned. Scores are appended id-keyed (replay-safe sink)."""
+    shingles = (
+        new_docs.select(
+            F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
+        )
+        .select(id_col, portable_hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    already = (
+        store.read(scores_table).select(id_col)
+        if store.exists(scores_table)
+        else None
+    )
+    fresh_docs = new_docs.select(id_col).distinct()
+    if already is not None:
+        fresh_docs = fresh_docs.join(already, id_col, "left_anti")
+    fresh_sh = shingles.join(fresh_docs, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    n_new = fresh_docs.count()
+    if n_new == 0:
+        empty = new_docs.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, n_shingles long, n_introduced long, "
+            "introduced_frac double",
+        )
+        cur = store.current_version(index_table)
+        return IncrementalNoveltyResult(
+            scores=empty, n_new=0, index_version=cur if cur is not None else 0
+        )
+    batch_min = fresh_sh.groupBy("gh").agg(F.min(id_col).alias("first_doc"))
+    cur = store.current_version(index_table)
+    if cur is not None:
+        hist = (
+            store.read_union(index_table)
+            .groupBy("gh")
+            .agg(F.min("first_doc").alias("first_doc"))
+        )
+        # the delta only needs rows that IMPROVE or ADD a minimum;
+        # folding the full batch_min would also be correct (min-merge),
+        # but shipping only winners keeps layers tight.
+        merged = (
+            batch_min.alias("b")
+            .join(hist.alias("h"), "gh", "left")
+            .filter(
+                F.col("h.first_doc").isNull()
+                | (F.col("b.first_doc") < F.col("h.first_doc"))
+            )
+            .select("gh", F.col("b.first_doc").alias("first_doc"))
+        )
+        introducer = hist.unionByName(batch_min).groupBy("gh").agg(
+            F.min("first_doc").alias("first_doc")
+        )
+    else:
+        merged = batch_min
+        introducer = batch_min
+    scores = (
+        fresh_sh.join(introducer, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_introduced"),
+        )
+    )
+    scores = (
+        fresh_docs.join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_introduced", F.lit(0))
+            .cast("long")
+            .alias("n_introduced"),
+            F.round(
+                F.col("n_introduced").cast("double")
+                / F.nullif("n_shingles", F.lit(0)),
+                4,
+            ).alias("introduced_frac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # sink first, index commit last (the family's write-order
+    # discipline; here EITHER order converges — min-merge is
+    # idempotent — but keeping the discipline costs nothing)
+    store.append_new(scores, scores_table, key=id_col)
+    version = store.append_version(merged, index_table)
+    return IncrementalNoveltyResult(
+        scores=scores, n_new=n_new, index_version=version
+    )

@@ -2681,6 +2681,68 @@ FROM direct
 ORACLES["q118_incremental_quantiles"] = _q118_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q119 — INCREMENTAL first-introducer novelty
+# (operators/dedup.py:incremental_novelty): score each doc, at ingest,
+# by the fraction of its distinct 3-gram shingles it INTRODUCED to the
+# corpus (credit goes to the smallest doc id containing the shingle).
+# MIN per shingle is associative, so batch-by-batch maintenance of the
+# (shingle, first_doc) index is EXACTLY the global assignment — q103's
+# dominated-rule argument with min-per-key — and the oracle replays
+# the global rule.  The at-ingest signal q72's corpus-global
+# uniqueness cannot give (q72 needs the finished corpus before any doc
+# can be scored); per batch the cost is one text pass over the batch
+# plus an O(batch-shingles) lookup against the 16-byte/shingle index.
+# ---------------------------------------------------------------------------
+def q119_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_novelty
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incnov_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_novelty(docs.filter(F.col("doc_id") <= split), store)
+        r2 = incremental_novelty(docs.filter(F.col("doc_id") > split), store)
+        _require(r2.index_version > r1.index_version, "index version must grow")
+        return _finish_with_store(
+            r1.scores.unionByName(r2.scores), tmp_root
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q119_incremental_novelty"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+),
+intro AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_introduced
+    FROM sh JOIN intro USING (g)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_introduced, 0) AS BIGINT) AS n_introduced,
+       ROUND(CAST(COALESCE(n_introduced, 0) AS DOUBLE)
+             / NULLIF(COALESCE(n_shingles, 0), 0), 4) AS introduced_frac
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

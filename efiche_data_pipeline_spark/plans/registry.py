@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "q116_quantized_ivf_topk",
     "q117_incremental_intake_e2e",
     "q118_incremental_quantiles",
+    "q119_incremental_novelty",
     # r03-stale rows (VERDICT r05 Next #2, refresh first):
     "q31_token_stats",
     "q32_quality_score",

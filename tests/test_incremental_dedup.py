@@ -390,3 +390,89 @@ def test_fold_component_labels_merges_existing_components(spark, tmp_path):
         for r in store.read_version("neardup_labels").collect()
     }
     assert l2 == {0: 0, 1: 0, 4: 0, 5: 0, 8: 8, 9: 8}
+
+
+# ---------------------------------------------------------------------------
+# Incremental first-introducer novelty (q119).
+# ---------------------------------------------------------------------------
+def _py_first_introducer(rows, n=3):
+    """Reference: per-doc (n_shingles, n_introduced) under the global
+    min-doc-id-per-shingle rule."""
+    first = {}
+    doc_sh = {}
+    for doc_id, text in sorted(rows):
+        t = text.split()
+        sh = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+        doc_sh[doc_id] = sh
+        for g in sh:
+            first.setdefault(g, doc_id)
+    return {
+        d: (len(sh), sum(1 for g in sh if first[g] == d))
+        for d, sh in doc_sh.items()
+    }
+
+
+def test_incremental_novelty_equals_global_and_replays(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import incremental_novelty
+
+    rows = [
+        (0, _BASE),
+        (1, _BASE + " brand new ending material here"),  # mostly re-tread
+        (2, _OTHER),
+        (3, _BASE),  # pure copy: introduces nothing
+        (4, _THIRD),
+        (5, _OTHER + " with a novel twist at the end"),
+    ]
+    docs = _docs(spark, rows)
+    expected = _py_first_introducer(rows)
+    store = Store(spark, str(tmp_path / "nov"))
+    got = {}
+    for lo, hi in ((0, 1), (2, 3), (4, 5)):
+        r = incremental_novelty(docs.filter(F.col("doc_id").between(lo, hi)), store)
+        got.update(
+            {
+                row["doc_id"]: (row["n_shingles"], row["n_introduced"])
+                for row in r.scores.collect()
+            }
+        )
+    assert got == expected
+    # planted semantics: first doc fully novel, pure copy fully stale
+    assert got[0][0] == got[0][1] > 0
+    assert got[3][1] == 0
+    # replay: no new docs scored, index version unchanged
+    v = store.current_version("shingle_introducer")
+    replay = incremental_novelty(
+        docs.filter(F.col("doc_id").between(4, 5)), store
+    )
+    assert replay.n_new == 0 and replay.scores.count() == 0
+    assert store.current_version("shingle_introducer") == v
+    # the persisted score sink holds exactly one row per doc
+    assert store.read("novelty_scores").count() == 6
+
+
+def test_incremental_novelty_batching_and_partition_invariant(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import incremental_novelty
+
+    rows = [(i, f"{_BASE} pad{i % 4} tail{i % 3}") for i in range(12)]
+    docs = _docs(spark, rows)
+    expected = _py_first_introducer(rows)
+
+    def run(splits, nparts):
+        store = Store(spark, str(tmp_path / f"n{len(splits)}x{nparts}"))
+        got = {}
+        for lo, hi in splits:
+            r = incremental_novelty(
+                docs.filter(F.col("doc_id").between(lo, hi)).repartition(nparts),
+                store,
+            )
+            got.update(
+                {
+                    row["doc_id"]: (row["n_shingles"], row["n_introduced"])
+                    for row in r.scores.collect()
+                }
+            )
+        return got
+
+    assert run([(0, 11)], 1) == expected
+    assert run([(0, 3), (4, 7), (8, 11)], 8) == expected
+    assert run([(0, 5), (6, 11)], 32) == expected
