@@ -225,22 +225,64 @@ class Store:
         (or ``read``, via the recovery below) restores. Contrast the
         naive rmtree-then-rename, whose crash window leaves NO table at
         the path (tests/test_store_mgmt.py pins every intermediate
-        state)."""
+        state).
+
+        PARTITIONED tables are compacted per partition: the hive-style
+        ``col=value`` layout is auto-detected from the directory names
+        and preserved (``target_files`` then applies within each
+        partition via in-partition coalesce). Without this, compacting
+        a cell-partitioned store (the IVF/SemDeDup index) would
+        silently flatten the directories and destroy the readers'
+        partition pruning — the layout IS the index."""
         import shutil
 
+        from pyspark.sql import functions as F
+
         self._recover_compact(table)
-        df = self.read(table).coalesce(target_files)
-        tmp = self.path(f"_compact_{table}")
-        df.write.mode("overwrite").parquet(tmp)
         final = self.path(table)
+        part_cols = self._partition_columns(table)
+        df = self.read(table)
+        tmp = self.path(f"_compact_{table}")
+        if part_cols:
+            # one output file set per partition: repartition by the
+            # partition key so each write task holds whole partitions,
+            # then partitionBy re-creates the directory layout.
+            (
+                df.repartition(*[F.col(c) for c in part_cols])
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
         old = self.path(f"_precompact_{table}")
         os.rename(final, old)
         os.rename(tmp, final)
         shutil.rmtree(old)
         self._log(table, "compact")
         return sum(
-            1 for f in os.listdir(final) if f.endswith(".parquet")
+            1
+            for _root, _dirs, files in os.walk(final)
+            for f in files
+            if f.endswith(".parquet")
         )
+
+    def _partition_columns(self, table: str) -> list[str]:
+        """Detect a hive-partitioned layout from the first level of
+        ``col=value`` directory names (possibly nested for multi-column
+        partitioning)."""
+        cols: list[str] = []
+        d = self.path(table)
+        while True:
+            subs = [
+                s
+                for s in os.listdir(d)
+                if "=" in s and os.path.isdir(os.path.join(d, s))
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=", 1)[0])
+            d = os.path.join(d, subs[0])
 
     def _recover_compact(self, table: str) -> None:
         """Heal a crash inside :meth:`compact`'s swap: if the table path

@@ -122,3 +122,45 @@ def test_zorder_write_gives_2d_selective_file_stats(spark, store):
     assert max(s[1] for s in z_spans) <= 40
     # linear sort: files are selective in x but span (almost) all of y
     assert max(s[1] for s in x_spans) >= 48
+
+
+def test_compact_preserves_partition_layout(spark, store):
+    """Compacting a hive-partitioned table (the IVF/SemDeDup cell
+    store shape) must keep the col=value directory layout — and with
+    it the readers' partition pruning — while merging the small files
+    inside each partition. The naive whole-table coalesce silently
+    flattened the layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(80)], "id long, cell_id int"
+    ).repartition(8)
+    store.append(df, "cells", partition_by=["cell_id"])
+    store.append(df.withColumn("id", F.col("id") + 100), "cells",
+                 partition_by=["cell_id"])
+    root = store.path("cells")
+    parts_before = sorted(d for d in os.listdir(root) if d.startswith("cell_id="))
+    assert len(parts_before) == 4
+
+    n_files = store.compact("cells", target_files=1)
+    parts_after = sorted(d for d in os.listdir(root) if d.startswith("cell_id="))
+    assert parts_after == parts_before  # layout preserved
+    # one file per partition after compaction
+    for d in parts_after:
+        files = [
+            f
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    assert n_files == 4
+    got = store.read("cells")
+    assert got.count() == 160
+    # pruning still works: a literal filter reaches PartitionFilters
+    pruned = got.filter(F.col("cell_id") == 2)
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell_id" in plan or \
+        "PartitionFilters: [cell_id" in plan, plan
