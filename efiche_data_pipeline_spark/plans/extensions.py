@@ -743,11 +743,23 @@ _Q45_ANCHOR = 1704412800  # 2024-01-05 00:00:00 UTC
 
 def q45_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # Window bounds must be TIMESTAMP_NTZ like events.ts: the earlier
+    # timestamp_seconds form produced LTZ bounds, and the NTZ-vs-LTZ
+    # comparison coerces through the SESSION timezone — correct under
+    # UTC, shifted (and oracle-mismatching) under any other TZ. NTZ
+    # literal + day-time interval arithmetic is timezone-independent.
+    base = F.to_timestamp_ntz(F.lit("2024-01-05 00:00:00"))
+    zero = F.lit(0)
     wins = spark.range(20).select(
         F.col("id").alias("window_id"),
-        F.timestamp_seconds(F.lit(_Q45_ANCHOR) + F.col("id") * 10800).alias("win_start"),
-        F.timestamp_seconds(
-            F.lit(_Q45_ANCHOR) + F.col("id") * 10800 + 5400
+        (base + F.make_dt_interval(zero, (F.col("id") * 3).cast("int"))).alias(
+            "win_start"
+        ),
+        (
+            base
+            + F.make_dt_interval(
+                zero, (F.col("id") * 3).cast("int"), F.lit(90)
+            )
         ).alias("win_end"),
     )
     joined = range_join(e, wins, left_ts="ts", bucket_seconds=3600)

@@ -136,3 +136,29 @@ def test_range_join_overlapping_intervals(spark):
         r.window_id for r in range_join(events, wins, bucket_seconds=60).collect()
     )
     assert got == [1, 2]  # one output row per containing interval
+
+
+def test_q45_windows_are_timezone_independent(spark):
+    """q45's window bounds must be TIMESTAMP_NTZ like events.ts — the
+    earlier LTZ construction coerced through the session timezone, so
+    the join shifted (and the oracle mismatched) anywhere outside UTC.
+    Pin: identical results under UTC and a DST-observing zone."""
+    from efiche_data_pipeline_spark.plans.registry import QUERIES
+
+    from .conftest import SMOKE_SF_DIR
+
+    tz_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc = sorted(
+            map(tuple, QUERIES["q45_range_join_windows"](spark, SMOKE_SF_DIR).collect())
+        )
+        spark.conf.set(tz_key, "America/New_York")
+        ny = sorted(
+            map(tuple, QUERIES["q45_range_join_windows"](spark, SMOKE_SF_DIR).collect())
+        )
+    finally:
+        spark.conf.set(tz_key, orig)
+    assert utc == ny
+    assert utc  # non-empty: the windows actually cover fixture events
