@@ -2174,9 +2174,15 @@ def q112_canonical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import canonical_text
     from ..operators.dedup import minhash_lsh_pairs, nfc_normalize_docs
 
-    docs = nfc_normalize_docs(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).withColumn("text", canonical_text("text"))
+    # Pin the canonical frame: the NFC mapInPandas pass would
+    # otherwise re-execute for every downstream action.
+    docs = (
+        nfc_normalize_docs(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .withColumn("text", canonical_text("text"))
+        .localCheckpoint(eager=True)
+    )
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=16, bands=4, min_est_sim=0.5,
         portable=True,
@@ -2354,9 +2360,13 @@ def q115_incremental_canonical_dedup(
     from ..operators.dedup import incremental_minhash_dedup, nfc_normalize_docs
     from ..pipeline.store import Store
 
-    docs = nfc_normalize_docs(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).withColumn("text", canonical_text("text"))
+    docs = (
+        nfc_normalize_docs(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .withColumn("text", canonical_text("text"))
+        .localCheckpoint(eager=True)  # one NFC pass, many consumers
+    )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2
     tmp_root = tempfile.mkdtemp(prefix="efiche_inccanon_")
@@ -2517,11 +2527,15 @@ def q117_incremental_intake_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import incremental_dataset_card
     from ..pipeline.store import Store
 
-    docs = nfc_normalize_docs(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", "source", "lang"
+    docs = (
+        nfc_normalize_docs(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "source", "lang"
+            )
         )
-    ).withColumn("text", canonical_text("text"))
+        .withColumn("text", canonical_text("text"))
+        .localCheckpoint(eager=True)  # one NFC pass, many consumers
+    )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2
     tmp_root = tempfile.mkdtemp(prefix="efiche_intake_")
