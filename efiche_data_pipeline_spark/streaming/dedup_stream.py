@@ -106,8 +106,13 @@ def run_incremental_dedup_stream(
             from ..functions.text import canonical_text
             from ..operators.dedup import nfc_normalize_docs
 
-            docs = nfc_normalize_docs(docs).withColumn(
-                "text", canonical_text(F.col("text"))
+            docs = (
+                nfc_normalize_docs(docs)
+                .withColumn("text", canonical_text(F.col("text")))
+                # pin: the operator consumes the batch several times
+                # (id scan, signature pass, kept join) — one Arrow NFC
+                # pass instead of one per consumer
+                .localCheckpoint(eager=True)
             )
         res = incremental_minhash_dedup(
             docs,
