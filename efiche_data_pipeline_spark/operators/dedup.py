@@ -886,9 +886,15 @@ def incremental_novelty(
     layered deltas with min-merge-on-read (read_union → min per hash;
     ``store.compact_layers`` folds the layers periodically). Per
     batch: one text pass over the batch (the only one), one
-    O(batch-shingles) aggregate, one broadcast-friendly semi-lookup
-    of the batch's hashes against history — history text is never
-    rescanned. Scores are appended id-keyed (replay-safe sink)."""
+    O(batch-shingles) aggregate, and a LEFT-SEMI cut of the history
+    index down to the batch's own hashes BEFORE any history shuffle —
+    both the improved-minima delta and the scoring join only ever need
+    batch-present hashes, so the min-merge groupBy's exchange is
+    O(batch), not O(corpus-distinct-shingles) (the q103 band-bucket
+    semi-join discipline; the flat-exchange test in
+    tests/test_incremental_dedup.py measures it). History text is
+    never rescanned; the index scan itself is columnar 16-byte rows.
+    Scores are appended id-keyed (replay-safe sink)."""
     shingles = (
         new_docs.select(
             F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
@@ -921,8 +927,14 @@ def incremental_novelty(
     batch_min = fresh_sh.groupBy("gh").agg(F.min(id_col).alias("first_doc"))
     cur = store.current_version(index_table)
     if cur is not None:
+        # Cut history to the batch's own hashes BEFORE the min-merge
+        # groupBy: only batch-present hashes can affect the delta or
+        # the scoring join, so the semi-join (batch side broadcast —
+        # it is O(batch distinct shingles)) keeps the exchange O(batch)
+        # while the full index may hold 10^11 rows at corpus scale.
         hist = (
             store.read_union(index_table)
+            .join(F.broadcast(batch_min.select("gh")), "gh", "left_semi")
             .groupBy("gh")
             .agg(F.min("first_doc").alias("first_doc"))
         )
@@ -972,11 +984,18 @@ def incremental_novelty(
         )
         .localCheckpoint(eager=True)
     )
-    # sink first, index commit last (the family's write-order
-    # discipline; here EITHER order converges — min-merge is
-    # idempotent — but keeping the discipline costs nothing)
-    store.append_new(scores, scores_table, key=id_col)
+    # Index delta FIRST (idempotent under replay: re-folding cannot
+    # lower any committed min, and the replayed delta is empty because
+    # nothing strictly improves), scores sink LAST. The scores table
+    # doubles as the replay WATERMARK via the fresh_docs anti-join, so
+    # the sink commit must be the final step: a crash before it makes
+    # the whole batch replay (index re-fold converges by the min-merge
+    # closure), whereas the old sink-first order made a crash between
+    # the two appends skip the index delta forever — replay saw
+    # n_new == 0 and returned before ever committing the minima
+    # (tests/test_incremental_dedup.py crash-injection test).
     version = store.append_version(merged, index_table)
+    store.append_new(scores, scores_table, key=id_col)
     return IncrementalNoveltyResult(
         scores=scores, n_new=n_new, index_version=version
     )

@@ -476,3 +476,138 @@ def test_incremental_novelty_batching_and_partition_invariant(spark, tmp_path):
     assert run([(0, 11)], 1) == expected
     assert run([(0, 3), (4, 7), (8, 11)], 8) == expected
     assert run([(0, 5), (6, 11)], 32) == expected
+
+
+class _CrashBeforeScoresSinkStore(Store):
+    """Injects ONE crash at the scores-sink append — the window the
+    round-6 advice flagged: with the OLD sink-first order, a crash
+    between the two q119 appends lost the batch's index delta forever
+    (replay saw the docs already scored and returned with n_new==0
+    before the index commit ever ran). Under the fixed index-first
+    order this window replays the whole batch and converges."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def append_new(self, df, table, key, partition_by=None):
+        if self.armed and table == "novelty_scores":
+            self.armed = False
+            raise RuntimeError("injected crash before scores sink")
+        return super().append_new(df, table, key, partition_by=partition_by)
+
+
+def test_novelty_crash_between_index_and_sink_converges(spark, tmp_path):
+    """Crash AFTER the introducer-index delta commit but BEFORE the
+    scores sink, then replay: the sink is the replay watermark, so the
+    retried batch re-derives everything (the index re-fold is an empty
+    delta — nothing strictly improves a committed min) and commits the
+    scores; final state equals a crash-free run, and later docs
+    re-using the crashed batch's shingles are NOT falsely credited."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.dedup import incremental_novelty
+
+    rows = [
+        (0, _BASE),
+        (1, _OTHER),
+        (2, _BASE + " tail only this doc has"),  # mostly re-treads doc 0
+        (3, _OTHER),  # pure copy of doc 1: introduces nothing
+    ]
+    docs = _docs(spark, rows)
+    expected = _py_first_introducer(rows)
+    store = _CrashBeforeScoresSinkStore(spark, str(tmp_path / "novcrash"))
+    incremental_novelty(docs.filter(F.col("doc_id") <= 1), store)
+    store.armed = True
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_novelty(docs.filter(F.col("doc_id") >= 2), store)
+    # the index delta IS committed (index-first order) but the scores
+    # sink is not — so the batch replays rather than being skipped
+    assert store.read("novelty_scores").count() == 2
+    r = incremental_novelty(docs.filter(F.col("doc_id") >= 2), store)
+    assert r.n_new == 2
+    got = {
+        row["doc_id"]: (row["n_shingles"], row["n_introduced"])
+        for row in store.read("novelty_scores").collect()
+    }
+    assert got == expected
+    # doc 3 (copy of committed doc 1) credited with nothing: the
+    # crashed-then-replayed index never lost doc 1's minima
+    assert got[3][1] == 0
+    # further replay is a clean no-op
+    r2 = incremental_novelty(docs.filter(F.col("doc_id") >= 2), store)
+    assert r2.n_new == 0
+
+
+def test_novelty_history_exchange_is_o_batch_measured(spark, tmp_path, monkeypatch):
+    """The min-merge groupBy over HISTORY must shuffle O(batch), not
+    O(index): the operator semi-joins the index down to the batch's own
+    hashes before grouping. Measured, not argued — spy every
+    groupBy("gh") call, pick the frames that read the persisted index,
+    and count the rows they actually feed the exchange: across folds
+    with identical batch shapes the fed rows stay flat (bounded by the
+    batch's distinct-shingle count) while the index itself grows ~4x.
+    Also pins the plan shape: the history fold contains a LeftSemi
+    join below the aggregate."""
+    import pyspark.sql.classic.dataframe as _dfmod
+
+    from efiche_data_pipeline_spark.operators.dedup import incremental_novelty
+
+    store = Store(spark, str(tmp_path / "novflat"))
+    orig = _dfmod.DataFrame.groupBy
+    captured: list = []
+
+    def spy(self, *cols, **kw):
+        if list(cols) == ["gh"]:
+            captured.append(self)
+        return orig(self, *cols, **kw)
+
+    hist_fed_rows: list[int] = []
+    index_rows: list[int] = []
+    batch_sh: list[int] = []
+    plans: list[str] = []
+    for fold in range(4):
+        # every doc is wholly distinct -> the index grows by a full
+        # batch of shingles per fold, identical batch shapes
+        docs = _docs(
+            spark,
+            [
+                (fold * 6 + j,
+                 " ".join(f"w{fold:02d}{j:02d}{t:02d}" for t in range(30)))
+                for j in range(6)
+            ],
+        )
+        captured.clear()
+        monkeypatch.setattr(_dfmod.DataFrame, "groupBy", spy)
+        incremental_novelty(docs, store)
+        monkeypatch.undo()
+        # the history fold is the one grouped frame that is the
+        # semi-joined index read: LeftSemi over the parquet relation,
+        # not the batch aggregate (LogicalRDD only) and not the
+        # introducer union
+        _plan = lambda df: df._jdf.queryExecution().analyzed().toString()
+        hist = [
+            df
+            for df in captured
+            if "Join LeftSemi" in _plan(df) and "Union" not in _plan(df)
+        ]
+        if fold == 0:
+            assert not hist  # no history yet
+        else:
+            assert len(hist) == 1, len(hist)
+            hist_fed_rows.append(hist[0].count())
+            plans.append(
+                hist[0]._jdf.queryExecution().optimizedPlan().toString()
+            )
+        index_rows.append(store.read_union("shingle_introducer").count())
+        batch_sh.append(28 * 6)  # 30 tokens -> 28 tri-shingles per doc
+    # the index grew ~4x ...
+    assert index_rows[-1] >= 3 * index_rows[0], index_rows
+    # ... while the history rows fed to the min-merge exchange stayed
+    # bounded by the batch's own distinct shingles, every fold (here:
+    # zero overlap, so the semi-join admits nothing; <= batch bound is
+    # the structural guarantee)
+    assert all(n <= batch_sh[0] for n in hist_fed_rows), hist_fed_rows
+    assert max(hist_fed_rows) <= min(batch_sh), (hist_fed_rows, batch_sh)
+    # plan shape: the history fold is scan -> LeftSemi -> aggregate
+    assert all("LeftSemi" in p for p in plans), plans
