@@ -229,8 +229,9 @@ class Store:
 
         PARTITIONED tables are compacted per partition: the hive-style
         ``col=value`` layout is auto-detected from the directory names
-        and preserved (``target_files`` then applies within each
-        partition via in-partition coalesce). Without this, compacting
+        and preserved, and ``target_files`` CAPS the file count within
+        each partition (salted shuffle key; exactly 1 file per
+        partition at target_files=1). Without this, compacting
         a cell-partitioned store (the IVF/SemDeDup index) would
         silently flatten the directories and destroy the readers'
         partition pruning — the layout IS the index."""
@@ -244,11 +245,20 @@ class Store:
         df = self.read(table)
         tmp = self.path(f"_compact_{table}")
         if part_cols:
-            # one output file set per partition: repartition by the
-            # partition key so each write task holds whole partitions,
-            # then partitionBy re-creates the directory layout.
+            # partitionBy re-creates the directory layout; the shuffle
+            # key is (partition cols, row-hash % target_files) so each
+            # partition's rows land in at most ``target_files`` write
+            # tasks — per-partition file count is capped at
+            # ``target_files`` (exactly 1 when target_files=1; salt
+            # values can share a task, so it is a cap, not an exact
+            # count).
+            data_cols = [c for c in df.columns if c not in part_cols]
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in data_cols] or [F.lit(0)]),
+                F.lit(target_files),
+            )
             (
-                df.repartition(*[F.col(c) for c in part_cols])
+                df.repartition(*[F.col(c) for c in part_cols], salt)
                 .write.mode("overwrite")
                 .partitionBy(*part_cols)
                 .parquet(tmp)
@@ -426,9 +436,28 @@ class Store:
         except (FileNotFoundError, ValueError):
             return None
 
+    def _heal_legacy_versions(self, table: str) -> None:
+        """Migrate a store written by the pre-round-6 layout, whose
+        version directories were named ``_v<N>``: without this, such a
+        table reports ``versions() == []`` while ``_CURRENT`` points at
+        a version whose ``v<N>`` dir doesn't exist — ``read_version``
+        fails confusingly and a writer would re-claim slot 1. The
+        rename is cheap, idempotent, and safe under the single-writer
+        contract; a ``v<N>`` dir already present wins (never
+        clobbered)."""
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return
+        for d in os.listdir(root):
+            if d.startswith("_v") and d[2:].isdigit():
+                new = os.path.join(root, d[1:])
+                if not os.path.exists(new):
+                    os.rename(os.path.join(root, d), new)
+
     def versions(self, table: str) -> list[int]:
         """Committed snapshot versions (those at or below the pointer,
         plus any older ones not yet vacuumed)."""
+        self._heal_legacy_versions(table)
         root = self.path(table)
         if not os.path.isdir(root):
             return []
@@ -475,6 +504,7 @@ class Store:
     def read_version(self, table: str, version: int | None = None) -> DataFrame:
         """Read a snapshot — the current one by default, or any
         still-vacuumed-in historical ``version`` (time travel)."""
+        self._heal_legacy_versions(table)
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"{table}: no versioned snapshots")
@@ -603,6 +633,7 @@ class Store:
         the union of exactly the layers its manifest pins — orphaned
         forward history after a rollback is invisible, same contract
         as :meth:`read_version`."""
+        self._heal_legacy_versions(table)
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"{table}: no committed versions")
@@ -632,7 +663,10 @@ class Store:
           current one if no layer was affected (idempotent replay).
         - **snapshot-versioned** (``write_version``): commits the
           anti-joined table as the next snapshot.
-        - **plain**: in-place overwrite with a localCheckpoint pin.
+        - **plain**: in-place overwrite with a localCheckpoint pin,
+          preserving any hive-partitioned (``col=value``) layout —
+          deleting a user's vectors from the cell-partitioned IVF
+          index must not flatten the directories its readers prune by.
 
         Deletion COMPLETES at vacuum, exactly like Delta/Iceberg:
         older versions still time-travel to the pre-delete data until
@@ -673,9 +707,14 @@ class Store:
 
         if self.is_layered(table):
             cur = self.current_version(table)
+            # Anchor the layer tag to the LAST /v<digits>/ path segment
+            # (greedy .* prefix): the first-match form mis-tagged every
+            # row when the store ROOT itself contained a v<digits>
+            # segment (e.g. /data/v2/store), silently leaving deleted
+            # keys on disk.
             tagged = self.read_union(table).withColumn(
                 "_layer",
-                F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
+                F.regexp_extract(F.input_file_name(), r".*/v(\d+)/", 1).cast("int"),
             )
             affected = sorted(
                 r["_layer"]
@@ -696,22 +735,43 @@ class Store:
                     replacement[layer] = nxt
                 finally:
                     self._release_claim(table, nxt)
-            new_layers = [
-                replacement.get(x, x) for x in self._layers(table, cur)
-            ]
-            commit = replacement[affected[-1]]  # last rewritten dir = commit
-            with open(self._manifest_file(table, commit), "w") as f:
-                f.write(" ".join(str(x) for x in new_layers))
-            tmp = self._current_file(table) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(commit))
-            os.replace(tmp, self._current_file(table))
+            # The manifest + pointer commit runs under its OWN held
+            # claim on the next free slot — the CAS serialization every
+            # other versioned commit gets. Without it, an append_version
+            # landing between the last layer rewrite and the pointer
+            # swap would commit a manifest this delete then points away
+            # from, dropping the appended layer. The barrier claim makes
+            # the racing appender raise instead; and the manifest is
+            # rebuilt from the LATEST committed version under the claim,
+            # so an append that landed before the barrier is preserved
+            # (its layer carries through with the replacements applied).
+            barrier = self._claim_next_version(table)
+            try:
+                latest = self.current_version(table)
+                new_layers = [
+                    replacement.get(x, x) for x in self._layers(table, latest)
+                ]
+                commit = replacement[affected[-1]]  # last rewritten dir
+                with open(self._manifest_file(table, commit), "w") as f:
+                    f.write(" ".join(str(x) for x in new_layers))
+                tmp = self._current_file(table) + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(commit))
+                os.replace(tmp, self._current_file(table))
+            finally:
+                self._release_claim(table, barrier)
             self._log(table, f"{op}:{commit}")
             return commit
         if self.current_version(table) is not None:  # snapshot-versioned
             return self.write_version(clean(self.read_version(table)), table)
+        # Plain tables: preserve a hive-partitioned layout through the
+        # rewrite — "forget this user's embeddings" against the
+        # cell-partitioned IVF index must not flatten the directories
+        # the readers' partition pruning depends on (the same trap
+        # compact() guards against).
+        part_cols = self._partition_columns(table)
         remaining = clean(self.read(table)).localCheckpoint(eager=True)
-        self.overwrite(remaining, table)
+        self.overwrite(remaining, table, partition_by=part_cols or None)
         self._log(table, op)
         return None
 

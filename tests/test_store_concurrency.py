@@ -322,3 +322,123 @@ def test_delete_where_retention_and_null_safety(spark, tmp_path):
     store.write_version(mk([(0, 1), (1, 99)]), "snap")
     store.delete_where("snap", F.col("age") > 30)
     assert {r["id"] for r in store.read_version("snap").collect()} == {0}
+
+
+def test_delete_keys_plain_preserves_partition_layout(spark, tmp_path):
+    """Deleting from a hive-partitioned PLAIN table (the
+    cell-partitioned IVF/SemDeDup index under append_new — and
+    "forget this user's embeddings" is THE delete use-case for a
+    vector store) must keep the cell_id=N directory layout and the
+    readers' partition pruning, not flatten it into one directory."""
+    import os
+
+    store = Store(spark, str(tmp_path / "pp"))
+    df = spark.createDataFrame(
+        [(i, i % 4, f"p{i}") for i in range(40)],
+        "id long, cell_id int, payload string",
+    )
+    store.append_new(df, "cells", key="id", partition_by=["cell_id"])
+    root = store.path("cells")
+    before = sorted(d for d in os.listdir(root) if d.startswith("cell_id="))
+    assert len(before) == 4
+    store.delete_keys("cells", _keys(spark, 5, 6, 7), "id")
+    after = sorted(d for d in os.listdir(root) if d.startswith("cell_id="))
+    assert after == before, (before, after)
+    got = store.read("cells")
+    assert {r["id"] for r in got.collect()} == set(range(40)) - {5, 6, 7}
+    pruned = got.filter(F.col("cell_id") == 2)
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell_id" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+
+
+def test_delete_keys_layered_with_version_like_root_segment(spark, tmp_path):
+    """A store whose ROOT path contains a v<digits> segment (e.g.
+    /data/v2/store) must still tag rows with their LAYER directory,
+    not the root segment: the first-match regexp tagged every row
+    with the root's '2', picked the wrong affected layer, and left
+    deleted keys on disk — a silent right-to-be-forgotten failure."""
+    store = Store(spark, str(tmp_path / "v2" / "store"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "id long"
+    )
+    store.append_version(mk(0, 10), "t")    # layer 1 holds the key
+    store.append_version(mk(10, 20), "t")   # layer 2 untouched
+    import os
+
+    files_l2 = sorted(os.listdir(store._vdir("t", 2)))
+    store.delete_keys("t", _keys(spark, 3), "id")
+    assert {r["id"] for r in store.read_union("t").collect()} == set(
+        range(20)
+    ) - {3}
+    # layer 2 (no affected keys) stayed byte-identical: the surgery
+    # targeted the real containing layer, not the root-tagged one
+    assert sorted(os.listdir(store._vdir("t", 2))) == files_l2
+
+
+class _AppendDuringDeleteStore(Store):
+    """Fires ``inject`` once, right before the delete's commit-slot
+    (barrier) claim — simulating an append_version landing in the
+    window between the last layer rewrite and the pointer swap."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.claims = 0
+        self.inject = None
+
+    def _claim_next_version(self, table):
+        self.claims += 1
+        if self.claims == 2 and self.inject is not None:
+            inj, self.inject = self.inject, None
+            inj()
+        return super()._claim_next_version(table)
+
+
+def test_delete_commit_preserves_concurrently_appended_layer(spark, tmp_path):
+    """The layered delete's manifest + pointer commit runs under a held
+    CAS claim and rebuilds the manifest from the LATEST committed
+    version — so a layer appended between the rewrite and the commit
+    survives in the final view instead of being silently dropped."""
+    root = str(tmp_path / "race")
+    store = _AppendDuringDeleteStore(spark, root)
+    other = Store(spark, root)
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "id long"
+    )
+    store.append_version(mk(0, 10), "t")
+    store.claims = 0
+    store.inject = lambda: other.append_version(mk(100, 110), "t")
+    store.delete_keys("t", _keys(spark, 3), "id")
+    got = {r["id"] for r in store.read_union("t").collect()}
+    assert got == (set(range(10)) - {3}) | set(range(100, 110)), got
+    # and the table keeps working: a further append extends the view
+    store.inject = None
+    store.append_version(mk(200, 205), "t")
+    assert store.read_union("t").count() == 9 + 10 + 5
+
+
+def test_legacy_underscore_version_layout_migrates(spark, tmp_path):
+    """A store written by the pre-round-6 layout (_v<N> version dirs)
+    is healed on first access: versions() reports the committed
+    history, read_version resolves the _CURRENT pointer, and the next
+    write claims the correct slot instead of re-claiming slot 1."""
+    import os
+
+    root = str(tmp_path / "legacy")
+    store = Store(spark, root)
+    mk = lambda tag: spark.createDataFrame([(1, tag)], "id long, tag string")
+    store.write_version(mk("a"), "t")
+    store.write_version(mk("b"), "t")
+    for d in list(os.listdir(store.path("t"))):
+        if d.startswith("v") and d[1:].isdigit():
+            os.rename(
+                os.path.join(store.path("t"), d),
+                os.path.join(store.path("t"), "_" + d),
+            )
+    fresh = Store(spark, root)
+    assert fresh.versions("t") == [1, 2]
+    assert fresh.read_version("t").first()["tag"] == "b"
+    assert fresh.write_version(mk("c"), "t") == 3
+    assert fresh.read_version("t", 1).first()["tag"] == "a"

@@ -164,3 +164,42 @@ def test_compact_preserves_partition_layout(spark, store):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cell_id" in plan or \
         "PartitionFilters: [cell_id" in plan, plan
+
+
+def test_compact_partitioned_respects_target_files_cap(spark, store):
+    """target_files on a PARTITIONED compact caps the per-partition
+    file count (salted shuffle key): many small appended files fold to
+    at most target_files per cell_id directory, content unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id long, cell_id int"
+    )
+    for k in range(5):  # 5 appends x several files each
+        store.append(
+            df.filter(F.col("id") % 5 == k).repartition(4),
+            "pc",
+            partition_by=["cell_id"],
+        )
+    root = store.path("pc")
+
+    def files_per_part():
+        return {
+            d: sum(
+                1
+                for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(root)
+            if d.startswith("cell_id=")
+        }
+
+    assert max(files_per_part().values()) > 2
+    store.compact("pc", target_files=2)
+    per = files_per_part()
+    assert set(per) == {"cell_id=0", "cell_id=1", "cell_id=2"}
+    assert all(1 <= n <= 2 for n in per.values()), per
+    assert store.read("pc").count() == 90
+    assert {r["id"] for r in store.read("pc").collect()} == set(range(90))
