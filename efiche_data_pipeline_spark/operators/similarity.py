@@ -654,6 +654,7 @@ def ivf_index_retrain(
     vec_col: str = "embedding",
     iters: int = 2,
     sample_limit: int = 10_000,
+    centroids: DataFrame | None = None,
 ) -> int:
     """The out-of-hot-path centroid MIGRATION for a drifted index:
     train fresh centroids from the indexed vectors (bounded sample —
@@ -671,9 +672,16 @@ def ivf_index_retrain(
     identical. Returns the new centroid version; time travel to the
     old version still replays the old assignment rule via
     ``read_version(centroid_table, old)``.
+
+    ``centroids`` pins the new centroid set instead of training one —
+    for deterministic tests/oracles and for externally-trained
+    codebooks; the commit + full re-assign mechanics are identical.
+    Under a :func:`ivf_index_maintain`-managed index, call maintain
+    (whose drift gate triggers this) rather than this directly, so the
+    assignment marker and reference profile stay in step.
     """
     vectors = store.read(index_table).select(id_col, vec_col)
-    cents = train_centroids(
+    cents = centroids if centroids is not None else train_centroids(
         vectors,
         k=k,
         iters=iters,
@@ -687,3 +695,224 @@ def ivf_index_retrain(
     ).localCheckpoint(eager=True)
     store.overwrite(reassigned, index_table, partition_by=["cell_id"])
     return version
+
+
+# ---------------------------------------------------------------------------
+# IVF lifecycle: drift-gated retrain (VERDICT r06 Next #5). q113
+# computes the PSI alarm and ivf_index_retrain performs the migration;
+# this operator CONNECTS them — one call per intake fold that appends,
+# evaluates the gate, and (claimed, crash-convergent) retrains when it
+# fires.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class IvfMaintainResult:
+    append: IvfAppendResult
+    psi: float | None  # None on the seeding fold / empty batch
+    retrained: bool
+    healed: bool  # True if a crashed migration was completed first
+    centroid_version: int
+
+
+def _ivf_cell_histogram(
+    vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str, cnt: str
+) -> DataFrame:
+    """(cell_id, <cnt>) histogram of ``vectors`` under frozen ``cents``
+    — one broadcast assignment pass, one <=K-row aggregate."""
+    return (
+        assign_cells(vectors, cents, id_col, vec_col, nprobe=1)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias(cnt))
+    )
+
+
+def _ivf_rebaseline(
+    store,
+    index_table: str,
+    centroid_table: str,
+    profile_table: str,
+    meta_table: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Re-assign the FULL index to the CURRENT centroids (idempotent —
+    assignment is a pure function of the vector), refresh the
+    reference cell profile to the new regime, and finally commit the
+    assignment marker. This exact order makes every crash window
+    re-enter here and converge: the marker is the LAST write, so a
+    crash anywhere before it leaves the marker stale and the next
+    maintain call repeats the (idempotent) steps."""
+    cents = store.read_version(centroid_table)
+    reassigned = assign_cells(
+        store.read(index_table).select(id_col, vec_col), cents, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    store.overwrite(reassigned, index_table, partition_by=["cell_id"])
+    _ivf_commit_profile_and_marker(
+        store, index_table, centroid_table, profile_table, meta_table
+    )
+
+
+def _ivf_commit_profile_and_marker(
+    store, index_table: str, centroid_table: str, profile_table: str,
+    meta_table: str,
+) -> None:
+    """Refresh the reference profile to the full-index histogram of the
+    current assignment, then commit the assignment marker LAST (the
+    migration-complete commit point)."""
+    profile = (
+        store.read(index_table)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    store.write_version(profile, profile_table)
+    marker = profile.sparkSession.createDataFrame(
+        [(store.current_version(centroid_table),)], "centroid_version int"
+    )
+    store.write_version(marker, meta_table)
+
+
+def _ivf_marker_version(store, meta_table: str) -> int | None:
+    if store.current_version(meta_table) is None:
+        return None
+    return store.read_version(meta_table).first()["centroid_version"]
+
+
+def ivf_index_maintain(
+    new_vectors: DataFrame,
+    store,
+    centroids: DataFrame | None = None,
+    index_table: str = "ivf_cells",
+    centroid_table: str = "ivf_centroids",
+    profile_table: str = "ivf_cell_profile",
+    meta_table: str = "ivf_assign_meta",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_k: int = 16,
+    psi_threshold: float = 0.25,
+    retrain_k: int | None = None,
+    retrain_centroids: DataFrame | None = None,
+    retrain_iters: int = 2,
+    retrain_sample_limit: int = 10_000,
+) -> IvfMaintainResult:
+    """The IVF index LIFECYCLE as one per-fold call: heal any crashed
+    migration, append the batch (:func:`ivf_index_append`), evaluate
+    the cell-histogram PSI drift gate against the pinned reference
+    profile, and — when the gate alarms — run the one deliberate
+    O(index) migration (:func:`ivf_index_retrain`) and re-baseline.
+
+    Gate semantics (q113's statistic, maintained): the reference
+    profile is the SEEDING fold's cell histogram, committed as a
+    versioned snapshot; each later fold's incoming batch is assigned
+    under the frozen centroids (broadcast, zero vector shuffle) and its
+    ≤K-row histogram is PSI-compared against the profile
+    (operators/drift.py fixed-point fold). PSI > ``psi_threshold``
+    triggers the retrain; afterwards the profile is refreshed to the
+    post-retrain full-index histogram, so the gate measures drift
+    against the NEW regime and a calm fold after a migration does not
+    re-alarm.
+
+    Crash convergence: the retrain path writes, in order, (1) the new
+    centroid snapshot (CAS-claimed ``write_version`` — a racing writer
+    raises), (2) the re-assigned cell store, (3) the refreshed
+    profile, (4) the assignment MARKER (``meta_table``, recording the
+    centroid version the index is assigned under). The marker is the
+    single source of truth for "migration complete": any crash between
+    (1) and (4) leaves marker ≠ current centroid version, and the next
+    maintain call re-enters :func:`_ivf_rebaseline` — every step of
+    which is idempotent (assignment is a pure function of the vector)
+    — before touching the batch. Appends never interleave with a
+    half-done migration.
+
+    At 100 TB: the per-fold cost is the append's broadcast assignment
+    plus two bounded aggregates (≤K-row histograms); the O(index)
+    re-assign runs only when the gate fires — the drift signal is what
+    SCHEDULES the expensive pass, never the fold itself.
+    """
+    healed = False
+    cv = store.current_version(centroid_table)
+    if (
+        cv is not None
+        and store.exists(index_table)
+        and _ivf_marker_version(store, meta_table) != cv
+    ):
+        # a previous migration (or a direct ivf_index_retrain call)
+        # crashed or bypassed the marker — complete it first
+        _ivf_rebaseline(
+            store, index_table, centroid_table, profile_table, meta_table,
+            id_col, vec_col,
+        )
+        healed = True
+    seeding = store.current_version(profile_table) is None
+    appended = ivf_index_append(
+        new_vectors,
+        store,
+        centroids=centroids,
+        index_table=index_table,
+        centroid_table=centroid_table,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_k=train_k,
+    )
+    cents = store.read_version(centroid_table)
+    cur_hist = _ivf_cell_histogram(
+        new_vectors.select(id_col, vec_col), cents, id_col, vec_col, "c_cur"
+    ).localCheckpoint(eager=True)
+    if seeding:
+        # first fold defines the reference regime; marker pins the
+        # seed centroids as the assignment version
+        store.write_version(
+            cur_hist.withColumnRenamed("c_cur", "c_ref"), profile_table
+        )
+        marker = new_vectors.sparkSession.createDataFrame(
+            [(store.current_version(centroid_table),)], "centroid_version int"
+        )
+        store.write_version(marker, meta_table)
+        return IvfMaintainResult(
+            append=appended, psi=None, retrained=False, healed=healed,
+            centroid_version=appended.centroid_version,
+        )
+    if cur_hist.limit(1).count() == 0:  # empty batch: nothing to gate
+        return IvfMaintainResult(
+            append=appended, psi=None, retrained=False, healed=healed,
+            centroid_version=store.current_version(centroid_table),
+        )
+    per_bucket = (
+        store.read_version(profile_table)
+        .join(cur_hist, "cell_id", "full_outer")
+        .select(
+            F.lit("embedding_cell").alias("column_name"),
+            F.col("cell_id").cast("string").alias("bucket"),
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    from .drift import psi_from_bucket_counts
+
+    psi = float(psi_from_bucket_counts(per_bucket).first()["psi"])
+    retrained = False
+    if psi > psi_threshold:
+        ivf_index_retrain(
+            store,
+            k=retrain_k if retrain_k is not None else train_k,
+            index_table=index_table,
+            centroid_table=centroid_table,
+            id_col=id_col,
+            vec_col=vec_col,
+            iters=retrain_iters,
+            sample_limit=retrain_sample_limit,
+            centroids=retrain_centroids,
+        )
+        # retrain already re-assigned the store; commit the new-regime
+        # profile and then the marker (same crash-convergent order as
+        # the heal path — a crash before the marker re-enters
+        # _ivf_rebaseline, whose re-assign is an idempotent no-op)
+        _ivf_commit_profile_and_marker(
+            store, index_table, centroid_table, profile_table, meta_table
+        )
+        retrained = True
+    return IvfMaintainResult(
+        append=appended,
+        psi=psi,
+        retrained=retrained,
+        healed=healed,
+        centroid_version=store.current_version(centroid_table),
+    )

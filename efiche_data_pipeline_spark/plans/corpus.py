@@ -2757,6 +2757,119 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q120 — the IVF LIFECYCLE end-to-end (VERDICT r06 Next #5): the q113
+# drift gate wired to the retrain migration as one drift-gated intake.
+# Fold 1 seeds the index (pinned centroids A) and pins the reference
+# cell profile; fold 2 is a PLANTED regime change — only the
+# second-half vectors homing to cells 1-4 under A arrive (a source-mix
+# collapse: 16-cell near-uniform reference vs a 4-cell concentrated
+# batch), so the PSI gate must alarm — which triggers the one
+# deliberate O(index) migration onto pinned centroids B.  The
+# query returns the final index's per-cell histogram — correct ONLY if
+# the gate fired and the migration re-assigned every stored vector to
+# B, which is exactly what the oracle replays as a single global
+# assignment (q113's SQL shape with the negated second half).  Pinned
+# A/B centroid sets keep the whole lifecycle deterministic and
+# SQL-expressible; production uses trained centroids (same mechanics,
+# train_centroids in place of the pins).
+# Reference anchor: the dormant pgvector VECTOR(768) column
+# (sql/01_schema.sql:95) — a production vector column needs exactly
+# this maintenance loop.
+# ---------------------------------------------------------------------------
+def q120_ivf_lifecycle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import ivf_index_maintain
+    from ..pipeline.store import Store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    cents_a = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), "embedding"
+    )
+    cents_b = emb.filter(F.col("vec_id").between(16, 31)).select(
+        (F.col("vec_id") - 15).alias("cell_id"), "embedding"
+    )
+    from ..operators.similarity import assign_cells
+
+    # the drifted intake: second-half vectors whose HOME cell under A
+    # is 1-4 — a concentrated batch against a near-uniform reference
+    fold2 = (
+        assign_cells(
+            emb.filter(F.col("vec_id") > split), cents_a, "vec_id", "embedding"
+        )
+        .filter(F.col("cell_id") <= 4)
+        .select("vec_id", "embedding")
+    )
+    tmp_root = tempfile.mkdtemp(prefix="efiche_ivflife_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = ivf_index_maintain(
+            emb.filter(F.col("vec_id") <= split), store, centroids=cents_a
+        )
+        _require(r1.psi is None and not r1.retrained, "fold 1 seeds the gate")
+        r2 = ivf_index_maintain(fold2, store, retrain_centroids=cents_b)
+        _require(r2.retrained, "the planted regime change must alarm the gate")
+        return _finish_with_store(
+            store.read("ivf_cells")
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors")),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q120_ivf_lifecycle_histogram"] = """
+WITH cent_a AS (
+    SELECT vec_id + 1 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+cent_b AS (
+    SELECT vec_id - 15 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id BETWEEN 16 AND 31
+),
+s AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS split FROM embeddings),
+all_vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+home_a AS (  -- second-half vectors' home cell under centroids A
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM all_vecs c, cent_a ct
+        WHERE c.vec_id > (SELECT split FROM s)
+    ) WHERE rn = 1
+),
+corpus AS (  -- fold 1 plus the drifted (cells 1-4) fold-2 subset
+    SELECT a.vec_id, a.v FROM all_vecs a CROSS JOIN s
+    WHERE a.vec_id <= s.split
+    UNION ALL
+    SELECT a.vec_id, a.v FROM all_vecs a
+    JOIN home_a h ON a.vec_id = h.vec_id
+    WHERE h.cell_id <= 4
+),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus c, cent_b ct
+    ) WHERE rn = 1
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM assign GROUP BY cell_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -538,3 +538,149 @@ def test_quantized_ivf_recall_vs_float_path(clustered, tmp_path):
     shared = set(fsims) & set(qsims)
     assert shared
     assert max(abs(fsims[p] - qsims[p]) for p in shared) <= 0.02
+
+
+# ---------------------------------------------------------------------------
+# IVF lifecycle: drift-gated retrain (ivf_index_maintain).
+# ---------------------------------------------------------------------------
+def _one_per_cluster(clustered, clusters):
+    """Pinned centroids: the first member vector of each listed
+    cluster, cell_id = position in ``clusters`` + 1."""
+    first = clustered.filter(
+        (F.col("vec_id") % 25 == 0) & F.col("cluster").isin(list(clusters))
+    )
+    m = {c: i + 1 for i, c in enumerate(clusters)}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in m.items() for x in kv]
+    )
+    return first.select(
+        mapping[F.col("cluster")].cast("int").alias("cell_id"), "embedding"
+    )
+
+
+def _maintain_args(clustered):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        ivf_index_maintain,
+    )
+
+    cents_a = _one_per_cluster(clustered, range(10))
+    cents_b = _one_per_cluster(clustered, range(20))
+    member = F.col("vec_id") % 25  # position within the cluster
+    folds = {
+        "seed": clustered.filter((F.col("cluster") < 10) & (member < 10)),
+        "calm": clustered.filter(
+            (F.col("cluster") < 10) & member.between(10, 17)
+        ),
+        "drift": clustered.filter((F.col("cluster") >= 10) & (member < 18)),
+        "after": clustered.filter(member >= 18),  # proportional mix
+    }
+    return ivf_index_maintain, cents_a, cents_b, folds
+
+
+def test_ivf_maintain_gate_fires_once_on_planted_drift(clustered, tmp_path):
+    """Calm folds never retrain; the planted regime change (ten new
+    clusters the reference profile has never seen) alarms and retrains
+    exactly once; the fold AFTER the migration is calm again because
+    the profile was re-baselined to the new regime."""
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    maintain, cents_a, cents_b, folds = _maintain_args(clustered)
+    store = Store(clustered.sparkSession, str(tmp_path / "life"))
+    r_seed = maintain(folds["seed"], store, centroids=cents_a)
+    assert r_seed.psi is None and not r_seed.retrained
+    r_calm = maintain(folds["calm"], store)
+    assert not r_calm.retrained and r_calm.psi is not None
+    assert r_calm.psi <= 0.25, r_calm.psi
+    r_drift = maintain(folds["drift"], store, retrain_centroids=cents_b)
+    assert r_drift.retrained and r_drift.psi > 0.25, r_drift.psi
+    r_after = maintain(folds["after"], store)
+    assert not r_after.retrained and not r_after.healed
+    assert r_after.psi <= 0.25, r_after.psi
+
+
+def test_ivf_maintain_post_retrain_appends_equal_fresh_build(
+    clustered, tmp_path
+):
+    """After the migration, the maintained index over (seed ∪ calm ∪
+    drift ∪ after) must equal the one-shot assignment of the same
+    vectors under the retrained centroids — incremental ≡ global
+    through a regime change."""
+    from efiche_data_pipeline_spark.operators.similarity import assign_cells
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    maintain, cents_a, cents_b, folds = _maintain_args(clustered)
+    store = Store(clustered.sparkSession, str(tmp_path / "eq"))
+    maintain(folds["seed"], store, centroids=cents_a)
+    maintain(folds["calm"], store)
+    maintain(folds["drift"], store, retrain_centroids=cents_b)
+    maintain(folds["after"], store)
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in store.read("ivf_cells").select("vec_id", "cell_id").collect()
+    }
+    want = {
+        r["vec_id"]: r["cell_id"]
+        for r in assign_cells(clustered, cents_b).select(
+            "vec_id", "cell_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_maintain_crash_windows_converge(clustered, tmp_path):
+    """Crash (a) between the new-centroid commit and the index
+    re-assign, and (b) after the re-assign but before the marker: both
+    leave marker != current centroids, the next maintain call heals
+    FIRST (re-assign is an idempotent pure function), and the final
+    index equals the fresh build."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.similarity import assign_cells
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    maintain, cents_a, cents_b, folds = _maintain_args(clustered)
+    spark = clustered.sparkSession
+
+    class CrashOnIndexOverwrite(Store):
+        armed = False
+
+        def overwrite(self, df, table, partition_by=None):
+            if self.armed and table == "ivf_cells":
+                self.armed = False
+                raise RuntimeError("injected crash before re-assign")
+            return super().overwrite(df, table, partition_by=partition_by)
+
+    class CrashOnMarker(Store):
+        armed = False
+
+        def write_version(self, df, table):
+            if self.armed and table == "ivf_assign_meta":
+                self.armed = False
+                raise RuntimeError("injected crash before marker")
+            return super().write_version(df, table)
+
+    for name, cls in (("a", CrashOnIndexOverwrite), ("b", CrashOnMarker)):
+        store = cls(spark, str(tmp_path / f"crash_{name}"))
+        maintain(folds["seed"], store, centroids=cents_a)
+        store.armed = True
+        with pytest.raises(RuntimeError, match="injected crash"):
+            maintain(folds["drift"], store, retrain_centroids=cents_b)
+        # centroids point at the NEW regime, marker is stale
+        assert store.read_version("ivf_centroids").count() == 20
+        r = maintain(folds["after"], store)
+        assert r.healed, name
+        assert not r.retrained, (name, r.psi)  # healed baseline is calm
+        got = {
+            r_["vec_id"]: r_["cell_id"]
+            for r_ in store.read("ivf_cells").collect()
+        }
+        indexed = (
+            folds["seed"].unionByName(folds["drift"]).unionByName(folds["after"])
+        )
+        want = {
+            r_["vec_id"]: r_["cell_id"]
+            for r_ in assign_cells(indexed, cents_b).select(
+                "vec_id", "cell_id"
+            ).collect()
+        }
+        assert got == want, name
