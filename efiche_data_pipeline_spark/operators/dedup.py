@@ -999,3 +999,59 @@ def incremental_novelty(
     return IncrementalNoveltyResult(
         scores=scores, n_new=n_new, index_version=version
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten across the WHOLE dedup family in one call.
+# ---------------------------------------------------------------------------
+def forget_documents(
+    store,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    kept_table: str = "dedup_kept_docs",
+    index_table: str = "minhash_sig_index",
+    scores_table: str = "novelty_scores",
+    introducer_table: str = "shingle_introducer",
+    labels_table: str = "neardup_labels",
+    vacuum: bool = True,
+) -> dict[str, int | None]:
+    """Purge a set of document ids from EVERY table the dedup family
+    maintains about them — the composed GDPR operation a corpus store
+    actually needs ("forget these users' documents" touches the kept
+    sink, the MinHash signature index, the novelty scores, the
+    component labels, AND the introducer index's first_doc credits;
+    forgetting from one table while the others still name the id is
+    not forgetting). Tables that don't exist are skipped, so one call
+    serves any subset of the family.
+
+    Per table this is :meth:`Store.delete_keys` — affected-layer
+    surgery on layered tables, partition-preserving rewrite on plain
+    ones — keyed on ``doc_id`` except the introducer index, which is
+    keyed on its ``first_doc`` credit column. Removing an introducer
+    row deliberately makes the affected shingles creditable to a LATER
+    introducer (novelty semantics shift for future batches); that is
+    the compliant choice — retaining the minima would retain the id.
+
+    With ``vacuum=True`` the purge completes physically: every
+    versioned table is vacuumed to its current version, so the ids
+    survive in NO parquet file on disk (the GDPR walk test pins this).
+    Returns {table: new version or None} for the tables touched.
+    """
+    ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    touched: dict[str, int | None] = {}
+    for table, key in (
+        (kept_table, id_col),
+        (index_table, id_col),
+        (scores_table, id_col),
+        (labels_table, id_col),
+        (introducer_table, "first_doc"),
+    ):
+        # plain tables carry a root _SUCCESS; versioned/layered ones
+        # only a _CURRENT pointer — a table is present under either
+        if not (store.exists(table) or store.current_version(table) is not None):
+            continue
+        keys = ids if key == id_col else ids.select(F.col(id_col).alias(key))
+        touched[table] = store.delete_keys(table, keys, key)
+        if vacuum and store.current_version(table) is not None:
+            store.vacuum_versions(table, keep_last=1)
+    return touched

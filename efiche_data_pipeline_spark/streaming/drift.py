@@ -125,3 +125,81 @@ def run_drift_monitor(
     return DriftMonitorReport(
         n_batches=totals["batches"], n_alarms=totals["alarms"]
     )
+
+
+def run_embedding_drift_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    centroids: DataFrame,
+    reference_vectors: DataFrame,
+    store: Store,
+    checkpoint_dir: str,
+    table: str = "embedding_drift_reports",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    max_files_per_trigger: int = 1,
+) -> DriftMonitorReport:
+    """Streaming twin of the q113 embedding drift gate: every incoming
+    micro-batch of vectors is assigned to the FROZEN ``centroids``
+    (broadcast — no vector ever shuffles) and its ≤K-row cell
+    histogram is PSI-scored against ``reference_vectors``'s histogram,
+    one merge-upserted report row per batch with an ``alarm`` flag —
+    the live signal that schedules ``ivf_index_retrain`` /
+    ``ivf_index_maintain``'s one deliberate O(index) migration, now
+    visible per intake file instead of per batch job.
+
+    Replay safety: reports are keyed on (batch_id, column_name), so a
+    retried micro-batch overwrites its own row instead of
+    double-appending — identical discipline to :func:`run_drift_monitor`.
+    The reference profile is a bounded ≤K-row frame, localCheckpointed
+    once and reused across batches."""
+    from ..operators.similarity import assign_cells
+    from .embedding_stream import stream_vectors
+
+    ref = (
+        assign_cells(reference_vectors, centroids, id_col, vec_col)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .localCheckpoint(eager=True)
+    )
+    totals = {"batches": 0, "alarms": 0}
+
+    def score(batch: DataFrame, batch_id: int) -> None:
+        totals["batches"] += 1
+        cur = (
+            assign_cells(batch, centroids, id_col, vec_col)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("c_cur"))
+        )
+        per_bucket = (
+            ref.join(cur, "cell_id", "full_outer")
+            .select(
+                F.lit("embedding_cell").alias("column_name"),
+                F.col("cell_id").cast("string").alias("bucket"),
+                F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+                F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+            )
+        )
+        rep = (
+            psi_from_bucket_counts(per_bucket)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("alarm", F.col("psi") > threshold)
+            .select("batch_id", "column_name", "psi", "n_cur", "alarm")
+            .localCheckpoint(eager=True)  # consumed twice (merge + count)
+        )
+        store.merge_upsert(rep, table, keys=["batch_id", "column_name"])
+        totals["alarms"] += rep.filter("alarm").count()
+
+    q = (
+        stream_vectors(spark, source_dir, max_files_per_trigger)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(score)
+        .start()
+    )
+    q.awaitTermination()
+    return DriftMonitorReport(
+        n_batches=totals["batches"], n_alarms=totals["alarms"]
+    )

@@ -57,3 +57,60 @@ def test_drift_monitor_flags_shifted_batch_only(spark, tmp_path):
     r2 = run_drift_monitor(spark, src, reference, store, ckpt)
     assert r2.n_batches == 0
     assert store.read("drift_reports").count() == n_rows
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding (cell-histogram) drift monitor.
+# ---------------------------------------------------------------------------
+def _vec_rows(start_id, n, axis, dim=8):
+    """n vectors clustered on one axis (deterministic jitter-free)."""
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[(axis + (i % 4)) % dim] = 1.0  # spread over 4 axes from base
+        rows.append((start_id + i, v))
+    return rows
+
+
+def test_embedding_drift_monitor_flags_shifted_batch_only(spark, tmp_path):
+    from efiche_data_pipeline_spark.streaming.drift import (
+        run_embedding_drift_monitor,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "vsrc")
+    ckpt = str(tmp_path / "vckpt")
+    store = Store(spark, str(tmp_path / "vstore"))
+    # centroids: one per axis -> cell k+1 captures axis k exactly
+    cents = spark.createDataFrame(
+        [(k + 1, [1.0 if j == k else 0.0 for j in range(8)]) for k in range(8)],
+        "cell_id int, embedding array<double>",
+    )
+    reference = spark.createDataFrame(_vec_rows(0, 400, axis=0), schema)
+    # file 1 follows the reference law (axes 0-3); file 2 collapses to
+    # the never-seen axes 4-7
+    spark.createDataFrame(_vec_rows(1000, 100, axis=0), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(_vec_rows(2000, 100, axis=4), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    report = run_embedding_drift_monitor(
+        spark, src, cents, reference, store, ckpt, threshold=0.25
+    )
+    assert report.n_batches >= 2
+    rows = sorted(
+        (r["batch_id"], r["psi"], r["alarm"])
+        for r in store.read("embedding_drift_reports").collect()
+    )
+    assert rows[0][2] is False and rows[0][1] < 0.1, rows  # calm batch
+    assert rows[1][2] is True and rows[1][1] > 0.25, rows  # shifted batch
+    assert report.n_alarms == 1
+
+    # replay-stable: no new files -> nothing consumed, reports unchanged
+    n_rows = store.read("embedding_drift_reports").count()
+    r2 = run_embedding_drift_monitor(
+        spark, src, cents, reference, store, ckpt
+    )
+    assert r2.n_batches == 0
+    assert store.read("embedding_drift_reports").count() == n_rows

@@ -611,3 +611,79 @@ def test_novelty_history_exchange_is_o_batch_measured(spark, tmp_path, monkeypat
     assert max(hist_fed_rows) <= min(batch_sh), (hist_fed_rows, batch_sh)
     # plan shape: the history fold is scan -> LeftSemi -> aggregate
     assert all("LeftSemi" in p for p in plans), plans
+
+
+def test_forget_documents_purges_whole_family(spark, tmp_path):
+    """One forget_documents call removes the ids from the kept sink,
+    the signature index, the novelty scores, the component labels AND
+    the introducer credits — and after its built-in vacuum the ids
+    appear in NO surviving parquet file anywhere under the store (the
+    physical-purge walk, across plain, layered, and snapshot
+    tables)."""
+    import os
+
+    import duckdb
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        fold_component_labels,
+        forget_documents,
+        incremental_novelty,
+    )
+
+    rows = [
+        (0, _BASE),
+        (1, _BASE + " small tail difference here"),
+        (2, _OTHER),
+        (3, _THIRD),
+        (4, _OTHER + " and one extra closing clause"),
+    ]
+    docs = _docs(spark, rows)
+    store = Store(spark, str(tmp_path / "family"))
+    r = incremental_minhash_dedup(docs, store, threshold=_TAU)
+    store.append_new(r.kept.select("doc_id"), "dedup_kept_docs", key="doc_id")
+    incremental_novelty(docs, store)
+    fold_component_labels(
+        store,
+        spark.createDataFrame([(0, 1), (2, 4)], "doc_a long, doc_b long"),
+    )
+    # doc 1 and doc 4 must be forgotten — both appear as kept docs,
+    # signature rows, novelty scores, label rows, and (doc 4 at least
+    # plausibly) introducer credits
+    gone = {1, 4}
+    touched = forget_documents(
+        store, spark.createDataFrame([(i,) for i in gone], "doc_id long")
+    )
+    assert set(touched) >= {
+        "dedup_kept_docs", "minhash_sig_index", "novelty_scores",
+        "neardup_labels", "shingle_introducer",
+    }
+    con = duckdb.connect()
+    hits = []
+    for root, _, names in os.walk(store.path("")):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            f = os.path.join(root, n)
+            cols = {
+                r_[0]
+                for r_ in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{f}')"
+                ).fetchall()
+            }
+            for col in (c for c in ("doc_id", "first_doc") if c in cols):
+                found = {
+                    r_[0]
+                    for r_ in con.execute(
+                        f"SELECT DISTINCT {col} FROM read_parquet('{f}')"
+                    ).fetchall()
+                }
+                if found & gone:
+                    hits.append((f, col, sorted(found & gone)))
+    assert not hits, hits
+    # the surviving tables still read and still hold the other docs
+    assert {r_["doc_id"] for r_ in store.read("novelty_scores").collect()} == {
+        0, 2, 3,
+    }
+    assert {
+        r_["doc_id"] for r_ in store.read_version("neardup_labels").collect()
+    } == {0, 2}
