@@ -63,6 +63,10 @@ HEADLINE = (
     # canonicalized near-dup front-end (Arrow NFC pass + banded LSH)
     "q110_incremental_embedding_dedup",
     "q112_canonical_neardup_pairs",
+    # round-7 additions: the drift-gated IVF lifecycle (seed + alarm +
+    # O(index) migration) and the composed right-to-be-forgotten pass
+    "q120_ivf_lifecycle_histogram",
+    "q121_forget_compliance",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an
@@ -94,6 +98,34 @@ def _quiet_known_benign_window_warnings(spark) -> None:
             configurator.setLevel(cls, level)
     except Exception:
         pass  # logging cosmetics must never fail the bench
+
+
+def _env_context(spark) -> dict:
+    """Machine-load + JVM-GC snapshot for the bench JSON: driver-run
+    drift on a shared box (BENCH_r06's +17% vs the builder's +2% HEAD
+    replay) is diagnosable only if the record says what the machine
+    was doing. Never fails the bench."""
+    ctx: dict = {}
+    try:
+        la = os.getloadavg()
+        ctx["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    ctx["cpus"] = os.cpu_count()
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        ctx["gc_ms"] = sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+        ctx["gc_count"] = sum(
+            beans.get(i).getCollectionCount() for i in range(beans.size())
+        )
+    except Exception:
+        pass
+    return ctx
 
 
 def main() -> None:
@@ -140,6 +172,7 @@ def main() -> None:
     # Min-of-N is the standard noise-floor estimator for CPU-bound
     # workloads; the write-side q36_wh_build stays single-run (its
     # second run would measure overwrite behavior, not the build).
+    env_start = _env_context(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = 1 if name == "q36_wh_build" else 2
@@ -161,6 +194,15 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    env_end = _env_context(spark)
+    env = {
+        "loadavg_start": env_start.get("loadavg"),
+        "loadavg_end": env_end.get("loadavg"),
+        "cpus": env_end.get("cpus"),
+    }
+    if "gc_ms" in env_start and "gc_ms" in env_end:
+        env["gc_ms_timed"] = env_end["gc_ms"] - env_start["gc_ms"]
+        env["gc_count_timed"] = env_end["gc_count"] - env_start["gc_count"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -170,6 +212,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "env": env,
             }
         )
     )

@@ -2870,6 +2870,98 @@ FROM assign GROUP BY cell_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q121 — right-to-be-forgotten COMPLIANCE over the dedup family
+# (VERDICT r06 Next #7 wired to the query surface): build the kept
+# sink + novelty scores for the corpus, then forget a fixed id set
+# with ONE forget_documents call and return the surviving kept docs
+# with their novelty scores.  The oracle replays it globally: LSH
+# survivors minus the forgotten ids, joined to the first-introducer
+# scores (which forgetting does NOT rewrite for survivors — rows are
+# deleted, not recomputed; the introducer shift only affects FUTURE
+# batches).  The physical-purge guarantee (ids in no surviving file)
+# is the walk test in tests/test_incremental_dedup.py; this query
+# pins the logical result.
+# Reference anchor: the reference would run DELETE FROM across its
+# normalized tables (sql/01_schema.sql) — here it is one composed op
+# over parquet with affected-layer surgery.
+# ---------------------------------------------------------------------------
+def q121_forget_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        forget_documents,
+        incremental_minhash_dedup,
+        incremental_novelty,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp_root = tempfile.mkdtemp(prefix="efiche_forget_")
+    store = Store(spark, tmp_root)
+    try:
+        r = incremental_minhash_dedup(
+            docs, store, threshold=_INC_DEDUP_SIM, portable=True
+        )
+        store.append_new(
+            r.kept.select("doc_id"), "dedup_kept_docs", key="doc_id"
+        )
+        incremental_novelty(docs, store)
+        forget_documents(
+            store, docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+        )
+        out = (
+            store.read("dedup_kept_docs")
+            .join(store.read("novelty_scores"), "doc_id")
+            .select("doc_id", "n_shingles", "n_introduced", "introduced_frac")
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _forget_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    return f"""
+WITH pairs AS ({lsh}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+),
+intro AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_introduced
+    FROM sh JOIN intro USING (g)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_introduced, 0) AS BIGINT) AS n_introduced,
+       ROUND(CAST(COALESCE(n_introduced, 0) AS DOUBLE)
+             / NULLIF(COALESCE(n_shingles, 0), 0), 4) AS introduced_frac
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND d.doc_id % 17 <> 3
+"""
+
+
+ORACLES["q121_forget_compliance"] = _forget_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -46,23 +46,81 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# ROUND 6 rotation (executes VERDICT r05 Next #2 — freshness): the
-# round-5 priority block landed 50/50 green in CORRECTNESS_r05.json
+# ROUND 7 rotation (executes VERDICT r06 Next #3 — freshness): the
+# round-6 priority block landed 50/50 green in CORRECTNESS_r06.json
 # and rotates out. Front of the window, in order of need:
-#   1. round-6 additions (no driver row yet by definition): q110-q117
-#      — incremental embedding dedup, canonicalization front-end,
-#      embedding drift, incremental card, canonical intake, quantized
-#      IVF, and the end-to-end intake composition;
-#   2. the 17 queries whose newest driver row dates from r03 (q31-35,
-#      q39, q40, q42-q51) — refresh so nothing ages past 3 rounds;
-#   3. the r04-green block (q64, q28/q30/q41, q68-q100), whose rows
-#      would otherwise age past 2 rounds.
-# 1+2 fill 25 slots; the first 25 entries of block 3 complete the
-# 50-row window, its tail (q90-q100) lands just past slot 50 and keeps
-# its per-run pytest differential (re-verified green at HEAD every
-# round) until the round-7 rotation fronts it again.
+#   1. round-7 additions (no driver row yet by definition): q120 (the
+#      drift-gated IVF lifecycle) and q121 (forget_documents
+#      compliance);
+#   2. the 19 queries whose newest driver row dates from r04 (q22,
+#      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
+#      3 rounds;
+#   3. the oldest 29 of the r05-green block (incremental tier
+#      q101-q109 first — the flagship family — then the warehouse
+#      builds and the relational core q01-q17).
+# The r05-green remainder (q18-q25, q52-q67) ages to 2 rounds and
+# fronts the round-8 rotation; every rotated-out query keeps its
+# per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
-    # round-6 additions:
+    # round-7 additions:
+    "q120_ivf_lifecycle_histogram",
+    "q121_forget_compliance",
+    # r04-stale rows (VERDICT r06 Next #3, refresh first):
+    "q22_brand_volume_mv",
+    "q24_exact_dedup_docs",
+    "q26_jaccard_pairs",
+    "q27_simhash_docs",
+    "q29_cosine_topk",
+    "q87_orders_profile",
+    "q88_char_entropy",
+    "q89_curriculum_mixture",
+    "q90_price_outliers",
+    "q91_tfidf_terms",
+    "q92_bloom_semi_join",
+    "q93_content_defined_chunks",
+    "q94_embedding_quantization",
+    "q95_kmv_merge_global",
+    "q96_equidepth_price_histogram",
+    "q97_ann_recall_eval",
+    "q98_ohlc_bars",
+    "q99_weighted_exact_sample",
+    "q100_dataset_card",
+    # oldest r05-green: the incremental tier ...
+    "q101_orders_profile_kmv",
+    "q102_dataset_card_sketch",
+    "q103_incremental_minhash_dedup",
+    "q104_incremental_ivf_topk",
+    "q105_incremental_weighted_sample",
+    "q106_incremental_kmv_customers",
+    "q107_orders_drift",
+    "q108_incremental_binary_dedup",
+    "q109_incremental_components",
+    # ... the warehouse builds ...
+    "q36_wh_monthly_encounters",
+    "q37_wh_procedure_volume",
+    "q38_wh_diagnosis_by_age_group",
+    # ... and the relational core:
+    "q01_pricing_summary",
+    "q02_monthly_orders",
+    "q03_top_customers_per_segment",
+    "q04_qoq_growth",
+    "q05_pct_of_total_by_priority",
+    "q06_conditional_agg_by_nation",
+    "q07_star_join_revenue",
+    "q08_loyal_customers_having",
+    "q09_copurchase_pairs_theta",
+    "q10_urgent_customers_semi_join",
+    "q11_no_urgent_anti_join",
+    "q12_orders_per_customer",
+    "q13_incremental_scan_events",
+    "q14_dim_time_from_orders",
+    "q15_json_extract_events",
+    "q16_explode_part_tokens",
+    "q17_union_all_counts",
+]
+_ROTATED_OUT = [
+    # r06-green block (50/50 in CORRECTNESS_r06.json; still
+    # differentially oracle-checked every pytest run):
     "q110_incremental_embedding_dedup",
     "q111_canonical_exact_dedup",
     "q112_canonical_neardup_pairs",
@@ -73,7 +131,6 @@ _DRIVER_PRIORITY = [
     "q117_incremental_intake_e2e",
     "q118_incremental_quantiles",
     "q119_incremental_novelty",
-    # r03-stale rows (VERDICT r05 Next #2, refresh first):
     "q31_token_stats",
     "q32_quality_score",
     "q33_lang_id_heuristic",
@@ -91,7 +148,6 @@ _DRIVER_PRIORITY = [
     "q49_cube_lineitem_status",
     "q50_order_price_percentiles",
     "q51_curation_pipeline",
-    # r04-green block (keep rows <=2 rounds old):
     "q64_sequence_packing",
     "q28_minhash_lsh_pairs",
     "q30_knn_ivf",
@@ -115,66 +171,6 @@ _DRIVER_PRIORITY = [
     "q84_weighted_order_sample",
     "q85_part_pagerank",
     "q86_zorder_orders",
-    "q87_orders_profile",
-    "q88_char_entropy",
-    "q89_curriculum_mixture",
-    "q90_price_outliers",
-    "q91_tfidf_terms",
-    "q92_bloom_semi_join",
-    "q93_content_defined_chunks",
-    "q94_embedding_quantization",
-    "q95_kmv_merge_global",
-    "q96_equidepth_price_histogram",
-    "q97_ann_recall_eval",
-    "q98_ohlc_bars",
-    "q99_weighted_exact_sample",
-    "q100_dataset_card",
-]
-_ROTATED_OUT = [
-    # r05-green block (50/50 in CORRECTNESS_r05.json; still
-    # differentially oracle-checked every pytest run):
-    "q103_incremental_minhash_dedup",
-    "q104_incremental_ivf_topk",
-    "q105_incremental_weighted_sample",
-    "q106_incremental_kmv_customers",
-    "q107_orders_drift",
-    "q108_incremental_binary_dedup",
-    "q109_incremental_components",
-    "q101_orders_profile_kmv",
-    "q102_dataset_card_sketch",
-    "q05_pct_of_total_by_priority",
-    "q06_conditional_agg_by_nation",
-    "q08_loyal_customers_having",
-    "q10_urgent_customers_semi_join",
-    "q11_no_urgent_anti_join",
-    "q14_dim_time_from_orders",
-    "q15_json_extract_events",
-    "q16_explode_part_tokens",
-    "q17_union_all_counts",
-    "q18_topk_orders",
-    "q19_global_ratio_agg",
-    "q20_acctbal_buckets",
-    "q21_weekend_orders",
-    "q23_segment_priority_mv",
-    "q25_bow_fingerprint_dedup",
-    "q52_grouping_sets",
-    "q53_doc_chunks",
-    "q36_wh_monthly_encounters",
-    "q37_wh_procedure_volume",
-    "q38_wh_diagnosis_by_age_group",
-    "q54_top_bigrams",
-    "q55_salted_supplier_revenue",
-    "q56_train_val_test_split",
-    "q57_neardup_components",
-    "q58_stratified_sample",
-    "q59_moving_avg_revenue",
-    "q60_customer_revenue_deciles",
-    "q61_media_frames",
-    "q62_scd2_dim_customer",
-    "q63_cdc_latest_state",
-    "q65_pii_redaction",
-    "q66_benchmark_decontamination",
-    "q67_repetition_metrics",
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT
