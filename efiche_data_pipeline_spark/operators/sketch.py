@@ -476,3 +476,154 @@ SELECT g, CAST(MAX(n) AS BIGINT) AS n_sample,
 FROM ranked
 GROUP BY g
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental TF-IDF: maintained per-term document frequency + top-k
+# docs per term, scored at read with the CURRENT global idf.
+# ---------------------------------------------------------------------------
+def incremental_tfidf(
+    new_docs: DataFrame,
+    store,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    topk_table: str = "tfidf_topk",
+    stats_table: str = "tfidf_stats",
+) -> tuple[DataFrame, int]:
+    """Maintain corpus TF-IDF state for a fixed ``terms`` watchlist
+    across batches — q91's one-shot computation as persisted state,
+    never rescanning history text. Returns (the q91-shaped result —
+    (term, doc_id, tf, tfidf) for each term's top-``k`` docs by tf —
+    and the committed stats version).
+
+    Two state pieces, each with an exact merge property, so the
+    maintained result is provably IDENTICAL to the one-shot global
+    q91 (whose oracle the registered q122 reuses verbatim):
+
+    - **Per-term document frequency + corpus size** (``stats_table``,
+      one row per watched term: (term, df, max_doc_id, n_docs)):
+      COUNT is associative — fold the batch's per-term df delta and
+      doc count into the stored row. idf is DERIVED at read time from
+      the current (df, n_docs), so every emitted score always uses
+      the whole-corpus-so-far idf — by construction equal to the
+      global computation over all docs seen.
+    - **Per-term top-k (doc, tf) candidates** (``topk_table``): tf is
+      computed once, in the doc's own batch (text read once, the only
+      pass); top-k of a union is recoverable from top-k(old) ∪ batch
+      rows — the q105/q118 bounded-candidate closure. The merge
+      dedups on (term, doc) first, so replaying a committed batch is
+      a no-op.
+
+    Replay safety by WRITE ORDER (the incremental_dataset_card
+    discipline): the batch is cut to ``id_col > stored max_doc_id``
+    (the family's monotone-id contract); the top-k table — idempotent
+    under replay — commits FIRST, and the stats snapshot, which
+    CARRIES the watermark in the same atomic write_version as the df
+    sums it gates, commits LAST. A crash between the two leaves the
+    watermark unmoved; the retried batch re-merges the top-k (no-op)
+    and completes the stats. The df fold can never double-count
+    because the watermark and the sums commit together.
+
+    Scale shape: one tokenize pass over the batch (the only text
+    read), one O(batch × |terms|) in-row count, one ≤|terms|-row
+    aggregate, one bounded (≤ |terms|·k + batch hits) top-k window.
+    History cost: ≤ |terms| stats rows + |terms|·k candidate rows.
+    """
+    from ..functions.text import tokens
+
+    cur = store.current_version(stats_table)
+    state = store.read_version(stats_table) if cur is not None else None
+    fresh = new_docs
+    n_docs_prev = 0
+    if state is not None:
+        head = state.first()
+        fresh = fresh.filter(F.col(id_col) > head["max_doc_id"])
+        n_docs_prev = head["n_docs"]
+    base = fresh.select(F.col(id_col), tokens(text_col).alias("t"))
+    with_term = base.select(
+        id_col, "t", F.explode(F.array(*[F.lit(x) for x in terms])).alias("term")
+    )
+    tf = (
+        with_term.select(
+            id_col,
+            "term",
+            F.size(F.filter("t", lambda x: x == F.col("term")))
+            .cast("long")
+            .alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+        .localCheckpoint(eager=True)
+    )
+    batch = fresh.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("mx")
+    ).first()
+    if batch["n"] == 0:  # replay / empty batch: state unchanged
+        if cur is None:
+            raise ValueError(
+                "incremental_tfidf: no state and an empty first batch — "
+                "seed with a non-empty batch"
+            )
+        return tfidf_scores(store, topk_table, stats_table), cur
+    # top-k candidates FIRST (dedup on (term, doc) makes the merge
+    # idempotent under replay)
+    old_topk = (
+        store.read_version(topk_table)
+        if store.current_version(topk_table) is not None
+        else None
+    )
+    cand = tf if old_topk is None else (
+        old_topk.unionByName(tf).dropDuplicates(["term", id_col])
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    store.write_version(topk, topk_table)
+    # stats snapshot LAST — df sums + n_docs + the watermark in ONE
+    # atomic commit
+    spark = new_docs.sparkSession
+    all_terms = spark.createDataFrame([(t,) for t in terms], "term string")
+    df_delta = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if state is not None:
+        df_delta = (
+            state.select("term", "df")
+            .unionByName(df_delta)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+    stats = (
+        all_terms.join(df_delta, "term", "left")
+        .select(
+            "term",
+            F.coalesce("df", F.lit(0)).cast("long").alias("df"),
+            F.lit(batch["mx"]).cast("long").alias("max_doc_id"),
+            F.lit(n_docs_prev + batch["n"]).cast("long").alias("n_docs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    version = store.write_version(stats, stats_table)
+    return tfidf_scores(store, topk_table, stats_table), version
+
+
+def tfidf_scores(
+    store,
+    topk_table: str = "tfidf_topk",
+    stats_table: str = "tfidf_stats",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble the q91-shaped result from the persisted state: each
+    term's top-k docs scored with the CURRENT global idf."""
+    stats = store.read_version(stats_table)
+    topk = store.read_version(topk_table)
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    return topk.join(F.broadcast(stats), "term").select(
+        "term",
+        id_col,
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )

@@ -2962,6 +2962,53 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 ORACLES["q121_forget_compliance"] = _forget_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q122 — incremental TF-IDF: q91's watchlist statistics maintained as
+# persisted state across three intake folds.  df/n_docs are
+# associative counts folded into one atomic stats snapshot (whose row
+# also CARRIES the replay watermark — the card discipline), the
+# per-term top-k candidates ride the bounded-candidate closure, and
+# idf is derived at read from the current global (df, n_docs) — so
+# maintained ≡ one-shot global and the oracle is q91's, verbatim.
+# Completes the maintained-corpus-statistics family (card q114,
+# quantiles q118, novelty q119) with the term-statistics member.
+# Reference anchor: none (beyond-reference tier); the batch-global
+# form is q91.
+# ---------------------------------------------------------------------------
+def q122_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_tfidf
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inctfidf_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_tfidf(
+            docs.filter(F.col("doc_id") <= c1), store, _TFIDF_TERMS
+        )
+        incremental_tfidf(
+            docs.filter(F.col("doc_id").between(c1 + 1, c2)),
+            store,
+            _TFIDF_TERMS,
+        )
+        out, _ = incremental_tfidf(
+            docs.filter(F.col("doc_id") > c2), store, _TFIDF_TERMS
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q122_incremental_tfidf"] = ORACLES["q91_tfidf_terms"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

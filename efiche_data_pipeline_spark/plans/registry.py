@@ -50,21 +50,23 @@ ORACLES: dict[str, str] = {
 # round-6 priority block landed 50/50 green in CORRECTNESS_r06.json
 # and rotates out. Front of the window, in order of need:
 #   1. round-7 additions (no driver row yet by definition): q120 (the
-#      drift-gated IVF lifecycle) and q121 (forget_documents
-#      compliance);
+#      drift-gated IVF lifecycle), q121 (forget_documents
+#      compliance), q122 (incremental TF-IDF);
 #   2. the 19 queries whose newest driver row dates from r04 (q22,
 #      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
 #      3 rounds;
-#   3. the oldest 29 of the r05-green block (incremental tier
-#      q101-q109 first — the flagship family — then the warehouse
-#      builds and the relational core q01-q17).
-# The r05-green remainder (q18-q25, q52-q67) ages to 2 rounds and
+#   3. the oldest r05-green queries (incremental tier q101-q109
+#      first — the flagship family — then the warehouse builds and
+#      the relational core; q17 lands at position 51, just past the
+#      window, and fronts round 8 with the rest).
+# The r05-green remainder (q17-q25, q52-q67) ages to 2 rounds and
 # fronts the round-8 rotation; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
     # round-7 additions:
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
+    "q122_incremental_tfidf",
     # r04-stale rows (VERDICT r06 Next #3, refresh first):
     "q22_brand_volume_mv",
     "q24_exact_dedup_docs",

@@ -425,3 +425,138 @@ def test_incremental_quantiles_partition_invariant(spark, tmp_path):
         }
 
     assert run(1) == run(8) == run(32)
+
+
+# ---------------------------------------------------------------------------
+# Incremental TF-IDF (q122): maintained df/top-k state across batches.
+# ---------------------------------------------------------------------------
+_TF_TERMS = ("join", "vector", "stream")
+
+
+def _tf_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tf_corpus(spark):
+    rows = [
+        (0, "join the vector stream join join"),
+        (1, "vector vector stream"),
+        (2, "nothing relevant here"),
+        (3, "stream stream stream join"),
+        (4, "join vector"),
+        (5, "one more join mention"),
+    ]
+    return _tf_docs(spark, rows), rows
+
+
+def _py_tfidf(rows, terms, k=10):
+    import math
+
+    n = len(rows)
+    tf = {
+        (t, d): txt.split().count(t)
+        for d, txt in rows
+        for t in terms
+        if txt.split().count(t) > 0
+    }
+    df = {}
+    for (t, _d) in tf:
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for t in terms:
+        hits = sorted(
+            ((d, c) for (tt, d), c in tf.items() if tt == t),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        for d, c in hits:
+            out[(t, d)] = (c, round(c * math.log((n + 1) / (df[t] + 1)), 6))
+    return out
+
+
+def test_incremental_tfidf_equals_global_and_replays(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.sketch import incremental_tfidf
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs, rows = _tf_corpus(spark)
+    store = Store(spark, str(tmp_path / "tfidf"))
+    for lo, hi in ((0, 1), (2, 3), (4, 5)):
+        out, _v = incremental_tfidf(
+            docs.filter(F.col("doc_id").between(lo, hi)), store, _TF_TERMS
+        )
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["tfidf"]) for r in out.collect()
+    }
+    assert got == _py_tfidf(rows, _TF_TERMS)
+    # replay: watermark cuts the batch, state versions unchanged
+    v_stats = store.current_version("tfidf_stats")
+    v_topk = store.current_version("tfidf_topk")
+    out2, v2 = incremental_tfidf(
+        docs.filter(F.col("doc_id").between(4, 5)), store, _TF_TERMS
+    )
+    assert v2 == v_stats
+    assert store.current_version("tfidf_topk") == v_topk
+    got2 = {
+        (r["term"], r["doc_id"]): (r["tf"], r["tfidf"]) for r in out2.collect()
+    }
+    assert got2 == got
+
+
+def test_incremental_tfidf_topk_closure_evicts_correctly(spark, tmp_path):
+    """More hits than k: the maintained top-k must equal the global
+    top-k even when later batches evict earlier candidates."""
+    from efiche_data_pipeline_spark.operators.sketch import incremental_tfidf
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = [(i, " ".join(["join"] * (1 + (i * 7) % 5))) for i in range(12)]
+    docs = _tf_docs(spark, rows)
+    store = Store(spark, str(tmp_path / "evict"))
+    for lo, hi in ((0, 5), (6, 11)):
+        out, _ = incremental_tfidf(
+            docs.filter(F.col("doc_id").between(lo, hi)),
+            store,
+            ("join",),
+            k=3,
+        )
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["tfidf"]) for r in out.collect()
+    }
+    assert got == _py_tfidf(rows, ("join",), k=3)
+
+
+def test_incremental_tfidf_crash_between_commits_converges(spark, tmp_path):
+    """Crash after the (idempotent) top-k commit but before the stats
+    snapshot: the watermark — which travels WITH the df sums in one
+    atomic write — is unmoved, so the retried batch re-merges the
+    top-k (no-op) and completes the stats without double-counting any
+    df."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.sketch import incremental_tfidf
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    class CrashOnStats(Store):
+        armed = False
+
+        def write_version(self, df, table):
+            if self.armed and table == "tfidf_stats":
+                self.armed = False
+                raise RuntimeError("injected crash before stats commit")
+            return super().write_version(df, table)
+
+    docs, rows = _tf_corpus(spark)
+    store = CrashOnStats(spark, str(tmp_path / "crash"))
+    incremental_tfidf(docs.filter(F.col("doc_id") <= 2), store, _TF_TERMS)
+    store.armed = True
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_tfidf(docs.filter(F.col("doc_id") > 2), store, _TF_TERMS)
+    out, _ = incremental_tfidf(docs.filter(F.col("doc_id") > 2), store, _TF_TERMS)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["tfidf"]) for r in out.collect()
+    }
+    assert got == _py_tfidf(rows, _TF_TERMS)
+    # df was not double-counted by the replay
+    dfs = {
+        r["term"]: r["df"]
+        for r in store.read_version("tfidf_stats").collect()
+    }
+    assert dfs == {"join": 4, "vector": 3, "stream": 3}
