@@ -916,3 +916,57 @@ def ivf_index_maintain(
         healed=healed,
         centroid_version=store.current_version(centroid_table),
     )
+
+
+def forget_vectors(
+    store,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    index_table: str = "ivf_cells",
+    kept_table: str = "embdedup_kept_vecs",
+    semdedup_table: str = "semdedup_cells",
+    profile_table: str = "ivf_cell_profile",
+    vacuum: bool = True,
+) -> dict[str, int | None]:
+    """Right-to-be-forgotten for the VECTOR family — the text-side
+    :func:`~..operators.dedup.forget_documents` for embeddings
+    ("forget this user's embeddings" is THE delete use-case for a
+    vector store): one call purges a vec-id set from the streaming
+    kept sink, the IVF cell index, and the SemDeDup cell index, then
+    re-baselines the maintain gate's reference profile to the
+    post-delete histogram so the next intake fold is judged against
+    the corpus that actually remains (without it, a large deletion
+    reads as drift and trips a pointless retrain).
+
+    Deletions use :meth:`Store.delete_keys` — partition-preserving on
+    the hive-partitioned cell stores, so ``ivf_index_query``'s
+    directory-level pruning survives the purge. The assignment marker
+    is untouched: deletion changes WHICH vectors are indexed, never
+    the frozen assignment rule, so no re-assign is needed or run.
+    With ``vacuum=True`` versioned tables are vacuumed to current and
+    the purge is physical. Returns {table: new version or None}.
+    """
+    ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    touched: dict[str, int | None] = {}
+    for table in (kept_table, index_table, semdedup_table):
+        if not (
+            store.exists(table) or store.current_version(table) is not None
+        ):
+            continue
+        touched[table] = store.delete_keys(table, ids, id_col)
+        if vacuum and store.current_version(table) is not None:
+            store.vacuum_versions(table, keep_last=1)
+    if (
+        store.current_version(profile_table) is not None
+        and store.exists(index_table)
+    ):
+        profile = (
+            store.read(index_table)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("c_ref"))
+            .localCheckpoint(eager=True)
+        )
+        touched[profile_table] = store.write_version(profile, profile_table)
+        if vacuum:
+            store.vacuum_versions(profile_table, keep_last=1)
+    return touched

@@ -684,3 +684,66 @@ def test_ivf_maintain_crash_windows_converge(clustered, tmp_path):
             ).collect()
         }
         assert got == want, name
+
+
+def test_forget_vectors_purges_and_rebaselines(clustered, tmp_path):
+    """One forget_vectors call removes the ids from the cell index
+    (partition layout intact — the query path's pruning survives) and
+    re-baselines the maintain gate's reference profile, so a later
+    calm fold neither heals nor alarms; after the built-in vacuum the
+    ids survive in NO parquet file under the store."""
+    import os
+
+    import duckdb
+
+    from efiche_data_pipeline_spark.operators.similarity import (
+        forget_vectors,
+        ivf_index_query,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    maintain, cents_a, _cents_b, folds = _maintain_args(clustered)
+    spark = clustered.sparkSession
+    store = Store(spark, str(tmp_path / "fv"))
+    maintain(folds["seed"], store, centroids=cents_a)
+    maintain(folds["calm"], store)
+    # forget every vector of cluster 3 that is indexed so far
+    gone = {
+        r["vec_id"]
+        for r in clustered.filter(F.col("cluster") == 3).collect()
+    }
+    touched = forget_vectors(
+        store, spark.createDataFrame([(i,) for i in gone], "vec_id long")
+    )
+    assert "ivf_cells" in touched and "ivf_cell_profile" in touched
+    root = store.path("ivf_cells")
+    parts = [d for d in os.listdir(root) if d.startswith("cell_id=")]
+    assert parts  # layout preserved
+    con = duckdb.connect()
+    for walk_root, _, names in os.walk(store.path("")):
+        for n in names:
+            if n.endswith(".parquet") and "ivf_cells" in walk_root:
+                f = os.path.join(walk_root, n)
+                found = {
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT DISTINCT vec_id FROM read_parquet('{f}')"
+                    ).fetchall()
+                }
+                assert not (found & gone), (f, sorted(found & gone))
+    # the query path still prunes partitions post-delete
+    q = clustered.filter(F.col("vec_id") % 25 == 1).limit(3)
+    res = ivf_index_query(store, q, k=3)
+    res.collect()
+    # a later fold matching the POST-DELETE corpus mix (clusters 0-9
+    # minus the forgotten cluster 3) is calm: no heal, no spurious
+    # deletion-as-drift alarm — the re-baselined profile IS the
+    # remaining corpus, which is the point of the refresh
+    calm_after = clustered.filter(
+        (F.col("cluster") < 10)
+        & (F.col("cluster") != 3)
+        & (F.col("vec_id") % 25 >= 18)
+    )
+    r = maintain(calm_after, store)
+    assert not r.healed
+    assert not r.retrained and r.psi is not None and r.psi <= 0.25, r.psi
