@@ -1055,3 +1055,89 @@ def forget_documents(
         if vacuum and store.current_version(table) is not None:
             store.vacuum_versions(table, keep_last=1)
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Intake-time benchmark decontamination: q66's n-gram-overlap check
+# against a PERSISTED benchmark index, scored per batch at ingest.
+# ---------------------------------------------------------------------------
+def seed_benchmark_index(
+    store,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+    index_table: str = "decontam_bench",
+) -> int:
+    """Commit the benchmark's distinct shingle hashes as the
+    decontamination index — run once per benchmark release (the
+    held-out set is FIXED, which is what makes intake-time
+    decontamination trivially incremental: each doc's verdict is a
+    pure function of (doc, index), so batch-by-batch ≡ global q66).
+    The index is tiny (benchmarks are small) and re-seeding is an
+    idempotent overwrite via the versioned store."""
+    gh = (
+        bench_docs.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    return store.write_version(gh, index_table)
+
+
+def incremental_decontamination(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    index_table: str = "decontam_bench",
+    flags_table: str = "decontam_flags",
+) -> DataFrame:
+    """Score each NEW document's n-gram overlap against the persisted
+    benchmark index — q66's contamination check moved to WHERE it
+    belongs at 100 TB: intake time, per batch, instead of a global
+    pass after the corpus is assembled. Returns the batch's flag rows
+    (doc_id, n_overlap_ngrams, contaminated) and appends them id-keyed
+    into ``flags_table``.
+
+    Replay-safe with a SINGLE commit: the flags sink doubles as the
+    watermark (keyed ``append_new``), and there is no second state
+    table to get out of step with — the benchmark index is immutable
+    between releases. Batch-by-batch ≡ global because each verdict
+    depends only on (doc text, fixed index); the registered q123
+    oracle is q66's, verbatim.
+
+    Scale shape: one explode pass over the batch text (hashed 8-byte
+    shingle keys — no n-gram strings on the wire), one join against
+    the broadcast-size benchmark index, one O(batch) aggregate.
+    History text is never touched."""
+    bench = store.read_version(index_table)
+    already = (
+        store.read(flags_table).select(id_col)
+        if store.exists(flags_table)
+        else None
+    )
+    fresh = new_docs.select(id_col, text_col)
+    if already is not None:
+        fresh = fresh.join(already, id_col, "left_anti")
+    sh = fresh.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    overlaps = (
+        sh.join(F.broadcast(bench), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    flags = (
+        fresh.select(id_col)
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n", F.lit(0)).cast("int").alias("n_overlap_ngrams"),
+            (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    store.append_new(flags, flags_table, key=id_col)
+    return flags

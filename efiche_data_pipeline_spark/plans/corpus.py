@@ -3009,6 +3009,60 @@ def q122_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q122_incremental_tfidf"] = ORACLES["q91_tfidf_terms"]
 
 
+# ---------------------------------------------------------------------------
+# Q123 — intake-time benchmark decontamination: q66's n-gram-overlap
+# check moved to WHERE it belongs at 100 TB — per intake batch
+# against a PERSISTED benchmark-shingle index, instead of a global
+# pass after the corpus is assembled.  The held-out set is FIXED, so
+# each doc's verdict is a pure function of (doc, index) and
+# batch-by-batch ≡ global: the oracle is q66's, verbatim.  The flags
+# sink doubles as the replay watermark (single keyed commit — no
+# second state table to get out of step with).
+# Reference anchor: none (beyond-reference tier); batch-global form
+# is q66.
+# ---------------------------------------------------------------------------
+def q123_incremental_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        incremental_decontamination,
+        seed_benchmark_index,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.pmod("doc_id", 20) == 0
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_decontam_")
+    store = Store(spark, tmp_root)
+    try:
+        seed_benchmark_index(store, docs.filter(is_bench))
+        intake = docs.filter(~is_bench)
+        incremental_decontamination(
+            intake.filter(F.col("doc_id") <= split), store
+        )
+        incremental_decontamination(
+            intake.filter(F.col("doc_id") > split), store
+        )
+        return _finish_with_store(store.read("decontam_flags"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _decontam_oracle() -> str:
+    from .extensions import ORACLES as _EXT_ORACLES
+
+    return _EXT_ORACLES["q66_benchmark_decontamination"]
+
+
+ORACLES["q123_incremental_decontamination"] = _decontam_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

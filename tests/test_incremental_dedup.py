@@ -687,3 +687,53 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
     assert {
         r_["doc_id"] for r_ in store.read_version("neardup_labels").collect()
     } == {0, 2}
+
+
+def test_incremental_decontamination_equals_global_and_replays(spark, tmp_path):
+    """Per-batch intake decontamination against the persisted benchmark
+    index equals the one-shot global check (each verdict is a pure
+    function of (doc, fixed index)); replaying a committed batch
+    appends nothing (the flags sink is the keyed watermark)."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_decontamination,
+        seed_benchmark_index,
+    )
+
+    bench = _docs(spark, [(100, _BASE), (101, _OTHER)])
+    intake = _docs(
+        spark,
+        [
+            (0, _BASE),                      # fully contaminated
+            (1, _BASE + " with a new tail after the benchmark text"),
+            (2, _THIRD),                     # clean
+            (3, "too short"),                # shingle-less: clean
+        ],
+    )
+    store = Store(spark, str(tmp_path / "dc"))
+    seed_benchmark_index(store, bench, shingle_n=5)
+    r1 = incremental_decontamination(
+        intake.filter(F.col("doc_id") <= 1), store
+    )
+    r2 = incremental_decontamination(
+        intake.filter(F.col("doc_id") > 1), store
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap_ngrams"], r["contaminated"])
+        for r in store.read("decontam_flags").collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0][1] is True and got[0][0] > 0
+    assert got[1][1] is True  # shares the benchmark prefix
+    assert got[2] == (0, False) and got[3] == (0, False)
+    # batch split is invisible: one-shot run over the union matches
+    store2 = Store(spark, str(tmp_path / "dc2"))
+    seed_benchmark_index(store2, bench, shingle_n=5)
+    incremental_decontamination(intake, store2)
+    assert {
+        r["doc_id"]: (r["n_overlap_ngrams"], r["contaminated"])
+        for r in store2.read("decontam_flags").collect()
+    } == got
+    # replay: nothing appended
+    n = store.read("decontam_flags").count()
+    r3 = incremental_decontamination(intake, store)
+    assert r3.count() == 0 and store.read("decontam_flags").count() == n
