@@ -627,3 +627,117 @@ def tfidf_scores(
         "tf",
         F.round(F.col("tf") * idf, 6).alias("tfidf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental OHLC bars: q98's resample->bar primitive maintained as
+# per-bar state across event batches.
+# ---------------------------------------------------------------------------
+def incremental_ohlc(
+    new_events: DataFrame,
+    store,
+    bar: str = "15 minutes",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bars_table: str = "ohlc_bars",
+) -> tuple[DataFrame, int]:
+    """Maintain per-(bar, type) OHLC/volume state across batches —
+    q98's downsampling as a fold, never rescanning event history.
+    Returns (the q98-shaped result frame, committed version).
+
+    Every component of a bar is an associative merge, which is what
+    makes maintained ≡ one-shot-global exact (the registered q124
+    oracle is q98's, verbatim):
+
+    - ``open``/``close`` carry their (ts, id) ORDER KEY in the state
+      row, so merging two partial bars picks the side with the
+      smaller/larger key — ``min_by``/``max_by`` over a total order
+      is associative and deterministic under equal timestamps;
+    - ``high``/``low`` are MAX/MIN; ``n_events`` a COUNT sum;
+    - ``volume`` is kept as the exact DECIMAL(38,6) partial sum in
+      state (summing doubles would drift across merge orders) and
+      cast to double only at read — the money_sum discipline.
+
+    Replay safety: the state snapshot CARRIES the max event id folded
+    so far; the batch is cut to ``id_col > watermark`` and the sums
+    commit atomically WITH the watermark in one ``write_version`` —
+    the same single-commit discipline as incremental_tfidf's stats.
+    The monotone-id contract is the family's usual one (reference:
+    etl_pipeline.py:125-132 consumes strictly-new rows); late events
+    with reused lower ids are the caller's upstream dedup problem.
+
+    Scale shape: one map-side pass over the batch, one exchange on
+    the (bar, type) key of the BATCH only, then a merge against the
+    ≤ |bars| state rows — at 100 TB the state is bounded by the
+    calendar, not the corpus.
+    """
+    from ..functions.numeric import MONEY_DECIMAL
+
+    cur = store.current_version(bars_table)
+    state = store.read_version(bars_table) if cur is not None else None
+    fresh = new_events
+    if state is not None:
+        fresh = fresh.filter(F.col(id_col) > state.first()["max_event_id"])
+    n_mx = fresh.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("mx")
+    ).first()
+    if n_mx["n"] == 0:
+        if cur is None:
+            raise ValueError(
+                "incremental_ohlc: no state and an empty first batch — "
+                "seed with a non-empty batch"
+            )
+        return ohlc_bars_result(store, bars_table), cur
+    order_key = F.struct(ts_col, id_col)
+    pick = F.struct(value_col, ts_col, id_col)
+    delta = fresh.groupBy(
+        F.date_format(
+            F.window(ts_col, bar)["start"], "yyyy-MM-dd HH:mm:ss"
+        ).alias("bar_start"),
+        F.col(type_col).alias("event_type"),
+    ).agg(
+        F.min_by(pick, order_key).alias("o"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(pick, order_key).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col).cast(MONEY_DECIMAL))
+        .cast(MONEY_DECIMAL)
+        .alias("volume_dec"),
+    )
+    if state is not None:
+        delta = state.drop("max_event_id").unionByName(delta)
+    okey = F.struct(F.col("o")[ts_col].alias("ts"), F.col("o")[id_col].alias("id"))
+    ckey = F.struct(F.col("c")[ts_col].alias("ts"), F.col("c")[id_col].alias("id"))
+    merged = (
+        delta.groupBy("bar_start", "event_type")
+        .agg(
+            F.min_by("o", okey).alias("o"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("c", ckey).alias("c"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("volume_dec").cast(MONEY_DECIMAL).alias("volume_dec"),
+        )
+        .withColumn("max_event_id", F.lit(n_mx["mx"]).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    version = store.write_version(merged, bars_table)
+    return ohlc_bars_result(store, bars_table), version
+
+
+def ohlc_bars_result(store, bars_table: str = "ohlc_bars") -> DataFrame:
+    """The q98-shaped view of the maintained bar state."""
+    s = store.read_version(bars_table)
+    return s.select(
+        "bar_start",
+        "event_type",
+        F.col("o")["value"].alias("open"),
+        "high",
+        "low",
+        F.col("c")["value"].alias("close"),
+        "n_events",
+        F.col("volume_dec").cast("double").alias("volume"),
+    )

@@ -3063,6 +3063,45 @@ def _decontam_oracle() -> str:
 ORACLES["q123_incremental_decontamination"] = _decontam_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q124 — incremental OHLC bars: q98's resample→bar downsampling
+# maintained as per-(bar, type) state across three event folds.
+# open/close carry their (ts, id) order key in the state row so
+# partial-bar merges are associative and deterministic; volume is the
+# exact DECIMAL partial sum (cast to double only at read); the sums
+# commit atomically WITH the monotone-id watermark.  Maintained ≡
+# one-shot global, so the oracle is q98's, verbatim.
+# Reference anchor: none (beyond-reference tier); batch-global form
+# is q98.
+# ---------------------------------------------------------------------------
+def q124_incremental_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_ohlc
+    from ..pipeline.store import Store
+
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incohlc_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_ohlc(e.filter(F.col("event_id") <= c1), store)
+        incremental_ohlc(
+            e.filter(F.col("event_id").between(c1 + 1, c2)), store
+        )
+        out, _ = incremental_ohlc(e.filter(F.col("event_id") > c2), store)
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q124_incremental_ohlc"] = ORACLES["q98_ohlc_bars"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -560,3 +560,88 @@ def test_incremental_tfidf_crash_between_commits_converges(spark, tmp_path):
         for r in store.read_version("tfidf_stats").collect()
     }
     assert dfs == {"join": 4, "vector": 3, "stream": 3}
+
+
+# ---------------------------------------------------------------------------
+# Incremental OHLC bars (q124).
+# ---------------------------------------------------------------------------
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+
+
+def _ohlc_rows():
+    from datetime import datetime as dt
+
+    # two 15-min bars, one type; equal-timestamp tie inside bar 1
+    return [
+        (0, dt(2024, 1, 1, 10, 1), "click", 5.0),
+        (1, dt(2024, 1, 1, 10, 4), "click", 9.0),
+        (2, dt(2024, 1, 1, 10, 4), "click", 2.0),   # same ts as id 1
+        (3, dt(2024, 1, 1, 10, 14), "click", 7.0),
+        (4, dt(2024, 1, 1, 10, 20), "click", 3.0),
+        (5, dt(2024, 1, 1, 10, 25), "click", 8.0),
+    ]
+
+
+def test_incremental_ohlc_equals_global_and_replays(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.sketch import incremental_ohlc
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = _ohlc_rows()
+    ev = _ev(spark, rows)
+    # global: one fold over everything
+    g_store = Store(spark, str(tmp_path / "g"))
+    g_out, _ = incremental_ohlc(ev, g_store)
+    want = {
+        (r["bar_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"],
+            r["volume"],
+        )
+        for r in g_out.collect()
+    }
+    # the tie at 10:04 resolves by event_id: open of bar 1 is id 0's 5.0
+    b1 = [v for k, v in want.items() if "10:00" in k[0]][0]
+    assert b1 == (5.0, 9.0, 2.0, 7.0, 4, 23.0)
+    # incremental: split MID-BAR so partial bars must merge
+    store = Store(spark, str(tmp_path / "i"))
+    for lo, hi in ((0, 1), (2, 4), (5, 5)):
+        out, _ = incremental_ohlc(
+            ev.filter(F.col("event_id").between(lo, hi)), store
+        )
+    got = {
+        (r["bar_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"],
+            r["volume"],
+        )
+        for r in out.collect()
+    }
+    assert got == want
+    # replay: watermark cuts everything, version unchanged
+    v = store.current_version("ohlc_bars")
+    out2, v2 = incremental_ohlc(ev, store)
+    assert v2 == v
+    assert {
+        (r["bar_start"], r["event_type"]) for r in out2.collect()
+    } == set(want)
+
+
+def test_incremental_ohlc_merge_prefers_order_key_not_value(spark, tmp_path):
+    """A later batch carrying an EARLIER-keyed event in the same bar
+    must take over the open — the merge picks by (ts, id) order key,
+    never by which batch arrived first. (Requires ids monotone overall
+    but ts order differing within the bar.)"""
+    from datetime import datetime as dt
+
+    from efiche_data_pipeline_spark.operators.sketch import incremental_ohlc
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    store = Store(spark, str(tmp_path / "ok"))
+    b1 = _ev(spark, [(0, dt(2024, 1, 1, 10, 5), "click", 4.0)])
+    b2 = _ev(spark, [(1, dt(2024, 1, 1, 10, 2), "click", 6.0)])
+    incremental_ohlc(b1, store)
+    out, _ = incremental_ohlc(b2, store)
+    r = out.first()
+    assert r["open"] == 6.0 and r["close"] == 4.0  # keyed by ts, not batch
+    assert r["n_events"] == 2 and r["volume"] == 10.0
