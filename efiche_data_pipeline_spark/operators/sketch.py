@@ -741,3 +741,122 @@ def ohlc_bars_result(store, bars_table: str = "ohlc_bars") -> DataFrame:
         "n_events",
         F.col("volume_dec").cast("double").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental per-source corpus-health rollup: q68 maintained as
+# state across intake batches.
+# ---------------------------------------------------------------------------
+def incremental_source_rollup(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    fp_table: str = "rollup_fp",
+    lang_table: str = "rollup_lang",
+    scalar_table: str = "rollup_scalars",
+) -> tuple[DataFrame, int]:
+    """Maintain q68's per-source corpus-health dashboard (volume,
+    exact-dup count, language spread, token mass, decimal-exact mean
+    quality) across batches, never rescanning history text. Returns
+    (the q68-shaped rollup, committed scalar version).
+
+    State, each piece with an exact merge property:
+
+    - ``fp_table`` — the DISTINCT (source, md5-fingerprint) pairs
+      (set-union keyed append: idempotent; O(distinct docs) 48-byte
+      rows — the same posture as the dedup indexes, and exactly the
+      state an exact dup-rate requires);
+    - ``lang_table`` — the distinct (source, lang) pairs (tiny);
+    - ``scalar_table`` — per-source associative sums (n_docs,
+      total_tokens, quality sum as DECIMAL — float addition would
+      drift across merge orders) committed atomically WITH the
+      monotone-id watermark (the incremental_tfidf discipline).
+
+    Write order: set-union tables first (idempotent under replay),
+    the scalar snapshot — which gates the fold — LAST; every crash
+    window between them replays to convergence. Maintained ≡ one-shot
+    global q68, which is what the registered q125 oracle (q68's SQL,
+    verbatim) checks.
+    """
+    from ..functions.text import quality_score_raw, token_count
+
+    cur = store.current_version(scalar_table)
+    state = store.read_version(scalar_table) if cur is not None else None
+    fresh = new_docs
+    if state is not None:
+        fresh = fresh.filter(F.col(id_col) > state.first()["max_doc_id"])
+    feat = fresh.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.md5(text_col).alias("fp"),
+        token_count(text_col).alias("_nt"),
+        quality_score_raw(text_col).cast("decimal(28,12)").alias("_q"),
+    ).localCheckpoint(eager=True)
+    n_mx = feat.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("mx")
+    ).first()
+    if n_mx["n"] == 0:
+        if cur is None:
+            raise ValueError(
+                "incremental_source_rollup: no state and an empty first "
+                "batch — seed with a non-empty batch"
+            )
+        return source_rollup_result(store, fp_table, lang_table, scalar_table), cur
+    # set-union tables FIRST (idempotent)
+    for table, cols in ((fp_table, ["source", "fp"]), (lang_table, ["source", "lang"])):
+        batch_pairs = feat.select(*cols).distinct()
+        if store.exists(table):
+            batch_pairs = batch_pairs.join(store.read(table), cols, "left_anti")
+        store.append(batch_pairs.localCheckpoint(eager=True), table)
+    # scalar snapshot LAST — sums + watermark in one atomic commit
+    delta = feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.sum("_q").cast("decimal(38,12)").alias("q_sum"),
+    )
+    if state is not None:
+        delta = state.drop("max_doc_id").unionByName(delta)
+        delta = delta.groupBy("source").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("q_sum").cast("decimal(38,12)").alias("q_sum"),
+        )
+    scalars = delta.withColumn(
+        "max_doc_id", F.lit(n_mx["mx"]).cast("long")
+    ).localCheckpoint(eager=True)
+    version = store.write_version(scalars, scalar_table)
+    return source_rollup_result(store, fp_table, lang_table, scalar_table), version
+
+
+def source_rollup_result(
+    store,
+    fp_table: str = "rollup_fp",
+    lang_table: str = "rollup_lang",
+    scalar_table: str = "rollup_scalars",
+) -> DataFrame:
+    """Assemble the q68-shaped rollup from the persisted state."""
+    scalars = store.read_version(scalar_table)
+    n_fp = store.read(fp_table).groupBy("source").agg(
+        F.count(F.lit(1)).alias("_nfp")
+    )
+    n_lang = store.read(lang_table).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        scalars.join(n_fp, "source")
+        .join(n_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.col("_nfp")).cast("int").alias("n_exact_dups"),
+            "n_langs",
+            "total_tokens",
+            F.round(
+                (F.col("q_sum") / F.col("n_docs")).cast("double"), 4
+            ).alias("mean_quality"),
+        )
+    )

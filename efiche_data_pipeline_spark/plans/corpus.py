@@ -3102,6 +3102,55 @@ def q124_incremental_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q124_incremental_ohlc"] = ORACLES["q98_ohlc_bars"]
 
 
+# ---------------------------------------------------------------------------
+# Q125 — incremental per-source corpus-health rollup: q68's dashboard
+# (volume, exact-dup count, language spread, token mass, decimal-exact
+# mean quality) maintained across three intake folds.  Distinct
+# (source, fp)/(source, lang) sets ride idempotent keyed appends —
+# exactly the state an EXACT dup rate requires — and the per-source
+# sums commit atomically WITH the monotone-id watermark.  Maintained ≡
+# one-shot global, so the oracle is q68's, verbatim.
+# Reference anchor: none (beyond-reference tier); batch-global form is
+# q68.
+# ---------------------------------------------------------------------------
+def q125_incremental_source_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_source_rollup
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incrollup_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_source_rollup(docs.filter(F.col("doc_id") <= c1), store)
+        incremental_source_rollup(
+            docs.filter(F.col("doc_id").between(c1 + 1, c2)), store
+        )
+        out, _ = incremental_source_rollup(
+            docs.filter(F.col("doc_id") > c2), store
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _rollup_oracle() -> str:
+    from .extensions import ORACLES as _EXT_ORACLES
+
+    return _EXT_ORACLES["q68_source_quality_rollup"]
+
+
+ORACLES["q125_incremental_source_rollup"] = _rollup_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

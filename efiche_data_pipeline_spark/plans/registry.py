@@ -52,15 +52,16 @@ ORACLES: dict[str, str] = {
 #   1. round-7 additions (no driver row yet by definition): q120 (the
 #      drift-gated IVF lifecycle), q121 (forget_documents
 #      compliance), q122 (incremental TF-IDF), q123 (intake-time
-#      decontamination), q124 (incremental OHLC bars);
+#      decontamination), q124 (incremental OHLC bars), q125 (incremental
+#      source-health rollup);
 #   2. the 19 queries whose newest driver row dates from r04 (q22,
 #      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
 #      3 rounds;
 #   3. the oldest r05-green queries (incremental tier q101-q109
 #      first — the flagship family — then the warehouse builds and
-#      the relational core; q15-q17 land at positions 51-53, just
+#      the relational core; q14-q17 land at positions 51-54, just
 #      past the window, and front round 8 with the rest).
-# The r05-green remainder (q15-q25, q52-q67) ages to 2 rounds and
+# The r05-green remainder (q14-q25, q52-q67) ages to 2 rounds and
 # fronts the round-8 rotation; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
@@ -70,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q122_incremental_tfidf",
     "q123_incremental_decontamination",
     "q124_incremental_ohlc",
+    "q125_incremental_source_rollup",
     # r04-stale rows (VERDICT r06 Next #3, refresh first):
     "q22_brand_volume_mv",
     "q24_exact_dedup_docs",

@@ -645,3 +645,68 @@ def test_incremental_ohlc_merge_prefers_order_key_not_value(spark, tmp_path):
     r = out.first()
     assert r["open"] == 6.0 and r["close"] == 4.0  # keyed by ts, not batch
     assert r["n_events"] == 2 and r["volume"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# Incremental per-source rollup (q125).
+# ---------------------------------------------------------------------------
+def test_incremental_source_rollup_equals_global_replays_and_survives_crash(
+    spark, tmp_path
+):
+    """Split-by-batch rollup equals the one-fold global; replay is cut
+    by the watermark; a crash between the set-union commits and the
+    scalar snapshot replays to convergence (no double-counted sums,
+    no duplicated fp rows)."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_source_rollup,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    text = lambda i: " ".join(
+        ["the", "a", "of"][: 1 + i % 3] + [f"w{j}" for j in range(5 + i % 7)]
+    )
+    rows = [
+        (i, text(i), "en" if i % 3 else "de", "web" if i % 2 else "books")
+        for i in range(24)
+    ] + [(24, text(4), "en", "books")]  # exact dup of doc 4 (books too)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    def snap(df):
+        return {r["source"]: tuple(r)[1:] for r in df.collect()}
+
+    g_store = Store(spark, str(tmp_path / "g"))
+    g_out, _ = incremental_source_rollup(docs, g_store)
+    want = snap(g_out)
+    assert any(r[1] > 0 for r in want.values())  # the planted dup counted
+
+    store = Store(spark, str(tmp_path / "i"))
+    for lo, hi in ((0, 9), (10, 17), (18, 24)):
+        out, _ = incremental_source_rollup(
+            docs.filter(F.col("doc_id").between(lo, hi)), store
+        )
+    assert snap(out) == want
+    # replay: watermark cuts everything
+    v = store.current_version("rollup_scalars")
+    out2, v2 = incremental_source_rollup(docs, store)
+    assert v2 == v and snap(out2) == want
+
+    class CrashOnScalars(Store):
+        armed = False
+
+        def write_version(self, df, table):
+            if self.armed and table == "rollup_scalars":
+                self.armed = False
+                raise RuntimeError("injected crash before scalar commit")
+            return super().write_version(df, table)
+
+    cstore = CrashOnScalars(spark, str(tmp_path / "c"))
+    incremental_source_rollup(docs.filter(F.col("doc_id") <= 9), cstore)
+    cstore.armed = True
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_source_rollup(docs.filter(F.col("doc_id") > 9), cstore)
+    out3, _ = incremental_source_rollup(docs.filter(F.col("doc_id") > 9), cstore)
+    assert snap(out3) == want
