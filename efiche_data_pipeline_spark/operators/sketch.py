@@ -860,3 +860,62 @@ def source_rollup_result(
             ).alias("mean_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental weekly retention: q73 maintained on a (user, week)
+# activity set.
+# ---------------------------------------------------------------------------
+def incremental_retention(
+    new_events: DataFrame,
+    store,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    activity_table: str = "retention_user_weeks",
+) -> DataFrame:
+    """Maintain q73's weekly-retention dashboard across event batches.
+    The ONLY state is the distinct (user, week) activity set — the
+    minimal sufficient statistic for cohort retention — folded with an
+    idempotent keyed append (set union: replaying a batch adds
+    nothing, so there is no watermark and no crash window; ONE commit
+    per fold). n_active / n_retained / retention_rate all derive from
+    the set at read, so maintained ≡ one-shot global by set-union
+    associativity — the registered q126 oracle is q73's, verbatim.
+
+    Scale shape: one map-side (user, week) projection + distinct per
+    batch, one anti-join against the stored set on the composite key
+    (both sides 16-byte rows), appends O(batch); the report is two
+    bounded ≤ |weeks|-row aggregates over a self-semi-join of the
+    set. State is O(distinct user-weeks) — the same posture as the
+    dedup indexes, and irreducible for exact retention."""
+    uw = new_events.select(
+        F.col(user_col).alias("user_id"),
+        F.floor(F.unix_date(F.col(ts_col).cast("date")) / 7).alias("week"),
+    ).distinct()
+    if store.exists(activity_table):
+        uw = uw.join(
+            store.read(activity_table), ["user_id", "week"], "left_anti"
+        )
+    store.append(uw.localCheckpoint(eager=True), activity_table)
+    return retention_result(store, activity_table)
+
+
+def retention_result(
+    store, activity_table: str = "retention_user_weeks"
+) -> DataFrame:
+    """The q73-shaped report derived from the activity set."""
+    uw = store.read(activity_table)
+    nxt = uw.select("user_id", (F.col("week") - 1).alias("week"))
+    retained = uw.join(nxt, ["user_id", "week"], "left_semi")
+    active = uw.groupBy("week").agg(F.count(F.lit(1)).alias("n_active"))
+    ret = retained.groupBy("week").agg(F.count(F.lit(1)).alias("n_retained"))
+    return active.join(ret, "week", "left").select(
+        "week",
+        "n_active",
+        F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        F.round(
+            F.coalesce("n_retained", F.lit(0)).cast("double")
+            / F.col("n_active"),
+            4,
+        ).alias("retention_rate"),
+    )

@@ -3151,6 +3151,50 @@ def _rollup_oracle() -> str:
 ORACLES["q125_incremental_source_rollup"] = _rollup_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q126 — incremental weekly retention: q73's cohort dashboard
+# maintained on the distinct (user, week) activity set across three
+# event folds.  Set union is idempotent-associative and the only
+# commit per fold, so there is no watermark and no crash window at
+# all; the report derives from the set at read.  Maintained ≡ one-shot
+# global; the oracle is q73's, verbatim.
+# Reference anchor: none (beyond-reference tier); batch-global form is
+# q73.
+# ---------------------------------------------------------------------------
+def q126_incremental_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_retention
+    from ..pipeline.store import Store
+
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incret_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_retention(e.filter(F.col("event_id") <= c1), store)
+        incremental_retention(
+            e.filter(F.col("event_id").between(c1 + 1, c2)), store
+        )
+        out = incremental_retention(e.filter(F.col("event_id") > c2), store)
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _retention_oracle() -> str:
+    from .extensions import ORACLES as _EXT_ORACLES
+
+    return _EXT_ORACLES["q73_weekly_retention"]
+
+
+ORACLES["q126_incremental_retention"] = _retention_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -53,15 +53,15 @@ ORACLES: dict[str, str] = {
 #      drift-gated IVF lifecycle), q121 (forget_documents
 #      compliance), q122 (incremental TF-IDF), q123 (intake-time
 #      decontamination), q124 (incremental OHLC bars), q125 (incremental
-#      source-health rollup);
+#      source-health rollup), q126 (incremental retention);
 #   2. the 19 queries whose newest driver row dates from r04 (q22,
 #      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
 #      3 rounds;
 #   3. the oldest r05-green queries (incremental tier q101-q109
 #      first — the flagship family — then the warehouse builds and
-#      the relational core; q14-q17 land at positions 51-54, just
+#      the relational core; q13-q17 land at positions 51-55, just
 #      past the window, and front round 8 with the rest).
-# The r05-green remainder (q14-q25, q52-q67) ages to 2 rounds and
+# The r05-green remainder (q13-q25, q52-q67) ages to 2 rounds and
 # fronts the round-8 rotation; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "q123_incremental_decontamination",
     "q124_incremental_ohlc",
     "q125_incremental_source_rollup",
+    "q126_incremental_retention",
     # r04-stale rows (VERDICT r06 Next #3, refresh first):
     "q22_brand_volume_mv",
     "q24_exact_dedup_docs",

@@ -710,3 +710,41 @@ def test_incremental_source_rollup_equals_global_replays_and_survives_crash(
         incremental_source_rollup(docs.filter(F.col("doc_id") > 9), cstore)
     out3, _ = incremental_source_rollup(docs.filter(F.col("doc_id") > 9), cstore)
     assert snap(out3) == want
+
+
+def test_incremental_retention_equals_global_and_replays(spark, tmp_path):
+    """Fold-split retention equals the one-shot report; replaying a
+    committed batch appends nothing (set union — the single-commit,
+    no-watermark member of the family)."""
+    from datetime import datetime as dt
+
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_retention,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = []
+    eid = 0
+    # users 0-5 active week 0; 0-2 return week 1; 0 returns week 2
+    for week, users in ((0, range(6)), (1, range(3)), (2, range(1))):
+        for u in users:
+            rows.append((eid, u, dt(2024, 1, 1 + 7 * week, 12, 0)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    snap = lambda df: {r["week"]: tuple(r)[1:] for r in df.collect()}
+    g = Store(spark, str(tmp_path / "g"))
+    want = snap(incremental_retention(ev, g))
+    weeks = sorted(want)
+    assert want[weeks[0]][:2] == (6, 3) and want[weeks[1]][:2] == (3, 1)
+    store = Store(spark, str(tmp_path / "i"))
+    for lo, hi in ((0, 4), (5, 7), (8, 9)):
+        out = incremental_retention(
+            ev.filter(F.col("event_id").between(lo, hi)), store
+        )
+    assert snap(out) == want
+    n = store.read("retention_user_weeks").count()
+    out2 = incremental_retention(ev, store)  # full replay
+    assert store.read("retention_user_weeks").count() == n
+    assert snap(out2) == want
