@@ -1141,3 +1141,139 @@ def incremental_decontamination(
     )
     store.append_new(flags, flags_table, key=id_col)
     return flags
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (boilerplate) dedup: content-defined chunk decomposition
+# shared by the batch report (plans/corpus.py q127) and the maintained
+# index (q128).
+# ---------------------------------------------------------------------------
+def content_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = 16,
+) -> DataFrame:
+    """Decompose documents into content-defined chunks (q93's FastCDC
+    rule at word granularity: a boundary falls after any word whose
+    portable hash ≡ 0 mod ``mod``), returning one row per chunk:
+    ``(id_col, chunk_id, chunk_fp, n_tokens)`` with ``chunk_fp =
+    md5(chunk text)``. Content-anchored boundaries are what make
+    chunk fingerprints comparable ACROSS documents — an inserted
+    sentence shifts only the chunks it touches, so shared boilerplate
+    keeps identical fingerprints wherever it appears.
+
+    Scale shape (the q83/q93 discipline): the token explode is
+    map-side; ONE exchange (hash partition on ``id_col``) feeds the
+    boundary prefix-sum window and the per-chunk fold, reusing the
+    same sort. Output is O(tokens/mod) narrow rows — doc text never
+    appears downstream, only 32-char fingerprints.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    flag = (F.pmod(portable_hash60("tok"), F.lit(mod)) == 0).cast("long")
+    prev = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum(flag).over(prev), F.lit(0)).cast("long")
+    )
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chunk_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+
+
+def boilerplate_report(
+    chunks: DataFrame, id_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Per-document boilerplate-removal report over a chunk
+    decomposition (the CCNet/RefinedWeb "drop paragraphs repeated
+    across the corpus" pass, re-expressed over content-defined chunks
+    because this corpus has no newline structure): a chunk is
+    boilerplate when its fingerprint occurs in ≥ ``min_docs`` DISTINCT
+    documents. Returns ``(id_col, n_chunks, n_boiler, kept_tokens,
+    removed_tokens, cleaned_fp)`` where ``cleaned_fp`` is the md5 of
+    the kept chunk fingerprints joined in chunk order — the identity
+    of the cleaned document without ever re-materializing its text
+    (md5('') for a fully-boilerplate doc).
+
+    Scale shape: one exchange on the 32-char fingerprint for the
+    distinct-doc count, one shuffle join back (both sides are compact
+    chunk rows — never text), one exchange on ``id_col`` for the
+    per-doc fold. No window, no driver-side state.
+    """
+    counts = chunks.groupBy("chunk_fp").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    boiler = F.col("n_docs") >= min_docs
+    kept_fp = F.when(~boiler, F.struct(F.col("chunk_id"), F.col("chunk_fp")))
+    return (
+        chunks.join(counts, "chunk_fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(boiler.cast("int")).cast("int").alias("n_boiler"),
+            F.sum(F.when(boiler, F.lit(0)).otherwise(F.col("n_tokens")))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(F.when(boiler, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_fp)),
+                        lambda s: s["chunk_fp"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_fp"),
+        )
+    )
+
+
+def incremental_chunk_index(
+    new_docs: DataFrame,
+    store,
+    table: str = "chunk_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = 16,
+) -> int:
+    """Fold a batch's content-defined chunk decomposition into the
+    persisted chunk index and return the number of NEW documents
+    folded. The index holds ``(id, chunk_id, chunk_fp, n_tokens)`` —
+    ~48 bytes per chunk, no text — so the boilerplate report
+    (:func:`boilerplate_report` over ``store.read(table)``) and any
+    other chunk-level analysis read compact rows, while raw document
+    text is chunked exactly ONCE, on the batch that introduces it.
+
+    Replay discipline: a document's chunks commit together in one
+    id-keyed append (anti-join against the stored ids — the set-union
+    idiom), so the fold is idempotent, needs no separate watermark,
+    and has NO crash window at all. The decomposition is a pure
+    per-document function, so maintained state ≡ the global
+    decomposition regardless of batching — which is why q128's oracle
+    is q127's, verbatim.
+    """
+    chunks = content_chunks(new_docs, id_col, text_col, mod)
+    if store.exists(table):
+        seen = store.read(table).select(id_col).distinct()
+        chunks = chunks.join(seen, id_col, "left_anti")
+    chunks = chunks.localCheckpoint(eager=True)
+    n_new = chunks.select(id_col).distinct().count()
+    if n_new:
+        store.append(chunks, table)
+    return n_new

@@ -3195,6 +3195,229 @@ def _retention_oracle() -> str:
 ORACLES["q126_incremental_retention"] = _retention_oracle()
 
 
+
+# ---------------------------------------------------------------------------
+# Q127 — corpus-level boilerplate removal (the CCNet/RefinedWeb "drop
+# paragraphs repeated across documents" pass): documents decompose
+# into q93's content-defined chunks, a chunk is boilerplate when its
+# fingerprint occurs in >= _BOILER_MIN_DOCS DISTINCT documents, and
+# each document reports its kept/removed token mass plus the md5 of
+# its kept chunk fingerprints in chunk order — the cleaned document's
+# identity without re-materializing text. Content-anchored boundaries
+# (not fixed windows) are what let the same boilerplate passage
+# fingerprint identically wherever it lands in a page.
+# Scale shape: one exchange on doc_id (chunk assembly window), one on
+# the 32-char fp (distinct-doc count + join-back), one on doc_id for
+# the report — all over compact chunk rows; text never shuffles.
+# Reference anchor: none (beyond-reference LLM-pipeline tier).
+# ---------------------------------------------------------------------------
+_BOILER_MIN_DOCS = 2
+
+
+def q127_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import boilerplate_report, content_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = content_chunks(docs, "doc_id", "text", mod=_CDC_MOD)
+    return boilerplate_report(chunks, "doc_id", min_docs=_BOILER_MIN_DOCS)
+
+
+# The chunk-decomposition CTE chain (q93's oracle, re-used), extended
+# with the per-fp distinct-doc count and the per-doc report.
+def _boiler_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS tok
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+          FROM documents),
+         UNNEST(range(1, length(t) + 1)) AS u(i)
+),
+fl AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN {oracle_hash60('tok')} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END
+               AS f
+    FROM toks
+),
+ch AS (
+    SELECT doc_id, pos, tok,
+           COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS chunk_id
+    FROM fl
+),
+agg AS (
+    SELECT doc_id, chunk_id,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM ch
+    GROUP BY 1, 2
+),
+cnt AS (
+    SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs FROM agg GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_chunks,
+       CAST(SUM(CASE WHEN n_docs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_boiler,
+       CAST(SUM(CASE WHEN n_docs >= {_BOILER_MIN_DOCS} THEN 0 ELSE n_tokens END)
+            AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN n_docs >= {_BOILER_MIN_DOCS} THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS removed_tokens,
+       md5(COALESCE(string_agg(
+               CASE WHEN n_docs < {_BOILER_MIN_DOCS} THEN chunk_fp END,
+               ' ' ORDER BY chunk_id), '')) AS cleaned_fp
+FROM agg a JOIN cnt USING (chunk_fp)
+GROUP BY 1
+"""
+
+
+ORACLES["q127_boilerplate_removal"] = _boiler_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q128 — INCREMENTAL boilerplate removal
+# (operators/dedup.py:incremental_chunk_index): the chunk
+# decomposition is a PURE per-document function, so maintaining the
+# (id, chunk_id, chunk_fp, n_tokens) index batch-by-batch — one
+# id-keyed idempotent append per fold, no watermark, no crash window —
+# yields EXACTLY the global decomposition, and the report derived from
+# the index at read equals the one-shot q127. Raw text is chunked
+# once, on the batch that introduces it; the report (and any re-run
+# with a raised min_docs) touches only ~48-byte chunk rows. The
+# oracle is q127's, verbatim.
+# Reference anchor: none (beyond-reference tier); batch-global form is
+# q127.
+# ---------------------------------------------------------------------------
+def q128_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import boilerplate_report, incremental_chunk_index
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incboiler_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_chunk_index(
+            docs.filter(F.col("doc_id") <= split), store, mod=_CDC_MOD
+        )
+        n2 = incremental_chunk_index(
+            docs.filter(F.col("doc_id") > split), store, mod=_CDC_MOD
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must introduce documents")
+        report = boilerplate_report(
+            store.read("chunk_index"), "doc_id", min_docs=_BOILER_MIN_DOCS
+        )
+        return _finish_with_store(report, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q128_incremental_boilerplate"] = ORACLES["q127_boilerplate_removal"]
+
+
+# ---------------------------------------------------------------------------
+# Q129 — near-dup cluster REPRESENTATIVE selection: q57's connected
+# components (min-label propagation over the rare-shingle candidate
+# graph) composed with q32's quality score — each cluster keeps its
+# HIGHEST-quality member (ties by smallest id), which is what
+# production dedup actually ships: the keeper should be the best
+# member, not the one with the smallest id. Docs in no pair are their
+# own singleton cluster and always kept.
+# Scale shape: the pair/component machinery is q57's (frequency-capped
+# blocking, bulk-iteration components); the selection adds ONE window
+# exchange on component_id over (id, quality) rows.
+# Reference anchor: none (beyond-reference tier); builds on q57 + q32.
+# ---------------------------------------------------------------------------
+def q129_neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score_raw
+    from ..operators.dedup import dedup_components, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, max_freq=20, min_shared=2)
+    comp = dedup_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    labeled = (
+        docs.select(
+            "doc_id", F.round(quality_score_raw("text"), 4).alias("quality_score")
+        )
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "component_id",
+            F.coalesce("component", F.col("doc_id")).cast("long"),
+        )
+        .drop("component")
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    rep = F.first("doc_id").over(w)
+    return labeled.select(
+        "doc_id",
+        "component_id",
+        "quality_score",
+        rep.alias("rep_doc"),
+        (F.col("doc_id") == rep).cast("int").alias("kept"),
+    )
+
+
+def _rep_oracle() -> str:
+    from ..functions.text import LANG_STOPWORDS
+    from .extensions import _SHINGLE_PAIR_CTES
+
+    stop_sql = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+qual AS (
+    SELECT doc_id,
+           ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0), 4)
+               AS quality_score
+    FROM (
+        SELECT doc_id,
+               length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+               length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t IN ({stop_sql}))) AS n_stop
+        FROM documents
+    )
+),
+labeled AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+           q.quality_score
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    JOIN qual q USING (doc_id)
+)
+SELECT doc_id, component_id, quality_score,
+       CAST(first_value(doc_id) OVER w AS BIGINT) AS rep_doc,
+       CAST(CASE WHEN doc_id = first_value(doc_id) OVER w
+                 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM labeled
+WINDOW w AS (PARTITION BY component_id
+             ORDER BY quality_score DESC, doc_id)
+"""
+
+
+ORACLES["q129_neardup_representatives"] = _rep_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

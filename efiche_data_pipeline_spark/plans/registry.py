@@ -53,13 +53,15 @@ ORACLES: dict[str, str] = {
 #      drift-gated IVF lifecycle), q121 (forget_documents
 #      compliance), q122 (incremental TF-IDF), q123 (intake-time
 #      decontamination), q124 (incremental OHLC bars), q125 (incremental
-#      source-health rollup), q126 (incremental retention);
+#      source-health rollup), q126 (incremental retention), q127
+#      (corpus boilerplate removal), q128 (its incremental twin),
+#      q129 (near-dup cluster representatives);
 #   2. the 19 queries whose newest driver row dates from r04 (q22,
 #      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
 #      3 rounds;
 #   3. the oldest r05-green queries (incremental tier q101-q109
 #      first — the flagship family — then the warehouse builds and
-#      the relational core; q13-q17 land at positions 51-55, just
+#      the relational core; q10-q17 land at positions 51-58, just
 #      past the window, and front round 8 with the rest).
 # The r05-green remainder (q13-q25, q52-q67) ages to 2 rounds and
 # fronts the round-8 rotation; every rotated-out query keeps its
@@ -73,6 +75,9 @@ _DRIVER_PRIORITY = [
     "q124_incremental_ohlc",
     "q125_incremental_source_rollup",
     "q126_incremental_retention",
+    "q127_boilerplate_removal",
+    "q128_incremental_boilerplate",
+    "q129_neardup_representatives",
     # r04-stale rows (VERDICT r06 Next #3, refresh first):
     "q22_brand_volume_mv",
     "q24_exact_dedup_docs",
