@@ -1013,16 +1013,18 @@ def forget_documents(
     scores_table: str = "novelty_scores",
     introducer_table: str = "shingle_introducer",
     labels_table: str = "neardup_labels",
+    chunk_table: str = "chunk_index",
     vacuum: bool = True,
 ) -> dict[str, int | None]:
     """Purge a set of document ids from EVERY table the dedup family
     maintains about them — the composed GDPR operation a corpus store
     actually needs ("forget these users' documents" touches the kept
     sink, the MinHash signature index, the novelty scores, the
-    component labels, AND the introducer index's first_doc credits;
-    forgetting from one table while the others still name the id is
-    not forgetting). Tables that don't exist are skipped, so one call
-    serves any subset of the family.
+    component labels, the chunk decomposition index, AND the
+    introducer index's first_doc credits; forgetting from one table
+    while the others still name the id is not forgetting). Tables
+    that don't exist are skipped, so one call serves any subset of
+    the family.
 
     Per table this is :meth:`Store.delete_keys` — affected-layer
     surgery on layered tables, partition-preserving rewrite on plain
@@ -1044,6 +1046,7 @@ def forget_documents(
         (index_table, id_col),
         (scores_table, id_col),
         (labels_table, id_col),
+        (chunk_table, id_col),
         (introducer_table, "first_doc"),
     ):
         # plain tables carry a root _SUCCESS; versioned/layered ones

@@ -627,6 +627,7 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
     from efiche_data_pipeline_spark.operators.dedup import (
         fold_component_labels,
         forget_documents,
+        incremental_chunk_index,
         incremental_novelty,
     )
 
@@ -642,6 +643,7 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
     r = incremental_minhash_dedup(docs, store, threshold=_TAU)
     store.append_new(r.kept.select("doc_id"), "dedup_kept_docs", key="doc_id")
     incremental_novelty(docs, store)
+    incremental_chunk_index(docs, store)
     fold_component_labels(
         store,
         spark.createDataFrame([(0, 1), (2, 4)], "doc_a long, doc_b long"),
@@ -655,7 +657,7 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
     )
     assert set(touched) >= {
         "dedup_kept_docs", "minhash_sig_index", "novelty_scores",
-        "neardup_labels", "shingle_introducer",
+        "neardup_labels", "chunk_index", "shingle_introducer",
     }
     con = duckdb.connect()
     hits = []
