@@ -31,6 +31,7 @@ def global_prefix_sum(
     value_col: str,
     out_col: str = "prefix",
     bucket_size: int = 4096,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of ``value_col`` over ``order_col`` order
     (first row gets 0). ``order_col`` must be numeric with distinct
@@ -38,30 +39,40 @@ def global_prefix_sum(
     preserved by construction. ``bucket_size`` bounds the per-bucket
     window; per-bucket totals (``n_rows / bucket_size`` of them) must
     fit a broadcast, which at 100 B rows and the default size is a
-    ~25 M-row offsets frame — raise ``bucket_size`` accordingly."""
+    ~25 M-row offsets frame — raise ``bucket_size`` accordingly.
+
+    With ``group_cols`` the prefix sum restarts per group (the ``SUM()
+    OVER (PARTITION BY group ORDER BY …)`` shape) under the same
+    two-level scheme — crucially WITHOUT putting any whole group into
+    one task: rows still bucket by ``order_col`` magnitude, the
+    bounded window runs per (group, bucket), and only the tiny
+    per-bucket totals are windowed per group. A skewed group (one
+    source holding half a 100 TB corpus) costs its share of bounded
+    buckets, never a single-task sort."""
+    group = list(group_cols or [])
     with_b = df.withColumn("_pb", F.floor(F.col(order_col) / F.lit(bucket_size)))
     w_in = (
-        Window.partitionBy("_pb")
+        Window.partitionBy(*group, "_pb")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     inner = F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("long")
+    w_off = (
+        Window.partitionBy(*group)
+        .orderBy("_pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
-        with_b.groupBy("_pb")
+        with_b.groupBy(*group, "_pb")
         .agg(F.sum(value_col).alias("_t"))
         .withColumn(
             "_off",
-            F.coalesce(
-                F.sum("_t").over(
-                    Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).cast("long"),
+            F.coalesce(F.sum("_t").over(w_off), F.lit(0)).cast("long"),
         )
-        .select("_pb", "_off")
+        .select(*group, "_pb", "_off")
     )
     return (
-        with_b.join(F.broadcast(offsets), "_pb")
+        with_b.join(F.broadcast(offsets), [*group, "_pb"])
         .withColumn(out_col, (F.col("_off") + inner).cast("long"))
         .drop("_pb", "_off")
     )

@@ -3418,6 +3418,75 @@ WINDOW w AS (PARTITION BY component_id
 ORACLES["q129_neardup_representatives"] = _rep_oracle()
 
 
+
+# ---------------------------------------------------------------------------
+# Q130 — token-budget mixture sampling: the training-mix assembly
+# primitive q89's RATE sampler can't express — each source contributes
+# documents until an exact TOKEN budget is filled (training mixtures
+# are specified in tokens, not doc counts or rates). Selection is a
+# pure function of the ids: docs order within their source by portable
+# hash (a deterministic shuffle), and a doc is kept iff the running
+# token total through it stays within the budget — reproducible across
+# engines, runs, and corpus repartitionings.
+# Scale shape: the per-source running sum does NOT use a naive
+# PARTITION BY source window (one task per source — a skewed source
+# would funnel half the corpus through one task). It runs through
+# global_prefix_sum's grouped two-level scheme (operators/packing.py):
+# rows bucket by hash magnitude, a bounded window per (source,
+# bucket), per-bucket totals windowed per source, broadcast join back.
+# The oracle IS the naive window — bit-identical by construction.
+# Reference anchor: none (beyond-reference tier); complements q89
+# (rate mix) and q64 (sequence packing).
+# ---------------------------------------------------------------------------
+_MIX_TOKEN_BUDGET = 1000  # tokens per source
+_MIX_HASH_BUCKETS = 64  # order-hash range 2^60 / 2^54
+
+
+def q130_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    pref = global_prefix_sum(
+        docs,
+        order_col="h",
+        value_col="n_tokens",
+        out_col="_prefix",
+        bucket_size=2**60 // _MIX_HASH_BUCKETS,
+        group_cols=["source"],
+    )
+    return (
+        pref.withColumn(
+            "cum_tokens", (F.col("_prefix") + F.col("n_tokens")).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= _MIX_TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+ORACLES["q130_token_budget_sample"] = f"""
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {oracle_hash60("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS BIGINT) AS cum_tokens
+    FROM (
+        SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+)
+WHERE cum_tokens <= {_MIX_TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -1,0 +1,101 @@
+"""Token-budget mixture sampling (plans/corpus.py q130) and the
+grouped two-level prefix sum it rides on
+(operators/packing.py:global_prefix_sum with group_cols) — beyond the
+oracle differential:
+
+- the grouped two-level scheme is bit-identical to the naive
+  ``SUM() OVER (PARTITION BY g ORDER BY …)`` window it replaces;
+- it is invariant to physical partitioning (the bucketing is
+  value-derived, never partition-id-derived);
+- the budget is tight: every source fills to the last document that
+  fits, and the first excluded document would overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+from efiche_data_pipeline_spark.functions.text import token_count
+from efiche_data_pipeline_spark.operators.packing import global_prefix_sum
+from efiche_data_pipeline_spark.plans.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+_BUDGET = 1000  # matches plans/corpus.py _MIX_TOKEN_BUDGET
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _synthetic(spark):
+    # groups of very different sizes, order values spanning buckets
+    rows = [
+        (i, "g%d" % (i % 3 if i < 60 else 0), (i * 37) % 101, 1 + i % 7)
+        for i in range(90)
+    ]
+    return spark.createDataFrame(rows, "id long, g string, ord long, v long")
+
+
+def test_grouped_two_level_equals_naive_window(spark):
+    df = _synthetic(spark)
+    two = global_prefix_sum(
+        df, "ord", "v", "p", bucket_size=16, group_cols=["g"]
+    ).select("id", "p")
+    naive_w = (
+        W.partitionBy("g").orderBy("ord").rowsBetween(W.unboundedPreceding, -1)
+    )
+    naive = df.select(
+        "id", F.coalesce(F.sum("v").over(naive_w), F.lit(0)).cast("long").alias("p")
+    )
+    assert _rows(two) == _rows(naive)
+
+
+def test_grouped_prefix_partition_invariant(spark):
+    df = _synthetic(spark)
+    a = global_prefix_sum(
+        df.repartition(1), "ord", "v", "p", bucket_size=16, group_cols=["g"]
+    )
+    b = global_prefix_sum(
+        df.repartition(13, "v"), "ord", "v", "p", bucket_size=16, group_cols=["g"]
+    )
+    assert _rows(a.select("id", "p")) == _rows(b.select("id", "p"))
+
+
+def test_budget_is_tight(spark):
+    kept = QUERIES["q130_token_budget_sample"](spark, SF_DIR)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+            portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    full = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    by_src_kept = {
+        r["source"]: r["mx"]
+        for r in kept.groupBy("source").agg(F.max("cum_tokens").alias("mx")).collect()
+    }
+    first_dropped = {
+        r["source"]: r["mn"]
+        for r in full.filter(F.col("cum") > _BUDGET)
+        .groupBy("source")
+        .agg(F.min("cum").alias("mn"))
+        .collect()
+    }
+    assert by_src_kept, "sample must be non-empty"
+    for src, mx in by_src_kept.items():
+        assert mx <= _BUDGET
+    # every source in the fixture overflows the budget, and the first
+    # document past the cut genuinely would not have fit
+    for src, mn in first_dropped.items():
+        assert mn > _BUDGET
+        assert src in by_src_kept
