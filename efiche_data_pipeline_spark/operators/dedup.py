@@ -1280,3 +1280,111 @@ def incremental_chunk_index(
     if n_new:
         store.append(chunks, table)
     return n_new
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster-representative selection: q129's "keep the best
+# member of every near-dup cluster" maintained at intake (q131).
+# ---------------------------------------------------------------------------
+def incremental_representatives(
+    new_docs: DataFrame,
+    store,
+    quality_table: str = "doc_quality",
+    index_table: str = "minhash_sig_index",
+    labels_table: str = "neardup_labels",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Fold a batch into the maintained cluster-representative state
+    and return the CURRENT per-doc report (doc_id, component_id,
+    quality_score, rep_doc, kept) — which cluster every document ever
+    seen belongs to and which member the cluster ships.
+
+    Maintained ≡ global by composition: the label table equals global
+    connected components over all LSH pairs ever seen
+    (:func:`incremental_neardup_components`' star-compression
+    closure), the quality sink is a pure per-document function
+    appended id-keyed, and the report is a pure function of (labels,
+    quality) — so the q131 oracle can replay one global pass.
+
+    Write order: the quality sink commits FIRST (keyed append —
+    idempotent under replay), the components fold LAST; the signature
+    index inside the components fold is the batch watermark, so a
+    crash anywhere between the two leaves the batch un-indexed and
+    the replay re-runs both commits to convergence (the
+    first-commit-idempotent / watermark-last discipline).
+
+    Scale shape: per batch, one text pass (signatures + quality);
+    selection at read adds ONE window exchange on component_id over
+    (id, quality) rows — never text.
+    """
+    from ..functions.text import quality_score_raw
+
+    quality = (
+        new_docs.select(
+            F.col(id_col),
+            F.round(quality_score_raw(F.col(text_col)), 4).alias(
+                "quality_score"
+            ),
+        )
+        .dropDuplicates([id_col])
+        .localCheckpoint(eager=True)
+    )
+    store.append_new(quality, quality_table, key=id_col)
+    incremental_neardup_components(
+        new_docs,
+        store,
+        index_table=index_table,
+        labels_table=labels_table,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        portable=portable,
+    )
+    return representatives_report(store, quality_table, labels_table, id_col)
+
+
+def representatives_report(
+    store,
+    quality_table: str = "doc_quality",
+    labels_table: str = "neardup_labels",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble the representative report from the persisted state:
+    every doc in the quality sink, labeled by the maintained component
+    table (its own id when never paired), keeping the highest-quality
+    member per cluster (ties to the smallest id)."""
+    from pyspark.sql import Window as W
+
+    quality = store.read(quality_table)
+    cur = store.current_version(labels_table)
+    if cur is not None:
+        labeled = quality.join(
+            store.read_version(labels_table), id_col, "left"
+        ).withColumn(
+            "component_id",
+            F.coalesce("component_id", F.col(id_col)).cast("long"),
+        )
+    else:
+        labeled = quality.withColumn(
+            "component_id", F.col(id_col).cast("long")
+        )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    rep = F.first(id_col).over(w)
+    return labeled.select(
+        id_col,
+        "component_id",
+        "quality_score",
+        rep.alias("rep_doc"),
+        (F.col(id_col) == rep).cast("int").alias("kept"),
+    )

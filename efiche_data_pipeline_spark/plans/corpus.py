@@ -3487,6 +3487,112 @@ WHERE cum_tokens <= {_MIX_TOKEN_BUDGET}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q131 — INCREMENTAL cluster-representative selection
+# (operators/dedup.py:incremental_representatives): q129's "every
+# cluster ships its best member" maintained at intake over the LSH
+# pair graph. Maintained ≡ global by composition — the label table is
+# q109's star-compression closure (≡ global components of all pairs
+# ever seen), the quality sink is a pure per-doc function, the
+# selection a pure function of both — so the oracle replays ONE
+# global pass: q28's portable LSH pairs closed under a recursive CTE,
+# joined to q32's quality, windowed per component. Quality commits
+# first (idempotent keyed append), the components fold (whose
+# signature index is the batch watermark) last — every crash window
+# between them replays to convergence.
+# Reference anchor: none (beyond-reference tier); batch-global form
+# is q129, cluster maintenance is q109.
+# ---------------------------------------------------------------------------
+def q131_incremental_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_representatives
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_increp_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_representatives(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        report = incremental_representatives(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        return _finish_with_store(report, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _inc_rep_oracle() -> str:
+    from ..functions.text import LANG_STOPWORDS
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    stop_sql = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+qual AS (
+    SELECT doc_id,
+           ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0), 4)
+               AS quality_score
+    FROM (
+        SELECT doc_id,
+               length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+               length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t IN ({stop_sql}))) AS n_stop
+        FROM documents
+    )
+),
+labeled AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+           q.quality_score
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    JOIN qual q USING (doc_id)
+)
+SELECT doc_id, component_id, quality_score,
+       CAST(first_value(doc_id) OVER w AS BIGINT) AS rep_doc,
+       CAST(CASE WHEN doc_id = first_value(doc_id) OVER w
+                 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM labeled
+WINDOW w AS (PARTITION BY component_id
+             ORDER BY quality_score DESC, doc_id)
+"""
+
+
+ORACLES["q131_incremental_representatives"] = _inc_rep_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
