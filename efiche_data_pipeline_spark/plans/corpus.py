@@ -3218,7 +3218,14 @@ def q127_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import boilerplate_report, content_chunks
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chunks = content_chunks(docs, "doc_id", "text", mod=_CDC_MOD)
+    # Pin the decomposition once: the report consumes it on BOTH sides
+    # of the fp-count join, and without the pin each branch re-runs
+    # the explode + chunk-assembly window over the raw text (the q112
+    # NFC-pass lesson; the no-Generate plan pin lives in
+    # tests/test_plan_regressions.py).
+    chunks = content_chunks(docs, "doc_id", "text", mod=_CDC_MOD).localCheckpoint(
+        eager=True
+    )
     return boilerplate_report(chunks, "doc_id", min_docs=_BOILER_MIN_DOCS)
 
 
@@ -3445,11 +3452,20 @@ _MIX_HASH_BUCKETS = 64  # order-hash range 2^60 / 2^54
 def q130_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import global_prefix_sum
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        token_count("text").cast("long").alias("n_tokens"),
-        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    # Pin the narrow (id, source, n_tokens, h) projection once: the
+    # prefix sum consumes it on both the data side and the per-bucket
+    # totals side, and without the pin the totals branch re-reads and
+    # re-tokenizes the text column (32 B/row pinned vs a second full
+    # text scan at corpus scale).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+            portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
     pref = global_prefix_sum(
         docs,

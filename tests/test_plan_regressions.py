@@ -85,3 +85,27 @@ def test_kmv_twins_use_bounded_sketch_plan(spark):
     p102 = _executed("q102_dataset_card_sketch", spark)
     assert "WindowGroupLimit" in p102
     assert "Expand" not in p102
+
+
+def test_q127_chunks_decompose_once(spark):
+    """The boilerplate report consumes the chunk decomposition on both
+    sides of the fp-count join; the q127 pin (eager localCheckpoint)
+    must keep the explode + chunk-assembly window OUT of the final
+    plan — both branches read the pinned rows, the raw text is
+    chunked exactly once."""
+    plan = _executed("q127_boilerplate_removal", spark)
+    assert "Generate" not in plan  # no re-explode of text
+    assert "Scan parquet" not in plan  # both branches read the pin
+
+
+def test_q130_prefix_sum_is_bucketed_and_pinned(spark):
+    """q130's per-source running sum must ride the grouped two-level
+    scheme: the data-side window partitions on (source, bucket) —
+    never on source alone, which would funnel a whole source through
+    one task — with the per-bucket offsets broadcast, and both
+    branches reading the pinned narrow projection (no second
+    tokenizing scan of the text column)."""
+    plan = _executed("q130_token_budget_sample", spark)
+    assert "hashpartitioning(source" in plan and "_pb" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Scan parquet" not in plan
