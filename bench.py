@@ -67,6 +67,11 @@ HEADLINE = (
     # O(index) migration) and the composed right-to-be-forgotten pass
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
+    # round-7 late additions: corpus boilerplate removal (CDC chunk
+    # decomposition + cross-doc fp counts) and the token-budget
+    # mixture sample (grouped two-level prefix sum)
+    "q127_boilerplate_removal",
+    "q130_token_budget_sample",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an
