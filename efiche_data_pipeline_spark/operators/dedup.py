@@ -1388,3 +1388,88 @@ def representatives_report(
         rep.alias("rep_doc"),
         (F.col(id_col) == rep).cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SPLIT-LEAKAGE monitor: q71's "near-dups crossing the
+# train/val/test boundary" check moved to intake time (q132).
+# ---------------------------------------------------------------------------
+def incremental_split_leakage(
+    new_docs: DataFrame,
+    store,
+    leakage_table: str = "split_leakage",
+    index_table: str = "minhash_sig_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Flag, at ingest, every LSH near-dup pair whose two documents
+    fall in DIFFERENT q56 hash splits — the leakage a held-out set
+    must not have, caught when the offending document arrives instead
+    of by a global post-hoc pass (q71's position). Returns the full
+    maintained leakage report (doc_a, doc_b, split_a, split_b).
+
+    Maintained ≡ global: each batch's qualifying pairs (within-batch
+    AND vs-history, both (smaller, larger)-oriented under monotone
+    ids) union across batches to exactly the global LSH pair set —
+    the property q109's components oracle already certifies — and the
+    split assignment is a pure function of the id, so filtering to
+    boundary-crossing pairs commutes with the batching. The q132
+    oracle replays one global pass.
+
+    Write order: the leakage sink commits FIRST (pair-keyed append —
+    idempotent under replay), the signature-index delta LAST (the
+    batch watermark): a crash between them leaves the batch
+    un-indexed and the replay re-derives the SAME pairs into a keyed
+    no-op. Scale shape: one text pass per batch (the signatures);
+    pairs are O(collisions); the split tags are in-row hash math.
+    """
+    ded = incremental_minhash_dedup(
+        new_docs,
+        store,
+        index_table=index_table,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        portable=portable,
+        commit=False,
+    )
+
+    def split_of(side: str) -> Column:
+        bucket = F.pmod(
+            portable_hash60(F.col(side).cast("string")), F.lit(100)
+        )
+        return (
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+
+    if ded.n_new:
+        crossing = (
+            ded.sim_pairs.select("doc_a", "doc_b")
+            .withColumn("split_a", split_of("doc_a"))
+            .withColumn("split_b", split_of("doc_b"))
+            .filter(F.col("split_a") != F.col("split_b"))
+            .withColumn("pair_key", F.concat_ws("_", "doc_a", "doc_b"))
+            .dropDuplicates(["pair_key"])
+            .localCheckpoint(eager=True)
+        )
+        store.append_new(crossing, leakage_table, key="pair_key")
+        store.append_version(ded.index_delta, index_table)
+    if store.exists(leakage_table):
+        return store.read(leakage_table).select(
+            "doc_a", "doc_b", "split_a", "split_b"
+        )
+    return new_docs.sparkSession.createDataFrame(
+        [], "doc_a long, doc_b long, split_a string, split_b string"
+    )

@@ -3609,6 +3609,80 @@ WINDOW w AS (PARTITION BY component_id
 ORACLES["q131_incremental_representatives"] = _inc_rep_oracle()
 
 
+
+# ---------------------------------------------------------------------------
+# Q132 — INCREMENTAL split-leakage monitor
+# (operators/dedup.py:incremental_split_leakage): q71's "near-dups
+# crossing the train/val/test boundary" check moved to WHERE it
+# belongs at 100 TB — intake time, flagged when the offending
+# document arrives. Maintained ≡ global because each batch's LSH
+# pairs (within-batch and vs-history, (smaller, larger)-oriented
+# under monotone ids) union to exactly the global pair set — the
+# property q109's oracle certifies — and the q56 split is a pure
+# function of the id; the oracle replays one global pass over the
+# portable LSH pipeline. Leakage sink commits first (pair-keyed,
+# idempotent), the signature index (the watermark) last.
+# Reference anchor: none (beyond-reference tier); batch-global form
+# is q71, dedup substrate q103.
+# ---------------------------------------------------------------------------
+def q132_incremental_split_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_split_leakage
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incleak_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_split_leakage(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        report = incremental_split_leakage(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            threshold=_INC_DEDUP_SIM,
+            portable=True,
+        )
+        return _finish_with_store(report, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _inc_leakage_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    split_case = (
+        "CASE WHEN {h} % 100 < 80 THEN 'train' "
+        "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+    ).format(h=oracle_hash60("CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH pairs AS ({lsh}),
+sp AS (SELECT doc_id, {split_case} AS split FROM documents)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN sp sa ON p.doc_a = sa.doc_id
+JOIN sp sb ON p.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+ORACLES["q132_incremental_split_leakage"] = _inc_leakage_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
