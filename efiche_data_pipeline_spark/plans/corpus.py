@@ -3683,6 +3683,112 @@ WHERE sa.split <> sb.split
 ORACLES["q132_incremental_split_leakage"] = _inc_leakage_oracle()
 
 
+
+# ---------------------------------------------------------------------------
+# Q133 — binary-quantized embedding search
+# (operators/similarity.py:binary_topk): candidates scored against
+# their 1-bit SIGN quantization — the compression tier below SQ8
+# (q94/q116): 1 bit/dim, 32× less candidate I/O than float32, queries
+# full-precision (asymmetric scoring). Deterministic end-to-end
+# (sign per element, rounded sims, ties to smaller id), so the oracle
+# replays the chain bit-for-bit; ranking QUALITY vs the float path is
+# the recall test in tests/test_similarity.py. Completes the
+# quantization ladder: float (q29) → SQ8 (q116) → binary (this).
+# Reference anchor: the dormant pgvector VECTOR(768) column
+# (sql/01_schema.sql:95).
+# ---------------------------------------------------------------------------
+def q133_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import binary_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return binary_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+ORACLES["q133_binary_topk"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id,
+           list_transform(embedding,
+                          x -> CAST(sign(CAST(x AS DOUBLE)) AS DOUBLE)) AS sv
+    FROM embeddings
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM (
+    SELECT query_id, neighbor_id,
+           ROUND(list_cosine_similarity(qv, sv), 4) AS sim
+    FROM c, q WHERE neighbor_id <> query_id
+)
+QUALIFY rank <= 5
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Q134 — binary shortlist + full-precision rerank
+# (operators/similarity.py:binary_rerank_topk): the production
+# two-stage deployment of q133 — the 1-bit index scans cheap, the
+# top-shortlist survivors are re-scored on their full vectors
+# (measured on the fixture: sign-only recall@5 ≈ 0.36, reranked at
+# shortlist=50 ≈ 0.92). Deterministic end-to-end, so the oracle
+# replays both stages; the recall bars live in
+# tests/test_similarity.py.
+# Reference anchor: the dormant pgvector VECTOR(768) column
+# (sql/01_schema.sql:95).
+# ---------------------------------------------------------------------------
+def q134_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import binary_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return binary_rerank_topk(
+        emb, queries, "vec_id", "embedding", k=5, shortlist=50
+    )
+
+
+ORACLES["q134_binary_rerank_topk"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+           list_transform(embedding,
+                          x -> CAST(sign(CAST(x AS DOUBLE)) AS DOUBLE)) AS sv
+    FROM embeddings
+),
+short AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(list_cosine_similarity(qv, sv), 4) DESC,
+                            neighbor_id
+               ) AS srank
+        FROM c, q WHERE neighbor_id <> query_id
+    )
+    WHERE srank <= 50
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_cosine_similarity(q.qv, c.cv), 4) AS sim
+    FROM short s
+    JOIN q ON s.query_id = q.query_id
+    JOIN c ON s.neighbor_id = c.neighbor_id
+)
+QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

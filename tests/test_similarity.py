@@ -747,3 +747,37 @@ def test_forget_vectors_purges_and_rebaselines(clustered, tmp_path):
     r = maintain(calm_after, store)
     assert not r.healed
     assert not r.retrained and r.psi is not None and r.psi <= 0.25, r.psi
+
+
+def test_binary_quantization_recall_and_rerank(spark):
+    """The binary (sign) codec must rank far better than chance on
+    the isotropic fixture, and the shortlist-rerank must recover most
+    of the exact top-k — the two claims q133/q134 make (measured at
+    build time: sign-only ≈ 0.36 mean recall@5 vs 0.01 random;
+    reranked at shortlist=50 ≈ 0.92)."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        binary_rerank_topk,
+        binary_topk,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def topsets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topsets(brute_force_topk(emb, queries, k=5))
+    raw = topsets(binary_topk(emb, queries, k=5))
+    rr = topsets(binary_rerank_topk(emb, queries, k=5, shortlist=50))
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    raw_recall = mean(
+        [len(exact[q] & raw[q]) / len(exact[q]) for q in exact]
+    )
+    rr_recall = mean([len(exact[q] & rr[q]) / len(exact[q]) for q in exact])
+    assert raw_recall >= 0.2, raw_recall  # sign codec: >> 1% random
+    assert rr_recall >= 0.8, rr_recall  # rerank recovers the ranking
+    assert rr_recall >= raw_recall  # rerank can only help
