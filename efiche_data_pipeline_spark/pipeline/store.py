@@ -531,6 +531,54 @@ class Store:
         os.replace(tmp, self._current_file(table))
         self._log(table, f"rollback:{version}")
 
+    def diff_versions(
+        self,
+        table: str,
+        v_from: int,
+        v_to: int,
+        key: str,
+        compare_cols: list[str],
+    ) -> "DataFrame":
+        """Release audit between two still-vacuumed-in snapshots: one
+        row per key that was ``added``, ``removed``, or ``changed``
+        between ``v_from`` and ``v_to`` (unchanged keys are filtered
+        out — at corpus scale the diff is the small output, the
+        snapshots are the big inputs). "Changed" compares an md5
+        fingerprint of ``compare_cols`` (rendered as strings, unit-
+        separator-joined), so wide payload columns are never carried
+        through the join — each side ships (key, 32-char fp) only.
+
+        Scale shape: two snapshot scans pruned to key+compare columns,
+        one full-outer hash join on the key. This is the time-travel
+        dividend of the versioned store: the question "what changed in
+        this corpus release" needs no extra bookkeeping at write time.
+        """
+        from pyspark.sql import functions as F
+
+        fp = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+            )
+        )
+        a = self.read_version(table, v_from).select(
+            F.col(key), fp.alias("_fp_a")
+        )
+        b = self.read_version(table, v_to).select(
+            F.col(key), fp.alias("_fp_b")
+        )
+        return (
+            a.join(b, key, "full_outer")
+            .withColumn(
+                "change",
+                F.when(F.col("_fp_a").isNull(), "added")
+                .when(F.col("_fp_b").isNull(), "removed")
+                .when(F.col("_fp_a") != F.col("_fp_b"), "changed")
+                .otherwise("unchanged"),
+            )
+            .filter(F.col("change") != "unchanged")
+            .select(key, "change")
+        )
+
     def vacuum_versions(self, table: str, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshots (never the
         current one); returns the dropped versions. Also removes

@@ -3789,6 +3789,76 @@ QUALIFY rank <= 5
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q135 — corpus RELEASE DIFF (pipeline/store.py:diff_versions): the
+# time-travel dividend of the versioned store — "what changed between
+# release v1 and v2" (added / removed / changed keys) answered from
+# two snapshots with NO extra bookkeeping at write time. Each side
+# ships only (key, md5-of-compare-columns), so wide payloads never
+# cross the full-outer join; unchanged keys are filtered out, making
+# the diff the small output of two big scans. The wrapper stages two
+# deterministic releases of the documents table (v1 = ids < 300;
+# v2 = ids ≥ 100 with every id%10==0 doc's text amended) and the
+# oracle replays the same two subsets with a direct comparison.
+# Reference anchor: none (beyond-reference tier); the store substrate
+# is §2's versioned snapshot machinery.
+# ---------------------------------------------------------------------------
+def q135_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    v1 = docs.filter(F.col("doc_id") < 300)
+    v2 = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    tmp_root = tempfile.mkdtemp(prefix="efiche_reldiff_")
+    store = Store(spark, tmp_root)
+    try:
+        a = store.write_version(v1, "corpus_release")
+        b = store.write_version(v2, "corpus_release")
+        _require(b > a, "the second release must get a later version")
+        diff = store.diff_versions(
+            "corpus_release", a, b, "doc_id", ["source", "text"]
+        )
+        return _finish_with_store(diff, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q135_release_diff"] = """
+WITH v1 AS (
+    SELECT doc_id, source, text FROM documents WHERE doc_id < 300
+),
+v2 AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END
+               AS text
+    FROM documents WHERE doc_id >= 100
+)
+SELECT doc_id, change
+FROM (
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.text <> v2.text OR v1.source <> v2.source
+                    THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+WHERE change <> 'unchanged'
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -191,3 +191,29 @@ def test_vacuum_protects_manifest_referenced_layers(spark, tmp_path):
     dropped = store.vacuum_versions("t", keep_last=1)
     assert dropped == [1, 2, 3]
     assert {r["id"] for r in store.read_union("t").collect()} == {1, 2, 3}
+
+
+def test_diff_versions_release_audit(spark, tmp_path):
+    """diff_versions reports exactly the added/removed/changed keys
+    between two snapshots (unchanged keys filtered out), comparing
+    only the requested columns — a payload column outside
+    compare_cols may differ without flagging the row."""
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    store = Store(spark, str(tmp_path))
+    v1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "x")],
+        "k long, payload string, ignored string",
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", "y"), (3, "CHANGED", "x"), (4, "d", "x")],
+        "k long, payload string, ignored string",
+    )
+    a = store.write_version(v1, "rel")
+    b = store.write_version(v2, "rel")
+    got = {
+        r["k"]: r["change"]
+        for r in store.diff_versions("rel", a, b, "k", ["payload"]).collect()
+    }
+    # key 2's ignored column changed but payload didn't -> not flagged
+    assert got == {1: "removed", 3: "changed", 4: "added"}
