@@ -3859,6 +3859,92 @@ WHERE change <> 'unchanged'
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q136 — cluster-safe train/val/test split: the FIX for what q132
+# detects. q56 hashes the DOC id, so near-dup pairs (LSH est_sim ≥
+# 0.5 — the same relation q132 monitors) can straddle the held-out
+# boundary; here the split hashes the CLUSTER id (q109's connected
+# components over the LSH pair graph; a doc in no pair is its own
+# singleton cluster), so every near-dup cluster lands whole in one
+# split and leakage w.r.t. that relation is ZERO by construction —
+# the group-aware split every leakage-safe dataset release needs.
+# Same 80/10/10 hash rule, applied one level up. (The q26 candidate
+# graph would be the WRONG substrate: with no similarity threshold it
+# collapses the fixture into one giant component and the "split"
+# moves half the corpus as a block — found while building this.)
+# Scale shape: q28's audited banded-LSH dataflow + bulk-iteration
+# components + in-row hash math; no window at all.
+# Reference anchor: none (beyond-reference tier); composes q109 +
+# q56, closes the loop with q132.
+# ---------------------------------------------------------------------------
+def q136_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM, portable=True,
+    )
+    comp = dedup_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "component_id",
+            F.coalesce("component", F.col("doc_id")).cast("long"),
+        )
+        .drop("component")
+    )
+    bucket = F.pmod(
+        portable_hash60(F.col("component_id").cast("string")), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return labeled.select("doc_id", "component_id", split.alias("split"))
+
+
+def _cluster_split_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+labeled AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component_id,
+       CASE WHEN {oracle_hash60("CAST(component_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+            WHEN {oracle_hash60("CAST(component_id AS VARCHAR)")} % 100 < 90
+                THEN 'val'
+            ELSE 'test' END AS split
+FROM labeled
+"""
+
+
+ORACLES["q136_cluster_safe_split"] = _cluster_split_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

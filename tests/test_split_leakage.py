@@ -132,3 +132,40 @@ def test_crash_between_sink_and_index_converges(spark, tmp_path):
     assert _rows(replayed) == _rows(uninterrupted)
     # the sink holds the pair exactly once
     assert crashed.read("split_leakage").count() == 1
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    """q136's guarantee: EVERY near-dup pair (the LSH relation q132
+    monitors) lands whole in one split — zero boundary-crossing pairs
+    by construction — while q56's doc-hash split leaks on the same
+    fixture (which is exactly what q132 flags)."""
+    from efiche_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from efiche_data_pipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=0.5, portable=True,
+    ).select("doc_a", "doc_b").collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["q136_cluster_safe_split"](spark, sf).collect()
+    }
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["q56_train_val_test_split"](spark, sf).collect()
+    }
+    safe_leaks = [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if safe[p["doc_a"]] != safe[p["doc_b"]]
+    ]
+    naive_leaks = [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if naive[p["doc_a"]] != naive[p["doc_b"]]
+    ]
+    assert safe_leaks == []  # zero by construction
+    assert naive_leaks  # the doc-hash split does leak here
