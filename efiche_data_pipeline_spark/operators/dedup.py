@@ -1269,9 +1269,14 @@ def incremental_chunk_index(
     and has NO crash window at all. The decomposition is a pure
     per-document function, so maintained state ≡ the global
     decomposition regardless of batching — which is why q128's oracle
-    is q127's, verbatim.
+    is q127's, verbatim. Duplicate rows WITHIN a batch are dropped by
+    id up front — without this the exploded tokens of the copies
+    would merge into one corrupted chunk fold (the sibling operators'
+    distinct-ids discipline).
     """
-    chunks = content_chunks(new_docs, id_col, text_col, mod)
+    chunks = content_chunks(
+        new_docs.dropDuplicates([id_col]), id_col, text_col, mod
+    )
     if store.exists(table):
         seen = store.read(table).select(id_col).distinct()
         chunks = chunks.join(seen, id_col, "left_anti")
@@ -1470,6 +1475,10 @@ def incremental_split_leakage(
         return store.read(leakage_table).select(
             "doc_a", "doc_b", "split_a", "split_b"
         )
-    return new_docs.sparkSession.createDataFrame(
-        [], "doc_a long, doc_b long, split_a string, split_b string"
+    # empty report typed from the input's id column, not hardcoded
+    return new_docs.limit(0).select(
+        F.col(id_col).alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.lit("").alias("split_a"),
+        F.lit("").alias("split_b"),
     )

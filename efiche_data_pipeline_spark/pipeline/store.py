@@ -547,6 +547,10 @@ class Store:
         fingerprint of ``compare_cols`` (rendered as strings, unit-
         separator-joined), so wide payload columns are never carried
         through the join — each side ships (key, 32-char fp) only.
+        The fingerprint renders via ``to_json(struct(...))`` — field
+        NAMES disambiguate which columns are NULL, so (NULL, 'web')
+        and ('web', NULL) can never hash identically the way a
+        NULL-skipping concat would.
 
         Scale shape: two snapshot scans pruned to key+compare columns,
         one full-outer hash join on the key. This is the time-travel
@@ -556,9 +560,7 @@ class Store:
         from pyspark.sql import functions as F
 
         fp = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in compare_cols]
-            )
+            F.to_json(F.struct(*[F.col(c) for c in compare_cols]))
         )
         a = self.read_version(table, v_from).select(
             F.col(key), fp.alias("_fp_a")

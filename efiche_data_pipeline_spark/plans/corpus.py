@@ -829,39 +829,21 @@ _CDC_MOD = 16
 
 
 def q93_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _parallelize_scan
+    # The decomposition itself lives in operators/dedup.py:
+    # content_chunks (shared with the q127/q128 boilerplate family) —
+    # one definition of the boundary rule, two consumers.
+    from ..operators.dedup import content_chunks
 
-    docs = _parallelize_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    chunks = content_chunks(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        mod=_CDC_MOD,
     )
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    flag = (F.pmod(portable_hash60("tok"), F.lit(_CDC_MOD)) == 0).cast("long")
-    prev = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    chunked = toks.withColumn(
-        "chunk_id", F.coalesce(F.sum(flag).over(prev), F.lit(0)).cast("long")
-    )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("chunk_text"),
-        F.count(F.lit(1)).alias("n_tokens"),
-    )
-    return (
-        chunks.select(F.md5("chunk_text").alias("chunk_fp"), "doc_id", "n_tokens")
-        .groupBy("chunk_fp")
-        .agg(
-            F.max("n_tokens").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
+    return chunks.groupBy("chunk_fp").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
     )
 
 

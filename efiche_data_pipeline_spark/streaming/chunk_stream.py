@@ -30,7 +30,9 @@ from ..pipeline.store import Store
 class ChunkStreamReport:
     n_batches: int
     n_docs_folded: int
-    report: DataFrame  # q127-shaped boilerplate report over all docs seen
+    # q127-shaped boilerplate report over all docs seen; None when the
+    # stream has never consumed a document (fresh store, empty source)
+    report: DataFrame | None
 
 
 def run_chunk_stream(
@@ -74,5 +76,9 @@ def run_chunk_stream(
     return ChunkStreamReport(
         n_batches=totals["batches"],
         n_docs_folded=totals["docs"],
-        report=boilerplate_report(store.read(table), id_col, min_docs),
+        report=(
+            boilerplate_report(store.read(table), id_col, min_docs)
+            if store.exists(table)
+            else None
+        ),
     )

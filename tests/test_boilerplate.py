@@ -122,3 +122,16 @@ def test_report_partition_invariant(spark, tmp_path):
     one = boilerplate_report(chunks.repartition(1), min_docs=2)
     many = boilerplate_report(chunks.repartition(7, "chunk_fp"), min_docs=2)
     assert _report_rows(one) == _report_rows(many)
+
+
+def test_duplicate_rows_within_batch_fold_cleanly(spark, tmp_path):
+    """A batch carrying the same (doc_id, text) row twice must fold
+    the doc ONCE with clean fingerprints — not merge the copies'
+    exploded tokens into a corrupted chunk fold."""
+    docs = _docs(spark, [(1, _SHARED), (1, _SHARED), (2, _UNIQUE)])
+    store = Store(spark, str(tmp_path))
+    assert incremental_chunk_index(docs, store) == 2
+    got = store.read("chunk_index")
+    clean = content_chunks(_docs(spark, [(1, _SHARED), (2, _UNIQUE)]))
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(clean)

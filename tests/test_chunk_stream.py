@@ -75,3 +75,19 @@ def test_chunk_stream_equals_global_and_restarts(spark, tmp_path):
     assert r3.n_batches == 0
     assert r3.n_docs_folded == 0
     assert store.read("chunk_index").count() == before
+
+
+def test_empty_source_yields_no_report(spark, tmp_path):
+    """A fresh store + a source directory the checkpoint has nothing
+    new in must return report=None, not crash on a missing table."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # parquet stream sources need at least one file to infer nothing —
+    # we pass an explicit schema, so an empty dir is legal input
+    r = run_chunk_stream(
+        spark, src, _SCHEMA, Store(spark, str(tmp_path / "store")),
+        str(tmp_path / "ckpt"),
+    )
+    assert r.n_batches == 0 and r.n_docs_folded == 0 and r.report is None

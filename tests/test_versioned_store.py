@@ -217,3 +217,18 @@ def test_diff_versions_release_audit(spark, tmp_path):
     }
     # key 2's ignored column changed but payload didn't -> not flagged
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_diff_versions_null_shifts_are_changes(spark, tmp_path):
+    """(NULL, 'web') -> ('web', NULL) must report 'changed' — the
+    fingerprint encodes WHICH columns are NULL (to_json field names),
+    not a NULL-skipping concatenation."""
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    store = Store(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, None, "web")], "k long, a string, b string")
+    v2 = spark.createDataFrame([(1, "web", None)], "k long, a string, b string")
+    x = store.write_version(v1, "rel")
+    y = store.write_version(v2, "rel")
+    got = store.diff_versions("rel", x, y, "k", ["a", "b"]).collect()
+    assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
