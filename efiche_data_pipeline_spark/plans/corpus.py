@@ -3927,6 +3927,166 @@ FROM labeled
 ORACLES["q136_cluster_safe_split"] = _cluster_split_oracle()
 
 
+
+# ---------------------------------------------------------------------------
+# Q137 — the dataset RELEASE pipeline end-to-end: q117 proved the
+# intake side (canonicalize → dedup → card) as one oracled query;
+# this is its counterpart for shipping a training set — (1) drop
+# benchmark docs and anything contaminated by them (q66's 5-gram
+# rule), (2) connected components over the survivors' LSH pairs and
+# the CLUSTER-safe 80/10/10 split (q136 — zero leakage by
+# construction), (3) keep the train split, (4) fill each source's
+# exact token budget in deterministic hash order (q130). Every stage
+# is an already-oracled operator; the oracle chains their SQL forms
+# into one global pass.
+# Scale shape: each stage's audited dataflow, composed; the clean
+# doc set is pinned once (the narrow (id, source, n_tokens, h)
+# projection) so the budget stage never re-reads text.
+# Reference anchor: none (beyond-reference tier); composes q66 +
+# q136 + q130.
+# ---------------------------------------------------------------------------
+_RELEASE_BUDGET = 800  # tokens per source in the released train set
+
+
+def q137_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import dedup_components, minhash_lsh_pairs
+    from ..operators.packing import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # (1) q66 decontamination: benchmark = doc_id % 20 == 0; a doc
+    # sharing ANY 5-gram with the benchmark set is contaminated.
+    is_bench = F.pmod("doc_id", 20) == 0
+    sh = docs.select(
+        "doc_id",
+        is_bench.alias("_b"),
+        F.explode(word_shingles("text", 5)).alias("g"),
+    ).select("doc_id", "_b", F.xxhash64("g").alias("gh"))
+    bench_gh = sh.filter("_b").select("gh").distinct()
+    dirty = (
+        sh.filter(~F.col("_b"))
+        .join(F.broadcast(bench_gh), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.filter(~is_bench).join(dirty, "doc_id", "left_anti")
+    # (2) cluster-safe split over the survivors' LSH near-dup graph
+    pairs = minhash_lsh_pairs(
+        clean, "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM, portable=True,
+    )
+    comp = dedup_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    labeled = (
+        clean.join(comp, "doc_id", "left")
+        .withColumn(
+            "component_id",
+            F.coalesce("component", F.col("doc_id")).cast("long"),
+        )
+        .drop("component")
+    )
+    bucket = F.pmod(
+        portable_hash60(F.col("component_id").cast("string")), F.lit(100)
+    )
+    # (3) keep train; (4) pin the narrow projection and fill budgets
+    train = (
+        labeled.filter(bucket < 80)
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+            portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pref = global_prefix_sum(
+        train,
+        order_col="h",
+        value_col="n_tokens",
+        out_col="_prefix",
+        bucket_size=2**60 // _MIX_HASH_BUCKETS,
+        group_cols=["source"],
+    )
+    return (
+        pref.withColumn(
+            "cum_tokens", (F.col("_prefix") + F.col("n_tokens")).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= _RELEASE_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def _release_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "clean", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    comp_hash = oracle_hash60("CAST(component_id AS VARCHAR)")
+    doc_hash = oracle_hash60("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE toks5 AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh5 AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(t, i, i + 4), ' ') AS g
+    FROM toks5, UNNEST(range(1, greatest(length(t) - 4, 0) + 1)) AS u(i)
+),
+bench5 AS (SELECT DISTINCT g FROM sh5 WHERE doc_id % 20 = 0),
+dirty AS (
+    SELECT DISTINCT doc_id FROM sh5 JOIN bench5 USING (g)
+    WHERE doc_id % 20 != 0
+),
+clean AS (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d
+    WHERE d.doc_id % 20 != 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+pairs AS ({lsh}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+train AS (
+    SELECT doc_id, source, n_tokens
+    FROM (
+        SELECT c.doc_id, c.source,
+               CAST(length(regexp_split_to_array(c.text, '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(COALESCE(comp.component_id, c.doc_id) AS BIGINT)
+                   AS component_id
+        FROM clean c LEFT JOIN comp USING (doc_id)
+    )
+    WHERE {comp_hash} % 100 < 80
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY {doc_hash}, doc_id
+           ) AS BIGINT) AS cum_tokens
+    FROM train
+)
+WHERE cum_tokens <= {_RELEASE_BUDGET}
+"""
+
+
+ORACLES["q137_dataset_release"] = _release_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

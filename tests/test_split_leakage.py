@@ -169,3 +169,29 @@ def test_cluster_safe_split_has_zero_leakage(spark):
     ]
     assert safe_leaks == []  # zero by construction
     assert naive_leaks  # the doc-hash split does leak here
+
+
+def test_dataset_release_invariants(spark):
+    """q137's three stage guarantees on the fixture release: nothing
+    from the benchmark set or overlapping it, zero split leakage
+    (released docs' near-dup partners are never in val/test), and no
+    source over its token budget."""
+    from efiche_data_pipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rel = QUERIES["q137_dataset_release"](spark, sf).toPandas()
+    assert len(rel) > 0
+    assert (rel["doc_id"] % 20 != 0).all()  # no benchmark docs
+    contaminated = set(
+        r["doc_id"]
+        for r in QUERIES["q66_benchmark_decontamination"](spark, sf)
+        .filter("contaminated")
+        .collect()
+    )
+    assert not (set(rel["doc_id"]) & contaminated)
+    per_source = rel.groupby("source")["cum_tokens"].max()
+    assert (per_source <= 800).all()
+    # split correctness (train-only, cluster-safe over the survivor
+    # set) is proven by the oracle hash-match, which replays the same
+    # labeling globally; here pin the output contract
+    assert set(rel.columns) == {"doc_id", "source", "n_tokens", "cum_tokens"}
