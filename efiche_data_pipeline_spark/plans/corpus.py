@@ -4087,6 +4087,79 @@ WHERE cum_tokens <= {_RELEASE_BUDGET}
 ORACLES["q137_dataset_release"] = _release_oracle()
 
 
+
+# ---------------------------------------------------------------------------
+# Q138 — product-quantized embedding search
+# (operators/similarity.py:pq_topk): 8 subspaces × 16 codes = 4
+# bytes/vector (64× smaller than float32) scored by asymmetric
+# distance against the reconstruction — the BOTTOM rung of the
+# quantization ladder (float q29 → SQ8 q116 → binary q133 → PQ
+# this), each rung's recall measured in tests/test_similarity.py
+# (isotropic fixture: 1.0 → ~0.9 → 0.36 → 0.22 raw recall@5).
+# Codebook = the pinned corpus vectors vec_id 0..15 (the q30/q116
+# discipline), so every step — per-subspace L2 argmin with ties to
+# the lower code, slice reconstruction, cosine, rank — is
+# deterministic and the oracle replays it bit-for-bit.
+# Reference anchor: the dormant pgvector VECTOR(768) column
+# (sql/01_schema.sql:95).
+# ---------------------------------------------------------------------------
+def q138_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codebook = emb.filter(F.col("vec_id") < 16)
+    return pq_topk(emb, queries, codebook, "vec_id", "embedding", m=8, k=5)
+
+
+ORACLES["q138_pq_topk"] = """
+WITH cb AS (
+    SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sub AS (
+    SELECT c.vec_id, s.s, cb.code,
+           list_sum(list_transform(range(1, 9),
+               i -> (v[s.s * 8 + i] - cv[s.s * 8 + i])
+                  * (v[s.s * 8 + i] - cv[s.s * 8 + i]))) AS d
+    FROM corpus c, (SELECT UNNEST(range(0, 8)) AS s) s, cb
+),
+best AS (
+    SELECT vec_id, s, code
+    FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM sub
+    )
+    WHERE rn = 1
+),
+recon AS (
+    SELECT b.vec_id,
+           flatten(list(list_slice(cb.cv, b.s * 8 + 1, b.s * 8 + 8)
+                        ORDER BY b.s)) AS rv
+    FROM best b JOIN cb ON cb.code = b.code
+    GROUP BY b.vec_id
+),
+q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 10
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM (
+    SELECT q.query_id, r.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.qv, r.rv), 4) AS sim
+    FROM recon r, q WHERE r.vec_id <> q.query_id
+)
+QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

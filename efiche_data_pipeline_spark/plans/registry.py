@@ -60,13 +60,14 @@ ORACLES: dict[str, str] = {
 #      (intake-time split-leakage monitor), q133/q134 (binary
 #      quantized search + shortlist rerank), q135 (versioned-store
 #      release diff), q136 (cluster-safe leakage-free split),
-#      q137 (the composed dataset-release pipeline);
+#      q137 (the composed dataset-release pipeline), q138
+#      (product-quantized search — the ladder's bottom rung);
 #   2. the 19 queries whose newest driver row dates from r04 (q22,
 #      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
 #      3 rounds;
 #   3. the oldest r05-green queries (incremental tier q101-q109
 #      first — the flagship family — then the warehouse builds and
-#      the relational core; q02-q17 land at positions 51-66, just
+#      the relational core; q01-q17 land at positions 51-67, just
 #      past the window, and front round 8 with the rest).
 # The r05-green remainder (q13-q25, q52-q67) ages to 2 rounds and
 # fronts the round-8 rotation; every rotated-out query keeps its
@@ -91,6 +92,7 @@ _DRIVER_PRIORITY = [
     "q135_release_diff",
     "q136_cluster_safe_split",
     "q137_dataset_release",
+    "q138_pq_topk",
     # r04-stale rows (VERDICT r06 Next #3, refresh first):
     "q22_brand_volume_mv",
     "q24_exact_dedup_docs",
