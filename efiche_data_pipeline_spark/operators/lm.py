@@ -1,0 +1,231 @@
+"""N-gram language-model quality scoring — the CCNet discipline.
+
+CCNet (Wenzek et al., LREC 2020) filters a crawled corpus by the
+perplexity of a language model trained on a trusted reference slice:
+documents whose cross-entropy under the reference model is high are
+gibberish/boilerplate candidates; low means close to the reference
+register. This module is that operator with the model Spark-native —
+the model IS a DataFrame of count rows, trained with one aggregate
+pass and scored with broadcast joins (a production deployment with a
+real KenLM binary would swap the scorer for a mapInPandas over the
+shipped model file; the join form here is the model-free equivalent
+the container supports, and it is what keeps the operator
+oracle-checkable).
+
+Model: interpolated bigram LM with add-one unigram smoothing,
+
+    P(w2 | w1) = lam * c(w1,w2)/c(w1)  +  (1-lam) * (c(w2)+1)/(N+V+1)
+
+where c() are counts over the training slice, N its token total, V
+its vocabulary size (the +1 in the denominator is the implicit OOV
+bucket, so every token has P > 0). A document's score is the mean
+-ln P over its bigram positions (cross-entropy, nats/token).
+
+Engine-exactness discipline (shared with q88/q107/q113): every
+per-position ln-term is rounded to a 1e-9 FIXED-POINT INTEGER before
+the per-document sum, making the aggregate associative — bit-identical
+across engines and across Spark's own partition orders.
+
+Incremental maintenance (`incremental_lm`): counts are ASSOCIATIVE
+sums, so the model folds batch-by-batch as layered +delta rows
+committed in ONE atomic `append_version` per fold. There is NO crash
+window at all: the replay watermark (the batch's max id) travels
+INSIDE the same delta layer it gates, so a crash before the commit
+leaves nothing and a replay of a committed batch cuts to empty and
+no-ops. The model at read time is a groupBy-sum over the compact
+delta layers (`Store.compact` bounds layer count); maintained counts
+== one-shot global counts by commutativity of +.
+
+Scale shape: training is one token explode, one per-document window
+(the lag that forms bigrams; exchange on the id), and one
+grouping-sets aggregate that produces unigram AND bigram counts in a
+single exchange. The model is vocab-bounded (unigrams <= V, bigrams
+<= observed adjacency, both tiny next to the corpus) — callers pin it
+with an eager localCheckpoint and the scorer BROADCASTS it, so
+scoring the full corpus adds one id-exchange and zero shuffle joins.
+If a reference model ever outgrew broadcast, the bigram join swaps to
+a shuffle join keyed on (w1, w2) with no other change.
+
+Reference anchor: none (beyond-reference LLM-pipeline tier; the
+rule-based quality family is q32/q67/q88 — this is the model-based
+one they lead to).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+LM_LAMBDA = 0.8  # bigram interpolation weight (oracle SQL mirrors it)
+
+
+def _lag_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, pos, w2, w1) — one row per token position, ``w1`` the
+    previous token (NULL at position 0). One exchange on the id."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "w2"),
+    )
+    win = W.partitionBy("_id").orderBy("pos")
+    return toks.withColumn("w1", F.lag("w2").over(win))
+
+
+def lm_count_delta(
+    train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Train-slice counts as (kind, w1, w2, cnt): ``kind='uni'`` rows
+    (w1 NULL) are unigram counts of w2; ``kind='big'`` rows are
+    bigram counts. ONE grouping-sets aggregate produces both from the
+    same lag frame — `F.grouping` distinguishes the unigram grouping
+    set from a genuine first-token NULL w1 (those rows are excluded
+    from the bigram set, as they must be)."""
+    lagf = _lag_frame(train_docs, id_col, text_col)
+    counts = lagf.groupingSets([["w2"], ["w1", "w2"]], "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.grouping("w1").alias("_g1"),
+    )
+    uni = counts.filter(F.col("_g1") == 1).select(
+        F.lit("uni").alias("kind"),
+        F.lit(None).cast("string").alias("w1"),
+        "w2",
+        "cnt",
+    )
+    big = counts.filter((F.col("_g1") == 0) & F.col("w1").isNotNull()).select(
+        F.lit("big").alias("kind"), "w1", "w2", "cnt"
+    )
+    return uni.unionByName(big)
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = LM_LAMBDA,
+) -> DataFrame:
+    """Score every document with >= 2 tokens against ``model`` (a
+    (kind, w1, w2, cnt) frame — pass it PINNED via localCheckpoint;
+    it is consumed by three broadcast sides). Returns
+
+        (doc_id, n_tokens, n_oov, n_hit_bigrams, xent)
+
+    where n_oov counts tokens outside the training vocabulary,
+    n_hit_bigrams the positions whose exact bigram was seen in
+    training, and xent the mean -ln P(w_i | w_{i-1}) in nats/token
+    (1e-9 fixed-point per-term rounding, then ROUND(.., 4))."""
+    uni = model.filter(F.col("kind") == "uni").select(
+        F.col("w2").alias("u_w"), F.col("cnt").alias("c1")
+    )
+    big = model.filter(F.col("kind") == "big").select(
+        F.col("w1").alias("b_w1"),
+        F.col("w2").alias("b_w2"),
+        F.col("cnt").alias("c12"),
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v_train"),
+    )
+    pairs = _lag_frame(docs, id_col, text_col).filter(F.col("w1").isNotNull())
+    sc = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("u_w").alias("p_w"), F.col("c1").alias("c1_prev"))),
+            F.col("w1") == F.col("p_w"),
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("u_w").alias("c_w"), F.col("c1").alias("c1_cur"))),
+            F.col("w2") == F.col("c_w"),
+            "left",
+        )
+        .join(
+            F.broadcast(big),
+            (F.col("w1") == F.col("b_w1")) & (F.col("w2") == F.col("b_w2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    # Term AST mirrored token-for-token by the oracle SQL: the float
+    # ops (two divisions, two multiplies, one add, one ln) are
+    # IEEE-exact in both engines; only then the 1e-9 fixed point.
+    big_part = F.when(
+        F.col("c1_prev").isNotNull(),
+        F.coalesce(F.col("c12"), F.lit(0)).cast("double") / F.col("c1_prev"),
+    ).otherwise(F.lit(0.0))
+    uni_part = (F.coalesce(F.col("c1_cur"), F.lit(0)).cast("double") + F.lit(1)) / (
+        F.col("n_train") + F.col("v_train") + F.lit(1)
+    )
+    term_fp = (
+        F.round(F.log(F.lit(lam) * big_part + F.lit(1.0 - lam) * uni_part) * F.lit(1e9))
+        .cast("long")
+        .alias("t")
+    )
+    oov = (
+        F.when(F.col("c1_cur").isNull(), F.lit(1)).otherwise(F.lit(0))
+        + F.when(
+            (F.col("pos") == 1) & F.col("c1_prev").isNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+    ).alias("oov")
+    hit = F.when(F.col("c12").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("hit")
+    terms = sc.select(F.col("_id"), term_fp, oov, hit)
+    return terms.groupBy("_id").agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.sum("hit").cast("long").alias("n_hit_bigrams"),
+        F.round(
+            (-(F.sum("t") / F.lit(1e9))) / F.count(F.lit(1)), 4
+        ).alias("xent"),
+    ).withColumnRenamed("_id", id_col)
+
+
+@dataclass(frozen=True)
+class IncrementalLmResult:
+    n_new: int
+    version: int | None
+
+
+def incremental_lm(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_table: str = "lm_model",
+) -> IncrementalLmResult:
+    """Fold a batch of training documents into the layered count
+    model. ONE atomic commit per fold — the delta layer carries
+    ``batch_max_id`` (the replay watermark) alongside the counts it
+    gates, so there is no crash window: nothing-or-everything per
+    fold, and a replayed committed batch cuts to empty and no-ops.
+
+    Batch contract (the family's): ``id_col`` monotone across
+    batches. Cost: one token pass over the BATCH only (history text
+    is never re-read); the watermark probe reads one pruned column of
+    the compact model layers."""
+    wm = None
+    if store.current_version(model_table) is not None:
+        wm = store.read_union(model_table).agg(F.max("batch_max_id")).first()[0]
+    fresh = new_docs.filter(F.col(id_col) > wm) if wm is not None else new_docs
+    batch = fresh.agg(F.count(F.lit(1)).alias("n"), F.max(id_col).alias("mx")).first()
+    if batch["n"] == 0:
+        return IncrementalLmResult(0, store.current_version(model_table))
+    delta = lm_count_delta(fresh, id_col, text_col).withColumn(
+        "batch_max_id", F.lit(int(batch["mx"])).cast("long")
+    )
+    version = store.append_version(delta, model_table)
+    return IncrementalLmResult(int(batch["n"]), version)
+
+
+def lm_model_from_store(store, model_table: str = "lm_model") -> DataFrame:
+    """The current model: sum the layered +deltas. Equal to the
+    one-shot `lm_count_delta` over every folded batch by
+    associativity; callers pin the (vocab-bounded) result before
+    scoring with it."""
+    return (
+        store.read_union(model_table)
+        .groupBy("kind", "w1", "w2")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

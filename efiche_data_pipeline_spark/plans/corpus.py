@@ -4160,6 +4160,117 @@ QUALIFY rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Q139 — n-gram language-model quality scoring (the CCNet discipline,
+# operators/lm.py): train an interpolated bigram LM on a reference
+# slice (doc_id % 3 == 0 — the deterministic stand-in for "trusted
+# corpus"), score EVERY document by its mean -ln P per token. The
+# model-based member of the quality family (rule-based: q32/q67/q88).
+# Per-position ln-terms are 1e-9 fixed-point rounded before the
+# per-document sum (the q88/q113 exactness discipline), so the
+# aggregate is associative and bit-identical across engines.
+# Scale shape: one grouping-sets aggregate trains both count tables
+# in a single exchange; the vocab-bounded model is pinned + BROADCAST
+# into the scoring joins, so scoring the corpus costs one id-exchange
+# and zero shuffle joins.
+# Reference anchor: none (beyond-reference LLM-pipeline tier).
+# ---------------------------------------------------------------------------
+_LM_TRAIN_MOD = 3
+
+
+def q139_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import lm_count_delta, ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    model = lm_count_delta(train, "doc_id", "text").localCheckpoint(eager=True)
+    return ngram_lm_score(docs, model, "doc_id", "text")
+
+
+ORACLES["q139_ngram_lm_score"] = rf"""
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS w2
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+         UNNEST(range(1, length(t) + 1)) AS u(i)
+),
+lagf AS (
+    SELECT doc_id, pos, w2,
+           lag(w2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM toks
+),
+tr AS (SELECT * FROM lagf WHERE doc_id % {_LM_TRAIN_MOD} = 0),
+uni AS (SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM tr WHERE w1 IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS v_train FROM uni),
+sc AS (
+    SELECT p.doc_id, p.pos, u1.c1 AS c1_prev, u2.c1 AS c1_cur, b.c12
+    FROM lagf p
+    LEFT JOIN uni u1 ON u1.w = p.w1
+    LEFT JOIN uni u2 ON u2.w = p.w2
+    LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+    WHERE p.w1 IS NOT NULL
+),
+terms AS (
+    SELECT doc_id,
+           CAST(ROUND(ln(0.8 * (CASE WHEN c1_prev IS NOT NULL
+                                     THEN CAST(COALESCE(c12, 0) AS DOUBLE) / c1_prev
+                                     ELSE 0.0 END)
+                          + 0.2 * (CAST(COALESCE(c1_cur, 0) AS DOUBLE) + 1)
+                                / (n_train + v_train + 1)) * 1e9) AS BIGINT) AS t,
+           CASE WHEN c1_cur IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN pos = 1 AND c1_prev IS NULL THEN 1 ELSE 0 END AS oov,
+           CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM sc CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(hit) AS BIGINT) AS n_hit_bigrams,
+       ROUND(-(CAST(SUM(t) AS DOUBLE) / 1e9) / COUNT(*), 4) AS xent
+FROM terms GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q140 — INCREMENTAL LM maintenance (operators/lm.py:incremental_lm):
+# q139's model folded batch-by-batch as layered +delta count rows,
+# ONE atomic append_version per fold — the replay watermark travels
+# INSIDE the delta layer it gates, so the fold has no crash window at
+# all. Counts are associative sums, so the maintained model is
+# EXACTLY the one-shot q139 model and the oracle is q139's verbatim.
+# Batch text is tokenized once, on arrival; history text never
+# re-read; the read-side fold is over the vocab-bounded model layers.
+# Reference anchor: none (beyond-reference tier); batch form is q139.
+# ---------------------------------------------------------------------------
+def q140_incremental_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.lm import incremental_lm, lm_model_from_store, ngram_lm_score
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    lo, hi = train.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inclm_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_lm(train.filter(F.col("doc_id") <= split), store)
+        r2 = incremental_lm(train.filter(F.col("doc_id") > split), store)
+        _require(r1.n_new > 0 and r2.n_new > 0, "both folds must introduce documents")
+        model = lm_model_from_store(store).localCheckpoint(eager=True)
+        return _finish_with_store(ngram_lm_score(docs, model, "doc_id", "text"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q140_incremental_lm"] = ORACLES["q139_ngram_lm_score"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -74,6 +74,8 @@ ORACLES: dict[str, str] = {
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
     # round-7 additions:
+    "q139_ngram_lm_score",
+    "q140_incremental_lm",
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
     "q122_incremental_tfidf",
