@@ -126,8 +126,11 @@ def ngram_lm_score(
         F.col("w2").alias("b_w2"),
         F.col("cnt").alias("c12"),
     )
+    # coalesce: an EMPTY model (cold-start stream scoring before any
+    # training batch) must degrade to the pure OOV-bucket probability,
+    # not NULL-poison every term
     tot = uni.agg(
-        F.sum("c1").cast("long").alias("n_train"),
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_train"),
         F.count(F.lit(1)).cast("long").alias("v_train"),
     )
     pairs = _lag_frame(docs, id_col, text_col).filter(F.col("w1").isNotNull())
