@@ -185,6 +185,133 @@ def ngram_lm_score(
     ).withColumnRenamed("_id", id_col)
 
 
+def dsir_select(
+    docs: DataFrame,
+    target_model: DataFrame,
+    source_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_select: int = 100,
+    lam: float = LM_LAMBDA,
+    buckets: int = 64,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023), deterministic variant: rank every document by the
+    log-ratio of its probability under a TARGET model (trained on the
+    trusted reference slice) vs a SOURCE model (trained on the whole
+    raw pool), and keep the ``n_select`` most target-like. This is
+    the importance-weighting step of domain-targeted training-data
+    selection; the published method resamples with Gumbel noise,
+    the deterministic top-N here is the oracle-checkable form (swap
+    the final rank for hash-perturbed weights to get the sampled
+    one — the q84/q99 machinery).
+
+    Because both models' per-position ln-terms are 1e-9 fixed-point
+    integers, the log-weight is an EXACT integer difference — the
+    ranking is total and engine-exact, no float-order wobble.
+
+    Returns (doc_id, n_tokens, log_weight, rank) for the selected
+    docs, rank 1 = most target-like (ties to smaller id).
+
+    Scale shape: ONE pass over the corpus text scores both models —
+    six broadcast joins + two single-row cross joins on the same
+    bigram frame (models are vocab-bounded; pass them PINNED); the
+    per-doc aggregate reuses the bigram window's id-exchange, and the
+    global rank is the bucketed two-level `global_row_number` (no
+    single-task sort)."""
+    from .ranking import global_row_number
+
+    def sides(model: DataFrame, p: str):
+        uni = model.filter(F.col("kind") == "uni").select(
+            F.col("w2").alias(f"{p}uw"), F.col("cnt").alias(f"{p}c1")
+        )
+        big = model.filter(F.col("kind") == "big").select(
+            F.col("w1").alias(f"{p}bw1"),
+            F.col("w2").alias(f"{p}bw2"),
+            F.col("cnt").alias(f"{p}c12"),
+        )
+        tot = uni.agg(
+            F.coalesce(F.sum(f"{p}c1"), F.lit(0)).cast("long").alias(f"{p}n"),
+            F.count(F.lit(1)).cast("long").alias(f"{p}v"),
+        )
+        return uni, big, tot
+
+    def term_fp(p: str):
+        big_part = F.when(
+            F.col(f"{p}c1p").isNotNull(),
+            F.coalesce(F.col(f"{p}c12"), F.lit(0)).cast("double")
+            / F.col(f"{p}c1p"),
+        ).otherwise(F.lit(0.0))
+        uni_part = (
+            F.coalesce(F.col(f"{p}c1c"), F.lit(0)).cast("double") + F.lit(1)
+        ) / (F.col(f"{p}n") + F.col(f"{p}v") + F.lit(1))
+        return (
+            F.round(
+                F.log(F.lit(lam) * big_part + F.lit(1.0 - lam) * uni_part)
+                * F.lit(1e9)
+            )
+            .cast("long")
+        )
+
+    sc = _lag_frame(docs, id_col, text_col).filter(F.col("w1").isNotNull())
+    for p, model in (("t", target_model), ("s", source_model)):
+        uni, big, tot = sides(model, p)
+        sc = (
+            sc.join(
+                F.broadcast(
+                    uni.select(
+                        F.col(f"{p}uw").alias(f"{p}pw"),
+                        F.col(f"{p}c1").alias(f"{p}c1p"),
+                    )
+                ),
+                F.col("w1") == F.col(f"{p}pw"),
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    uni.select(
+                        F.col(f"{p}uw").alias(f"{p}cw"),
+                        F.col(f"{p}c1").alias(f"{p}c1c"),
+                    )
+                ),
+                F.col("w2") == F.col(f"{p}cw"),
+                "left",
+            )
+            .join(
+                F.broadcast(big),
+                (F.col("w1") == F.col(f"{p}bw1"))
+                & (F.col("w2") == F.col(f"{p}bw2")),
+                "left",
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+    per_doc = (
+        sc.select(
+            F.col("_id"), term_fp("t").alias("tt"), term_fp("s").alias("ts")
+        )
+        .groupBy("_id")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tt").alias("stt"),
+            F.sum("ts").alias("sts"),
+        )
+        .withColumn("_lw", (F.col("stt") - F.col("sts")).cast("long"))
+        .withColumn("_neg", -F.col("_lw"))
+    )
+    ranked = global_row_number(per_doc, ["_neg", "_id"], "rank", buckets)
+    return (
+        ranked.filter(F.col("rank") <= n_select)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("_lw").cast("double") / F.lit(1e9), 4).alias(
+                "log_weight"
+            ),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 @dataclass(frozen=True)
 class IncrementalLmResult:
     n_new: int

@@ -4271,6 +4271,96 @@ def q140_incremental_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q140_incremental_lm"] = ORACLES["q139_ngram_lm_score"]
 
 
+# ---------------------------------------------------------------------------
+# Q141 — DSIR importance selection (operators/lm.py:dsir_select):
+# Data Selection via Importance Resampling (Xie et al. 2023) in its
+# deterministic oracle-checkable form — every document ranked by the
+# log-ratio of its probability under the TARGET model (the q139
+# reference slice) vs the SOURCE model (the whole raw pool), keep the
+# top-100 most target-like. The per-position fixed-point ln-terms
+# make the log-weight an EXACT integer difference, so the ranking is
+# total and engine-exact. One text pass scores both models (six
+# broadcast joins on the same bigram frame); the global rank is the
+# bucketed two-level global_row_number — no single-task sort.
+# Reference anchor: none (beyond-reference LLM-pipeline tier).
+# ---------------------------------------------------------------------------
+_DSIR_N = 100
+
+
+def q141_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import dsir_select, lm_count_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = lm_count_delta(
+        docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    source = lm_count_delta(docs, "doc_id", "text").localCheckpoint(eager=True)
+    return dsir_select(docs, target, source, "doc_id", "text", n_select=_DSIR_N)
+
+
+ORACLES["q141_dsir_selection"] = rf"""
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS w2
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+         UNNEST(range(1, length(t) + 1)) AS u(i)
+),
+lagf AS (
+    SELECT doc_id, pos, w2,
+           lag(w2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM toks
+),
+trt AS (SELECT * FROM lagf WHERE doc_id % {_LM_TRAIN_MOD} = 0),
+unit AS (SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM trt GROUP BY 1),
+bigt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         FROM trt WHERE w1 IS NOT NULL GROUP BY 1, 2),
+tott AS (SELECT CAST(SUM(c1) AS BIGINT) AS tn,
+                CAST(COUNT(*) AS BIGINT) AS tv FROM unit),
+unis AS (SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM lagf GROUP BY 1),
+bigs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         FROM lagf WHERE w1 IS NOT NULL GROUP BY 1, 2),
+tots AS (SELECT CAST(SUM(c1) AS BIGINT) AS sn,
+                CAST(COUNT(*) AS BIGINT) AS sv FROM unis),
+sc AS (
+    SELECT p.doc_id,
+           ut1.c1 AS tc1p, ut2.c1 AS tc1c, bt.c12 AS tc12,
+           us1.c1 AS sc1p, us2.c1 AS sc1c, bs.c12 AS sc12
+    FROM lagf p
+    LEFT JOIN unit ut1 ON ut1.w = p.w1
+    LEFT JOIN unit ut2 ON ut2.w = p.w2
+    LEFT JOIN bigt bt ON bt.w1 = p.w1 AND bt.w2 = p.w2
+    LEFT JOIN unis us1 ON us1.w = p.w1
+    LEFT JOIN unis us2 ON us2.w = p.w2
+    LEFT JOIN bigs bs ON bs.w1 = p.w1 AND bs.w2 = p.w2
+    WHERE p.w1 IS NOT NULL
+),
+terms AS (
+    SELECT doc_id,
+           CAST(ROUND(ln(0.8 * (CASE WHEN tc1p IS NOT NULL
+                                     THEN CAST(COALESCE(tc12, 0) AS DOUBLE) / tc1p
+                                     ELSE 0.0 END)
+                          + 0.2 * (CAST(COALESCE(tc1c, 0) AS DOUBLE) + 1)
+                                / (tn + tv + 1)) * 1e9) AS BIGINT) AS tt,
+           CAST(ROUND(ln(0.8 * (CASE WHEN sc1p IS NOT NULL
+                                     THEN CAST(COALESCE(sc12, 0) AS DOUBLE) / sc1p
+                                     ELSE 0.0 END)
+                          + 0.2 * (CAST(COALESCE(sc1c, 0) AS DOUBLE) + 1)
+                                / (sn + sv + 1)) * 1e9) AS BIGINT) AS ts
+    FROM sc CROSS JOIN tott CROSS JOIN tots
+),
+perdoc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_tokens,
+           SUM(tt) - SUM(ts) AS lw
+    FROM terms GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(lw AS DOUBLE) / 1e9, 4) AS log_weight,
+       CAST(row_number() OVER (ORDER BY lw DESC, doc_id) AS BIGINT) AS rank
+FROM perdoc
+QUALIFY rank <= {_DSIR_N}
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     # round-7 additions:
     "q139_ngram_lm_score",
     "q140_incremental_lm",
+    "q141_dsir_selection",
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
     "q122_incremental_tfidf",

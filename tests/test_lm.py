@@ -99,6 +99,39 @@ def test_empty_first_batch_returns_no_version(spark, tmp_path):
     assert r.n_new == 0 and r.version is None
 
 
+def test_dsir_prefers_target_like(spark):
+    from efiche_data_pipeline_spark.operators.lm import dsir_select
+
+    # pool: ids 0-2 define the target register (reference slice);
+    # 10-13 written in it; 20-23 written in a different register that
+    # dominates the SOURCE pool
+    other = [
+        (20 + i,
+         " ".join("srv%d log%d" % ((i * 3 + j) % 5, (i + j) % 4) for j in range(10)))
+        for i in range(4)
+    ]
+    docs = _docs(
+        spark,
+        _TRAIN
+        + [(10 + i, _TRAIN[i % 3][1]) for i in range(4)]
+        + other,
+    )
+    target = lm_count_delta(
+        docs.filter(F.col("doc_id") <= 2)
+    ).localCheckpoint(eager=True)
+    source = lm_count_delta(docs).localCheckpoint(eager=True)
+    top = dsir_select(docs, target, source, n_select=7)
+    picked = {r["doc_id"] for r in top.collect()}
+    assert {0, 1, 2, 10, 11, 12, 13} == picked
+    # ranks are 1..7, log_weight decreasing in rank order
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 8))
+    assert all(
+        rows[i]["log_weight"] >= rows[i + 1]["log_weight"]
+        for i in range(len(rows) - 1)
+    )
+
+
 def test_scoring_plan_broadcasts_model(spark):
     train = _docs(spark, _TRAIN)
     model = lm_count_delta(train).localCheckpoint(eager=True)
