@@ -72,6 +72,8 @@ HEADLINE = (
     # mixture sample (grouped two-level prefix sum)
     "q127_boilerplate_removal",
     "q130_token_budget_sample",
+    # model-based quality gate: bigram LM train + broadcast-join score
+    "q139_ngram_lm_score",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

@@ -4361,6 +4361,138 @@ QUALIFY rank <= {_DSIR_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q142 — INCREMENTAL DSIR: both q141 models maintained batch-by-batch
+# with incremental_lm (target folds the reference slice, source folds
+# everything — two independent single-commit layered count tables),
+# the selection derived at read time from the maintained pair. Counts
+# associative ⇒ both maintained models ≡ their one-shot twins ⇒ the
+# selection is EXACTLY q141's; oracle reused verbatim. Per drop:
+# one token pass over the batch (each model's fold), zero crash
+# windows; the re-rank touches model state + corpus text once.
+# Reference anchor: none (beyond-reference tier); batch form is q141.
+# ---------------------------------------------------------------------------
+def q142_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.lm import dsir_select, incremental_lm, lm_model_from_store
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incdsir_")
+    store = Store(spark, tmp_root)
+    try:
+        for batch in (
+            docs.filter(F.col("doc_id") <= split),
+            docs.filter(F.col("doc_id") > split),
+        ):
+            rt = incremental_lm(
+                batch.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0),
+                store,
+                model_table="lm_target",
+            )
+            rs = incremental_lm(batch, store, model_table="lm_source")
+            _require(
+                rt.n_new > 0 and rs.n_new > 0,
+                "both folds must introduce documents to both models",
+            )
+        target = lm_model_from_store(store, "lm_target").localCheckpoint(eager=True)
+        source = lm_model_from_store(store, "lm_source").localCheckpoint(eager=True)
+        return _finish_with_store(
+            dsir_select(docs, target, source, "doc_id", "text", n_select=_DSIR_N),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q142_incremental_dsir"] = ORACLES["q141_dsir_selection"]
+
+
+# ---------------------------------------------------------------------------
+# Q143 — quality-score drift monitor: the PSI gate (q113's
+# fixed-point discipline, operators/drift.py) pointed at the LM
+# quality score itself — bucket every document's q139 cross-entropy
+# into 0.25-nat bins and compare the reference population (even ids
+# — the stand-in for "last accepted period") against the current one
+# (odd ids). This is the gate that tells an intake pipeline its
+# QUALITY FILTER's input distribution moved (new crawl source, a
+# register shift), before the filter silently starts passing junk or
+# rejecting good text. One scoring pass + one bounded
+# (column, bucket) aggregate; the PSI fold is over <= dozens of rows.
+# Reference anchor: none (beyond-reference tier); composes q139+q113.
+# ---------------------------------------------------------------------------
+def q143_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_from_bucket_counts
+    from ..operators.lm import lm_count_delta, ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    model = lm_count_delta(train, "doc_id", "text").localCheckpoint(eager=True)
+    scored = ngram_lm_score(docs, model, "doc_id", "text")
+    per_bucket = (
+        scored.select(
+            F.lit("lm_xent").alias("column_name"),
+            F.floor(F.col("xent") * F.lit(4)).cast("int").alias("bucket"),
+            (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        )
+        .groupBy("column_name", "bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+        )
+    )
+    return psi_from_bucket_counts(per_bucket)
+
+
+_Q139_XENT_CHAIN = ORACLES["q139_ngram_lm_score"]
+
+ORACLES["q143_quality_drift"] = rf"""
+WITH xents AS (
+{_Q139_XENT_CHAIN}
+),
+rows_ AS (
+    SELECT 'lm_xent' AS column_name,
+           CAST(FLOOR(xent * 4) AS INTEGER) AS bucket,
+           CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side
+    FROM xents
+),
+pb AS (
+    SELECT column_name, bucket,
+           SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+           SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+    FROM rows_ GROUP BY 1, 2
+),
+wn AS (
+    SELECT *,
+           SUM(c_ref) OVER (PARTITION BY column_name) AS n_ref,
+           SUM(c_cur) OVER (PARTITION BY column_name) AS n_cur,
+           COUNT(*) OVER (PARTITION BY column_name) AS n_buckets
+    FROM pb
+),
+terms AS (
+    SELECT column_name, n_ref, n_cur, n_buckets,
+           CAST(ROUND((((c_cur + 1.0) / (n_cur + n_buckets)
+                        - (c_ref + 1.0) / (n_ref + n_buckets))
+                       * ln(((c_cur + 1.0) / (n_cur + n_buckets))
+                            / ((c_ref + 1.0) / (n_ref + n_buckets))))
+                      * 1e9) AS BIGINT) AS t
+    FROM wn
+)
+SELECT column_name,
+       ROUND(SUM(t) / 1e9, 4) AS psi,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       CAST(MAX(n_buckets) AS BIGINT) AS n_buckets
+FROM terms
+GROUP BY column_name
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

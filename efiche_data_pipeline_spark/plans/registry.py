@@ -77,6 +77,8 @@ _DRIVER_PRIORITY = [
     "q139_ngram_lm_score",
     "q140_incremental_lm",
     "q141_dsir_selection",
+    "q142_incremental_dsir",
+    "q143_quality_drift",
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
     "q122_incremental_tfidf",

@@ -132,6 +132,44 @@ def test_dsir_prefers_target_like(spark):
     )
 
 
+def test_quality_drift_composition_alarms_on_register_shift(spark):
+    """The q143 shape with a PLANTED shift: reference population in
+    the training register, current population gibberish — the
+    xent-bucket PSI must alarm; and with both populations identical
+    it must stay calm."""
+    from pyspark.sql import functions as F
+
+    from efiche_data_pipeline_spark.operators.drift import psi_from_bucket_counts
+    from efiche_data_pipeline_spark.operators.lm import ngram_lm_score
+
+    model = lm_count_delta(_docs(spark, _TRAIN)).localCheckpoint(eager=True)
+    in_dist = [(100 + i, _TRAIN[i % 3][1] + " the quick fox") for i in range(12)]
+    gib = [(200 + i, " ".join("qq%dzz" % ((i * 7 + j) % 50) for j in range(10)))
+           for i in range(12)]
+
+    def psi_of(ref_rows, cur_rows):
+        scored = ngram_lm_score(
+            _docs(spark, ref_rows + cur_rows), model
+        ).withColumn("is_ref", F.col("doc_id") < 200)
+        pb = (
+            scored.select(
+                F.lit("lm_xent").alias("column_name"),
+                F.floor(F.col("xent") * F.lit(4)).cast("int").alias("bucket"),
+                "is_ref",
+            )
+            .groupBy("column_name", "bucket")
+            .agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+            )
+        )
+        return psi_from_bucket_counts(pb).first()["psi"]
+
+    assert psi_of(in_dist, gib) > 0.25
+    calm = [(200 + i, text) for i, (_, text) in enumerate(in_dist)]
+    assert psi_of(in_dist, calm) < 0.1
+
+
 def test_scoring_plan_broadcasts_model(spark):
     train = _docs(spark, _TRAIN)
     model = lm_count_delta(train).localCheckpoint(eager=True)
