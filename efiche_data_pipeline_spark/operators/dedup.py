@@ -1004,6 +1004,82 @@ def incremental_novelty(
 # ---------------------------------------------------------------------------
 # Right-to-be-forgotten across the WHOLE dedup family in one call.
 # ---------------------------------------------------------------------------
+def duplicated_span_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated spans — the Spark-expressible
+    form of suffix-array substring dedup (Lee et al. 2022): a true
+    suffix array is a single-machine construction, so the distributed
+    form fixes a span granularity ``k`` and works on k-token gram
+    hashes. Every k-gram appearing in >= ``min_docs`` distinct docs
+    marks its start position duplicated; per doc, overlapping
+    duplicated grams merge into MAXIMAL spans by interval union
+    (running-max-end gaps-and-islands). Returns, for each doc with at
+    least one span: (id, n_tokens, n_dup_spans, dup_tokens, dup_frac)
+    — the "cut these spans before training" sheet.
+
+    Scale shape: lead-chained gram assembly on one id-exchange (the
+    q83 winnowing window), one gram-hash aggregate + left-semi join
+    back (positions, not text, cross that exchange — the q103
+    history-cut discipline), then the island window and both per-doc
+    aggregates reuse the id partitioning. Never all-pairs, never text
+    past the hash."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    by_doc = W.partitionBy("_id")
+    wd = by_doc.orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(wd) for j in range(1, k)]
+    )
+    hashed = (
+        toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
+        .withColumn("gram", gram)
+        .filter(F.col("pos") <= F.col("n_toks") - k)
+        .select("_id", "pos", "n_toks", portable_hash60("gram").alias("h"))
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("_id").alias("d"))
+        .filter(F.col("d") >= min_docs)
+        .select("h")
+    )
+    starts = hashed.join(dup, "h", "left_semi")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = starts.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        ).over(wd),
+    )
+    spans = isl.groupBy("_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+        F.max("n_toks").alias("nt"),
+    )
+    return (
+        spans.groupBy("_id")
+        .agg(
+            F.max("nt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def forget_documents(
     store,
     ids: DataFrame,

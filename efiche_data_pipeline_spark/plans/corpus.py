@@ -4493,6 +4493,89 @@ GROUP BY column_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q144 — duplicated-SPAN report: the Spark-expressible form of
+# suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — their operator finds
+# byte spans repeated across the corpus and cuts them; a true suffix
+# array is a single-machine construction, so the distributed form
+# fixes a span granularity k and works on k-token gram hashes):
+# every k-gram seen in >= _SPAN_MIN_DOCS distinct docs marks its
+# start position duplicated; per doc, overlapping duplicated grams
+# are merged into MAXIMAL spans by interval union (running-max-end
+# gaps-and-islands), reporting span count, covered tokens, and the
+# duplicated fraction — the "cut these spans before training" sheet.
+# Scale shape: lead-chained gram assembly on the q83 window (one
+# doc_id exchange), one gram-hash aggregate + semi-join back (the
+# q103 history-cut discipline — positions, not text, cross that
+# exchange), then the island windows and both per-doc aggregates
+# reuse the doc_id partitioning. Never all-pairs, never text after
+# the hash.
+# Reference anchor: none (beyond-reference tier); gram machinery
+# shared with q83, chunk-granularity cousin is q93/q127.
+# ---------------------------------------------------------------------------
+_SPAN_K = 6
+_SPAN_MIN_DOCS = 2
+
+
+def q144_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _parallelize_scan, duplicated_span_report
+
+    docs = _parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    return duplicated_span_report(
+        docs, "doc_id", "text", k=_SPAN_K, min_docs=_SPAN_MIN_DOCS
+    )
+
+
+ORACLES["q144_duplicated_spans"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos, length(t) AS n_toks,
+           {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SPAN_K))}
+               AS gram
+    FROM toks, UNNEST(range(1, greatest(length(t) - {_SPAN_K - 2}, 1))) AS u(i)
+),
+hh AS (
+    SELECT doc_id, pos, n_toks, {oracle_hash60('gram')} AS h FROM g
+),
+dup AS (
+    SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS d FROM hh GROUP BY 1)
+    WHERE d >= {_SPAN_MIN_DOCS}
+),
+starts AS (
+    SELECT doc_id, pos, n_toks FROM hh WHERE h IN (SELECT h FROM dup)
+),
+isl AS (
+    SELECT doc_id, pos, n_toks,
+           SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (
+        SELECT *,
+               MAX(pos + {_SPAN_K - 1})
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+        FROM starts
+    )
+),
+spans AS (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e,
+           MAX(n_toks) AS nt
+    FROM isl GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(MAX(nt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(nt), 4) AS dup_frac
+FROM spans GROUP BY 1
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "q141_dsir_selection",
     "q142_incremental_dsir",
     "q143_quality_drift",
+    "q144_duplicated_spans",
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
     "q122_incremental_tfidf",

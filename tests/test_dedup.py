@@ -258,3 +258,35 @@ def test_canonical_exact_dedup_merges_variant_groups(spark):
         for r in exact_dedup(canon, "doc_id", "text").collect()
     }
     assert out == {0: 3, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# duplicated_span_report (q144): exact span boundaries on planted text
+# ---------------------------------------------------------------------------
+def test_duplicated_spans_planted(spark):
+    from efiche_data_pipeline_spark.operators.dedup import duplicated_span_report
+
+    sh1 = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens -> one merged span of 8
+    sh2 = "t1 t2 t3 t4 t5 t6"  # exactly k=6 -> single-gram span of 6
+    docs = spark.createDataFrame(
+        [
+            (0, "u01 u02 u03 u04 u05 " + sh1 + " v01 v02 v03 v04 v05 "
+             + sh2 + " w01 w02 w03"),
+            (1, "x01 x02 x03 x04 " + sh1 + " y01 y02 y03 y04 y05 y06"),
+            (2, "z01 z02 z03 z04 z05 z06 z07 " + sh2 + " q01 q02 q03 q04"),
+            (3, " ".join("solo%02d" % i for i in range(12))),  # no dup grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_span_report(docs, k=6, min_docs=2).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_tokens"], rows[0]["n_dup_spans"], rows[0]["dup_tokens"]) \
+        == (27, 2, 14)
+    assert rows[0]["dup_frac"] == round(14 / 27, 4)
+    assert (rows[1]["n_tokens"], rows[1]["n_dup_spans"], rows[1]["dup_tokens"]) \
+        == (18, 1, 8)
+    assert (rows[2]["n_tokens"], rows[2]["n_dup_spans"], rows[2]["dup_tokens"]) \
+        == (17, 1, 6)
