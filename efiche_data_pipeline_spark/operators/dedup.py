@@ -1028,6 +1028,25 @@ def duplicated_span_report(
     history-cut discipline), then the island window and both per-doc
     aggregates reuse the id partitioning. Never all-pairs, never text
     past the hash."""
+    hashed = _gram_positions(docs, id_col, text_col, k).filter("pos >= 0")
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("_id").alias("d"))
+        .filter(F.col("d") >= min_docs)
+        .select("h")
+    )
+    starts = hashed.join(dup, "h", "left_semi")
+    return _span_report(starts, k).withColumnRenamed("_id", id_col)
+
+
+def _gram_positions(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, pos, n_toks, h) for every k-gram start position — the
+    positional inverted index both span operators share. Docs with
+    fewer than ``k`` tokens emit ONE sentinel row (pos = -1, h NULL)
+    so the incremental fold can watermark them; gram consumers filter
+    ``pos >= 0``."""
     from pyspark.sql import Window as W
 
     toks = docs.select(
@@ -1038,19 +1057,33 @@ def duplicated_span_report(
     gram = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", j).over(wd) for j in range(1, k)]
     )
-    hashed = (
-        toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
-        .withColumn("gram", gram)
+    counted = toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
+    real = (
+        counted.withColumn("gram", gram)
         .filter(F.col("pos") <= F.col("n_toks") - k)
         .select("_id", "pos", "n_toks", portable_hash60("gram").alias("h"))
     )
-    dup = (
-        hashed.groupBy("h")
-        .agg(F.countDistinct("_id").alias("d"))
-        .filter(F.col("d") >= min_docs)
-        .select("h")
+    short = (
+        counted.filter(F.col("n_toks") < k)
+        .groupBy("_id")
+        .agg(F.max("n_toks").alias("n_toks"))
+        .select(
+            "_id",
+            F.lit(-1).alias("pos"),
+            "n_toks",
+            F.lit(None).cast("long").alias("h"),
+        )
     )
-    starts = hashed.join(dup, "h", "left_semi")
+    return real.unionByName(short)
+
+
+def _span_report(starts: DataFrame, k: int) -> DataFrame:
+    """Fold duplicated gram START positions (_id, pos, n_toks) into the
+    per-doc maximal-span report via running-max-end gaps-and-islands.
+    Both windows and both aggregates reuse one _id exchange."""
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
         wd.rowsBetween(W.unboundedPreceding, -1)
     )
@@ -1076,8 +1109,127 @@ def duplicated_span_report(
             "dup_frac",
             F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4),
         )
-        .withColumnRenamed("_id", id_col)
     )
+
+
+def incremental_duplicated_spans(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_docs: int = 2,
+    positions_table: str = "span_positions",
+    reports_table: str = "span_reports",
+) -> int:
+    """Maintain :func:`duplicated_span_report` batch-by-batch — q144's
+    suffix-array-shaped substring dedup moved to intake time. After
+    every fold, ``reports_table`` equals the one-shot report over ALL
+    documents ever seen, including the RETROACTIVE updates the span
+    semantics force: when a new document re-uses a span some historical
+    document carried alone, that old document's report changes too
+    (its gram just crossed ``min_docs``), so duplication is charged to
+    every copy the moment the second one arrives — not just to the
+    late arrival. Returns the number of new documents folded.
+
+    Equivalence argument (maintained ≡ global, by induction over
+    folds): the global dup set only GROWS, and a gram's distinct-doc
+    count only changes in a fold whose batch contains that gram (under
+    the intake contract that each id arrives in exactly one batch, the
+    per-batch distinct counts ADD). Hence the docs whose report can
+    change at fold t are exactly (new docs) ∪ (historical docs holding
+    a gram that crossed ``min_docs`` at t) — the operator recomputes
+    precisely that affected set against the current global counts and
+    merge-upserts it. Reports can gain spans but never lose them
+    (monotonicity), so replacement-by-key is sufficient.
+
+    Cost per fold — O(batch neighborhood), never O(corpus): batch text
+    is tokenized once (the only text pass ever; history text is never
+    rescanned). The history side is touched through TWO semi-join cuts
+    of the positional index (16-to-32-byte columnar rows): first to
+    the batch's own gram hashes (which grams' counts could change),
+    then to the affected docs' gram hashes (their current dup status).
+    Both exchanges are bounded by the corpus occurrences of the
+    affected documents' grams — the irreducible cost of retroactive
+    span semantics — not by index size.
+
+    Crash-safety — reports FIRST, positions LAST: the positional index
+    doubles as the replay watermark (fresh-docs anti-join), and the
+    affected report rows are a pure function of (index ∪ batch), so
+    they are computed on the union VIEW before either commit. A crash
+    after the report upsert but before the positions append makes the
+    whole batch replay; the replay recomputes byte-identical report
+    rows (merge_upsert is idempotent) and then commits the positions.
+    The reverse order would be the exact bug class ADVICE r06 flagged
+    in incremental_novelty: a crash window that silently skips the
+    second commit forever."""
+    pos_cols = ["_id", "pos", "n_toks", "h"]
+    have_index = store.exists(positions_table)
+    fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
+    if have_index:
+        seen = store.read(positions_table).select("_id").distinct()
+        fresh = fresh.join(seen, "_id", "left_anti")
+    bpos = (
+        _gram_positions(
+            new_docs.select(F.col(id_col).alias("_id"), text_col).join(
+                fresh, "_id", "left_semi"
+            ),
+            "_id",
+            text_col,
+            k,
+        )
+        .select(*pos_cols)
+        .localCheckpoint(eager=True)
+    )
+    n_new = bpos.select("_id").distinct().count()
+    if n_new == 0:
+        return 0
+    bgrams = bpos.filter("pos >= 0")
+    if have_index:
+        hist = store.read(positions_table).filter("pos >= 0")
+        union_view = hist.unionByName(bpos).filter("pos >= 0")
+        # Cut 1 — which counts changed: only batch-present grams.
+        bg = bgrams.select("h").distinct()
+        hist_b = hist.join(F.broadcast(bg), "h", "left_semi")
+        crossed = (
+            hist_b.groupBy("h")
+            .agg(F.countDistinct("_id").alias("hc"))
+            .join(
+                bgrams.groupBy("h").agg(F.countDistinct("_id").alias("bc")),
+                "h",
+            )
+            .filter(
+                (F.col("hc") < min_docs) & (F.col("hc") + F.col("bc") >= min_docs)
+            )
+            .select("h")
+        )
+        reopened = (
+            hist_b.join(F.broadcast(crossed), "h", "left_semi")
+            .select("_id")
+            .distinct()
+        )
+        affected = fresh.unionByName(reopened).distinct()
+    else:
+        union_view = bgrams
+        affected = fresh
+    # Cut 2 — current dup status of the affected docs' grams only.
+    apos = union_view.join(affected, "_id", "left_semi")
+    ag = apos.select("h").distinct()
+    dup = (
+        union_view.join(ag, "h", "left_semi")
+        .groupBy("h")
+        .agg(F.countDistinct("_id").alias("d"))
+        .filter(F.col("d") >= min_docs)
+        .select("h")
+    )
+    reports = (
+        _span_report(apos.join(dup, "h", "left_semi"), k)
+        .withColumnRenamed("_id", id_col)
+        .localCheckpoint(eager=True)
+    )
+    store.merge_upsert(reports, reports_table, [id_col])
+    store.append_new(bpos, positions_table, key="_id")
+    return n_new
 
 
 def forget_documents(

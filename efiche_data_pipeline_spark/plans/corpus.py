@@ -4576,6 +4576,62 @@ FROM spans GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q145 — INCREMENTAL duplicated-span maintenance
+# (operators/dedup.py:incremental_duplicated_spans): q144 moved to
+# intake time, INCLUDING the retroactive updates span semantics force
+# — when a late document re-uses a span a historical document carried
+# alone, the OLD document's report changes too (its gram just crossed
+# min_docs), so the maintained reports table equals the one-shot q144
+# over everything seen after every fold. Per fold: one text pass over
+# the batch, then two semi-join cuts of the 32-byte positional index
+# (batch grams → changed counts; affected docs' grams → current dup
+# status) — O(batch neighborhood), never O(corpus). Reports upsert
+# commits FIRST (pure function of index ∪ batch, idempotent), the
+# positions append (the watermark) LAST, so every crash window
+# replays to convergence. The oracle is q144's, verbatim.
+# Reference anchor: none (beyond-reference tier); batch-global form is
+# q144.
+# ---------------------------------------------------------------------------
+def q145_incremental_duplicated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _parallelize_scan, incremental_duplicated_spans
+    from ..pipeline.store import Store
+
+    docs = _parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incspans_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            k=_SPAN_K,
+            min_docs=_SPAN_MIN_DOCS,
+        )
+        n2 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            k=_SPAN_K,
+            min_docs=_SPAN_MIN_DOCS,
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must introduce documents")
+        return _finish_with_store(store.read("span_reports"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q145_incremental_duplicated_spans"] = ORACLES["q144_duplicated_spans"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -74,6 +74,7 @@ ORACLES: dict[str, str] = {
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
     # round-7 additions:
+    "q145_incremental_duplicated_spans",
     "q139_ngram_lm_score",
     "q140_incremental_lm",
     "q141_dsir_selection",

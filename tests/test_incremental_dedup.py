@@ -739,3 +739,129 @@ def test_incremental_decontamination_equals_global_and_replays(spark, tmp_path):
     n = store.read("decontam_flags").count()
     r3 = incremental_decontamination(intake, store)
     assert r3.count() == 0 and store.read("decontam_flags").count() == n
+
+
+# ---------------------------------------------------------------------------
+# incremental_duplicated_spans — the maintained q144: retroactive span
+# credit, replay idempotency, crash-window convergence.
+# ---------------------------------------------------------------------------
+_SPAN_DOCS = [
+    # batch 1 (ids <= 3): 1 and 2 share the 3-gram "red green blue"
+    (0, "alpha beta gamma delta epsilon zeta eta"),
+    (1, "one two red green blue three four"),
+    (2, "five red green blue six seven eight"),
+    (3, "hi there"),  # shorter than k=3: sentinel-watermarked only
+    # batch 2 (ids > 3): 5 re-uses doc 0's "gamma delta epsilon" —
+    # doc 0's report must be REOPENED retroactively.
+    (4, "nine ten eleven twelve thirteen fourteen"),
+    (5, "left right gamma delta epsilon up down"),
+]
+
+
+def _span_reports(store):
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["dup_frac"],
+        )
+        for r in store.read("span_reports").collect()
+    }
+
+
+def test_incremental_spans_maintained_equals_global(spark, tmp_path):
+    """Two folds ≡ one-shot duplicated_span_report over the union, and
+    the retroactive case is exercised: doc 0 has NO report after fold
+    1 (its span partner arrives later) and the correct one after fold
+    2, even though fold 2 never re-reads doc 0's text."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        duplicated_span_report,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "spans"))
+    n1 = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    assert n1 == 4
+    after1 = _span_reports(store)
+    assert set(after1) == {1, 2}  # within-batch pair only; doc 0 not yet
+    n2 = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n2 == 2
+    got = _span_reports(store)
+    expected = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["dup_frac"],
+        )
+        for r in duplicated_span_report(docs, k=3, min_docs=2).collect()
+    }
+    assert got == expected
+    assert 0 in got and 5 in got  # the retroactive reopen happened
+    # replay of a committed batch: no-op (short doc 3 is watermarked
+    # by its sentinel row, so it cannot re-enter either)
+    assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
+    assert _span_reports(store) == expected
+
+
+class _CrashBeforePositionsCommitStore(Store):
+    """Injects ONE crash between the report upsert and the positions
+    append — the window where the batch's reports are committed but
+    the watermark is not, so the batch MUST fully replay."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def append_new(self, df, table, key, partition_by=None):
+        if self.armed and table == "span_positions":
+            self.armed = False
+            raise RuntimeError("injected crash before positions commit")
+        return super().append_new(df, table, key, partition_by=partition_by)
+
+
+def test_incremental_spans_crash_before_positions_converges(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        duplicated_span_report,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = _CrashBeforePositionsCommitStore(spark, str(tmp_path / "crash"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+        )
+    # reports landed, watermark did not → the batch replays in full
+    assert {4, 5} & set(
+        r["_id"]
+        for r in store.read("span_positions").select("_id").distinct().collect()
+    ) == set()
+    n = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n == 2
+    expected = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["dup_frac"],
+        )
+        for r in duplicated_span_report(docs, k=3, min_docs=2).collect()
+    }
+    assert _span_reports(store) == expected
+    # and a further replay is a clean no-op
+    assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
