@@ -1,0 +1,221 @@
+"""Distributed BPE tokenizer induction (Sennrich et al. 2016) in its
+oracle-checkable, engine-exact form.
+
+Real BPE training is a loop over the WORD-FREQUENCY table, not the
+corpus: count adjacent symbol pairs weighted by word frequency, merge
+the most frequent pair everywhere, repeat. The corpus is touched
+exactly once (the vocabulary aggregate); every iteration after that
+runs on the vocab — bounded by true vocabulary size (~10^6-10^7 rows
+at 100 TB), so the per-iteration aggregates are small shuffles and the
+single best-pair row is the only thing the driver ever sees (one-row
+``collect`` per iteration — the same scalar-reduction shape as q85's
+PageRank convergence probe, not a driver-side data loop).
+
+Engine-exactness: symbol sequences are stored as wrapped strings —
+``hi`` → ``(h)(i)(</w>)`` — so applying a merge is ONE literal (not
+regex) ``replace`` of ``(l)(r)`` with ``(lr)``; left-to-right
+non-overlapping literal replacement has identical semantics in Spark
+and DuckDB (and matches reference BPE's greedy scan), and the paren
+walls make false sub-symbol matches impossible for any symbols that
+contain no parens (words carrying ``(`` or ``)`` are excluded from the
+vocab by contract — see :func:`word_vocab`). Ties on pair count break
+by binary string order (count DESC, left ASC, right ASC) in both
+engines, so the learned merge table is bit-identical.
+
+Reference anchor: none (beyond-reference tier) — this is the
+training-data-pipeline extension SURVEY §2.13 calls for; the
+model-free approximation it upgrades is functions/text.py's
+BPE_ISH_PATTERN token counts (q31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+END_OF_WORD = "</w>"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokens — the ONE corpus pass of
+    BPE training. Words containing the ``(``/``)`` wrapper characters
+    or empty strings are excluded (the wrapped-symbol encoding's
+    contract; a production tokenizer would escape them instead)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter((~F.col("word").rlike(r"[()]")) & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _wrapped_seq(word) -> F.Column:
+    """'hi' -> '(h)(i)(</w>)' — every codepoint walled in parens, plus
+    the end-of-word symbol real BPE uses so word-final merges differ
+    from word-internal ones."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(
+        F.regexp_replace(c, r"(.)", r"($1)"), F.lit(f"({END_OF_WORD})")
+    )
+
+
+def _symbols(seq_col: str = "seq") -> F.Column:
+    """Wrapped string -> array of symbols (strip outer parens, split
+    on the ')(' walls)."""
+    return F.split(
+        F.expr(f"substring({seq_col}, 2, length({seq_col}) - 2)"), r"\)\("
+    )
+
+
+@dataclass(frozen=True)
+class BpeResult:
+    merges: DataFrame  # (it, lhs, rhs, pair_count, new_symbol)
+    vocab: DataFrame  # (word, freq, seq, n_symbols)
+
+
+def bpe_learn(vocab: DataFrame, n_merges: int) -> BpeResult:
+    """Learn the first ``n_merges`` BPE merge operations from a
+    (word, freq) vocabulary. Raises if the vocabulary exhausts its
+    pairs before ``n_merges`` (the oracle chain has no early-stop, so
+    silence here would mean a silent divergence).
+
+    Per iteration: one vocab-bounded aggregate (adjacent pairs
+    weighted by freq) ending in a single-row TakeOrdered collect (the
+    argmax pair) — ONE job — plus a lazy literal-replace projection.
+    Checkpoints land every 4th iteration only (replaying a few string
+    replaces over the vocab is cheaper than an extra eager job per
+    iteration); the vocab itself is coalesced to one partition up
+    front — it is aggregate-bounded, and a 200-partition vanilla
+    session would otherwise pay full-width task scheduling twelve
+    times over."""
+    spark = vocab.sparkSession
+    seqs = (
+        vocab.select("word", "freq", _wrapped_seq("word").alias("seq"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    merge_rows: list[tuple[int, str, str, int, str]] = []
+    for it in range(1, n_merges + 1):
+        syms = _symbols("seq")
+        z = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            seqs.filter(F.size(syms) >= 2)
+            .select(F.explode(z).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise RuntimeError(
+                f"vocabulary exhausted after {it - 1} merges; "
+                f"{n_merges} requested"
+            )
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merge_rows.append((it, l, r, c, l + r))
+        seqs = seqs.select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("seq"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ).alias("seq"),
+        )
+        if it % 4 == 0 and it < n_merges:
+            seqs = seqs.localCheckpoint(eager=True)
+    merges = spark.createDataFrame(
+        merge_rows,
+        "it int, lhs string, rhs string, pair_count long, new_symbol string",
+    )
+    final_vocab = seqs.select(
+        "word", "freq", "seq", F.size(_symbols("seq")).cast("long").alias("n_symbols")
+    )
+    return BpeResult(merges=merges, vocab=final_vocab)
+
+
+@dataclass(frozen=True)
+class IncrementalVocabResult:
+    n_new: int
+    version: int | None
+
+
+def incremental_vocab(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_table: str = "bpe_vocab",
+) -> IncrementalVocabResult:
+    """Maintain the BPE training input — the (word, freq) table — as
+    layered +delta count rows. Word counts are associative sums, so
+    ONE atomic ``append_version`` per fold with the replay watermark
+    (``batch_max_id``) INSIDE the delta layer: no crash window at all,
+    the incremental_lm commit protocol verbatim (operators/lm.py).
+    Retraining merges from the maintained vocab therefore equals
+    training on the full corpus — the merge loop is a pure function
+    of the count table. Batch contract: ``id_col`` monotone across
+    batches."""
+    wm = None
+    if store.current_version(vocab_table) is not None:
+        wm = store.read_union(vocab_table).agg(F.max("batch_max_id")).first()[0]
+    fresh = new_docs.filter(F.col(id_col) > wm) if wm is not None else new_docs
+    batch = fresh.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("mx")
+    ).first()
+    if batch["n"] == 0:
+        return IncrementalVocabResult(0, store.current_version(vocab_table))
+    delta = word_vocab(fresh, text_col).withColumn(
+        "batch_max_id", F.lit(int(batch["mx"])).cast("long")
+    )
+    version = store.append_version(delta, vocab_table)
+    return IncrementalVocabResult(int(batch["n"]), version)
+
+
+def vocab_from_store(store, vocab_table: str = "bpe_vocab") -> DataFrame:
+    """The current (word, freq) vocabulary: sum the layered +deltas —
+    equal to :func:`word_vocab` over every folded batch by
+    associativity."""
+    return (
+        store.read_union(vocab_table)
+        .groupBy("word")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    final_vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-document BPE token counts under a learned vocabulary:
+    explode the doc's words, broadcast-join the (tiny) vocab's
+    per-word symbol counts, sum. Words outside the vocab contract
+    (parens) are skipped, matching :func:`word_vocab`."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    return (
+        words.join(
+            F.broadcast(final_vocab.select("word", "n_symbols")), "word"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ),
+        )
+    )

@@ -1,0 +1,150 @@
+"""WITHIN-document repetition metrics (Rae et al. 2021 — the Gopher /
+MassiveText "repetitious text" filters, token-level form) and their
+incremental maintenance.
+
+The cross-document dedup family (q144/q145 spans, q127 boilerplate)
+finds text repeated ACROSS documents; this module finds the
+looping / template / degenerate-generation text that repeats INSIDE
+one document — the other half of repetition filtering:
+
+- coverage fraction of the single most frequent 2-gram (ties broken
+  by lexicographically smallest gram — deterministic in both engines'
+  binary string order), capped at 1.0 because overlapping occurrences
+  can cover more starts than tokens exist ("a a a a");
+- the fraction of 3-gram start positions whose gram repeats within
+  the document.
+
+Everything here is a pure PER-DOCUMENT computation — embarrassingly
+parallel at 100 TB: every exchange below is partitioned by the doc id
+and AQE-coalesced; there is no global shuffle anywhere, which is also
+why the incremental form needs no watermark and has no crash window
+(an id-keyed append of per-doc rows IS the maintenance).
+
+Reference anchor: none (beyond-reference tier); rule-based quality
+cousins are q32/q67/q88, the model-based one is operators/lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+REP_TOP2_MAX = 0.20  # Gopher's most-common-2-gram coverage threshold
+REP_DUP3_MAX = 0.30  # duplicated-3-gram-position threshold
+
+
+def repetition_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics:
+    (id, n_tokens, top_2gram, top_2gram_count, top_2gram_frac,
+    dup_3gram_frac, repetitive).
+
+    Scale shape: one posexplode + one per-doc window for gram
+    assembly (the q144 lead-chain), then two id-keyed aggregates and
+    one row_number window — all exchanges hash-partitioned by
+    ``id_col``; no global exchange."""
+    base = docs.select(id_col, text_col)
+    toks = base.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    by_doc = Window.partitionBy(id_col)
+    wd = by_doc.orderBy("pos")
+    grams = (
+        toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
+        .withColumn("t1", F.lead("tok", 1).over(wd))
+        .withColumn("t2", F.lead("tok", 2).over(wd))
+    )
+    g2 = grams.filter(F.col("pos") <= F.col("n_toks") - 2).select(
+        id_col, "n_toks", F.concat_ws(" ", "tok", "t1").alias("g")
+    )
+    g3 = grams.filter(F.col("pos") <= F.col("n_toks") - 3).select(
+        id_col, "n_toks", F.concat_ws(" ", "tok", "t1", "t2").alias("g")
+    )
+    top2 = (
+        g2.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("n_toks").alias("n_toks"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                by_doc.orderBy(F.col("cnt").desc(), F.col("g").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("g").alias("top_2gram"),
+            F.col("cnt").cast("long").alias("top_2gram_count"),
+            F.round(
+                F.least(
+                    F.lit(1.0), F.lit(2.0) * F.col("cnt") / F.col("n_toks")
+                ),
+                4,
+            ).alias("top_2gram_frac"),
+        )
+    )
+    dup3 = (
+        g3.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("n_toks").alias("n_toks"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                .cast("double")
+                / (F.max("n_toks") - 2),
+                4,
+            ).alias("dup_3gram_frac")
+        )
+    )
+    return (
+        base.select(
+            id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+        )
+        .join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "top_2gram",
+            F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac"),
+            (
+                (F.coalesce("top_2gram_frac", F.lit(0.0)) > REP_TOP2_MAX)
+                | (F.coalesce("dup_3gram_frac", F.lit(0.0)) > REP_DUP3_MAX)
+            ).alias("repetitive"),
+        )
+    )
+
+
+def incremental_repetition(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reports_table: str = "repetition_reports",
+) -> int:
+    """Maintain :func:`repetition_report` batch-by-batch. The metrics
+    are a pure PER-DOCUMENT function, so maintenance is one id-keyed
+    idempotent append of the fresh docs' rows — the report table is
+    its own watermark (fresh = anti-join on ``id_col``), there is ONE
+    commit per fold and therefore NO crash window (the q128
+    chunk-index protocol verbatim). Maintained ≡ global is immediate:
+    the global report is the disjoint union of per-doc rows. Returns
+    the number of new documents folded.
+
+    Cost per fold: batch text tokenized once; history is touched only
+    through the ≤40-byte report rows' id column (the anti-join)."""
+    fresh = new_docs.select(id_col, text_col)
+    if store.exists(reports_table):
+        seen = store.read(reports_table).select(id_col)
+        fresh = fresh.join(seen, id_col, "left_anti")
+    rows = repetition_report(fresh, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    n_new = rows.count()
+    if n_new:
+        store.append(rows, reports_table)
+    return n_new

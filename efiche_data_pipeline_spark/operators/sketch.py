@@ -919,3 +919,90 @@ def retention_result(
             4,
         ).alias("retention_rate"),
     )
+
+
+def incremental_source_overlap(
+    new_docs: DataFrame,
+    store,
+    n: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_table: str = "source_shingles",
+) -> DataFrame:
+    """Maintain q147's cross-source n-gram overlap matrix across
+    intake folds. The ONLY state is the distinct (source, shingle-
+    hash) set — the minimal sufficient statistic for every pairwise
+    Jaccard — folded with an idempotent keyed anti-join append (set
+    union: ONE commit per fold, no watermark, NO crash window — the
+    incremental_retention protocol verbatim). Shingles enter the
+    state as portable 60-bit md5 hashes: 16-byte columnar rows
+    instead of raw 5-gram strings, and the DuckDB oracle replays the
+    identical hash, so even a collision cannot diverge the
+    comparison. Maintained ≡ global by set-union associativity.
+
+    Scale shape per fold: one map-side shingle explode + distinct on
+    the batch only (history text is never re-read), one anti-join
+    against the stored set on the 16-byte composite key, O(batch)
+    appends; the report joins the set to itself on ``gh`` with
+    per-key fan-out bounded by the SOURCE count, never document
+    count, then broadcasts the ≤S-row size table onto the S² matrix."""
+    from ..functions.text import word_shingles
+
+    batch = (
+        new_docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(word_shingles(text_col, n)).alias("g"),
+        )
+        .select("source", portable_hash60("g").alias("gh"))
+        .distinct()
+    )
+    if store.exists(shingle_table):
+        batch = batch.join(
+            store.read(shingle_table), ["source", "gh"], "left_anti"
+        )
+    store.append(batch.localCheckpoint(eager=True), shingle_table)
+    return source_overlap_result(store, shingle_table)
+
+
+def source_overlap_result(
+    store, shingle_table: str = "source_shingles"
+) -> DataFrame:
+    """The q147-shaped pairwise matrix derived from the shingle set
+    (all unordered source pairs, zero-overlap ones included)."""
+    sh = store.read(shingle_table)
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        sz.alias("a")
+        .join(F.broadcast(sz.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    return pairs.join(inter, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.col("na").cast("long").alias("n_shingles_a"),
+        F.col("nb").cast("long").alias("n_shingles_b"),
+        F.coalesce("i", F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce("i", F.lit(0)).cast("double")
+            / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))),
+            4,
+        ).alias("jaccard"),
+    )

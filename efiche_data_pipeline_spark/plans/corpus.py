@@ -62,7 +62,11 @@ from ..functions.hashing import (
     portable_hash60,
 )
 from ..functions.numeric import money_sum, oracle_money_sum
-from ..functions.text import token_count, tokens
+from ..functions.text import token_count, tokens, word_shingles
+from ..operators.quality import (
+    REP_DUP3_MAX as _REP_DUP3_MAX,
+    REP_TOP2_MAX as _REP_TOP2_MAX,
+)
 from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources.catalog import load_table
 
@@ -4630,6 +4634,496 @@ def q145_incremental_duplicated_spans(
 
 
 ORACLES["q145_incremental_duplicated_spans"] = ORACLES["q144_duplicated_spans"]
+
+
+# ---------------------------------------------------------------------------
+# Q146 — WITHIN-document repetition metrics (Rae et al. 2021, Gopher /
+# MassiveText "repetitious text" filters, token-level form): per doc,
+# the coverage fraction of the single most frequent 2-gram (ties by
+# lexicographically smallest gram — deterministic in both engines'
+# binary string order) and the fraction of 3-gram start positions
+# whose gram repeats within the doc. The q144/q145 family finds text
+# repeated ACROSS documents; this finds the looping/generated text
+# that repeats INSIDE one — the other half of repetition filtering,
+# and a pure per-doc computation (embarrassingly parallel at 100 TB:
+# every exchange below is partitioned by doc_id and AQE-coalesced).
+# Coverage is capped at 1.0 (overlapping occurrences of a 2-gram can
+# cover more starts than tokens exist, e.g. "a a a a").
+# Scale shape: one posexplode + one doc_id window for gram assembly
+# (the q144 lead-chain), then two doc_id-keyed aggregates and one
+# row_number window — no global exchange anywhere (operators/quality.py).
+# Reference anchor: none (beyond-reference tier); cross-doc twin is
+# q144, rule-based quality cousins are q32/q67/q88.
+# ---------------------------------------------------------------------------
+def q146_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import repetition_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_report(docs)
+
+
+ORACLES["q146_repetition_metrics"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+g2 AS (
+    SELECT doc_id, length(t) AS n_toks, t[i] || ' ' || t[i+1] AS g
+    FROM toks, UNNEST(range(1, greatest(length(t), 1))) AS u(i)
+),
+g3 AS (
+    SELECT doc_id, length(t) AS n_toks,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+),
+top2 AS (
+    SELECT doc_id, g AS top_2gram, cnt AS top_2gram_count,
+           ROUND(LEAST(1.0, CAST(2.0 * cnt AS DOUBLE) / n_toks), 4)
+               AS top_2gram_frac
+    FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt, MAX(n_toks) AS n_toks,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g ASC) AS rn
+        FROM g2 GROUP BY doc_id, g
+    ) WHERE rn = 1
+),
+dup3 AS (
+    SELECT doc_id,
+           ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / (MAX(n_toks) - 2), 4) AS dup_3gram_frac
+    FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt, MAX(n_toks) AS n_toks
+        FROM g3 GROUP BY doc_id, g
+    ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(regexp_split_to_array(d.text, '\\s+')) AS BIGINT)
+           AS n_tokens,
+       top_2gram,
+       CAST(COALESCE(top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+       COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac,
+       COALESCE(dup_3gram_frac, 0.0) AS dup_3gram_frac,
+       (COALESCE(top_2gram_frac, 0.0) > {_REP_TOP2_MAX}
+        OR COALESCE(dup_3gram_frac, 0.0) > {_REP_DUP3_MAX}) AS repetitive
+FROM documents d
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q147 — cross-SOURCE n-gram overlap matrix: pairwise Jaccard between
+# each source's distinct 5-gram shingle SET — the corpus-composition
+# diagnostic run before mixing sources into a training set (two
+# crawls of the same sites show up as a high-overlap pair; dedup
+# budget and mixture weights follow from it). Every unordered source
+# pair is reported, including zero-overlap ones.
+# Scale shape: one (source, shingle) distinct aggregate — text is
+# dropped at that exchange — then an equi-join on the shingle string
+# whose per-key fan-out is bounded by the SOURCE count (distinct per
+# source first!), never by document count; per-source set sizes
+# broadcast back onto the S² matrix. No all-pairs over documents
+# anywhere. Shingles join as raw strings, not hashes, so the counts
+# are collision-free and engine-exact.
+# Reference anchor: none (beyond-reference tier); doc-level twin is
+# q26 (Jaccard pairs), benchmark form is q66/q123.
+# ---------------------------------------------------------------------------
+_SRC_SHINGLE_N = 5
+
+
+def q147_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(word_shingles("text", _SRC_SHINGLE_N)).alias("g"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    srcs = sz.select(F.col("source"), F.col("n"))
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("na").cast("long").alias("n_shingles_a"),
+            F.col("nb").cast("long").alias("n_shingles_b"),
+            F.coalesce("i", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("i", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES["q147_source_overlap_matrix"] = f"""
+WITH toks AS (
+    SELECT source, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SRC_SHINGLE_N))}
+               AS g
+    FROM toks,
+         UNNEST(range(1, greatest(length(t) - {_SRC_SHINGLE_N - 2}, 1))) AS u(i)
+),
+sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(a.n AS BIGINT) AS n_shingles_a,
+       CAST(b.n AS BIGINT) AS n_shingles_b,
+       CAST(COALESCE(i, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
+             / (a.n + b.n - COALESCE(i, 0)), 4) AS jaccard
+FROM sz a
+JOIN sz b ON a.source < b.source
+LEFT JOIN inter ON inter.source_a = a.source AND inter.source_b = b.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q148 / Q149 — distributed BPE tokenizer induction + exact token
+# counts under the learned vocab (operators/bpe.py). Real BPE training
+# loops over the WORD-FREQUENCY table, not the corpus: one corpus pass
+# builds the vocab, then every merge iteration is a vocab-bounded
+# aggregate plus a one-row argmax collect (the q85 scalar-reduction
+# shape). Symbol sequences live as paren-walled strings — 'hi' →
+# '(h)(i)(</w>)' — so applying a merge is ONE literal replace of
+# '(l)(r)' with '(lr)', which has identical left-to-right
+# non-overlapping semantics in Spark and DuckDB; ties break by
+# (count DESC, lhs, rhs) binary order in both. The oracle replays the
+# identical loop as a chained CTE per iteration (the q85 pattern), so
+# the learned merge table is bit-for-bit checkable. q149 then charges
+# each document its EXACT token count under the learned vocab — the
+# model-true upgrade of q31's BPE-ish regex estimate — via one
+# broadcast join of the vocab's per-word symbol counts.
+# Reference anchor: none (beyond-reference tier).
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 12
+
+
+def q148_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_learn(word_vocab(docs), _BPE_MERGES).merges
+
+
+def q149_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn, bpe_token_counts, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    res = bpe_learn(word_vocab(docs), _BPE_MERGES)
+    return bpe_token_counts(docs, res.vocab)
+
+
+def _bpe_chain_sql(n: int) -> str:
+    """The BPE training loop as chained CTEs (one p/b/v triple per
+    iteration — the q85 oracle pattern): pairs → argmax → replace.
+    Every v/b CTE is MATERIALIZED: each ``v{i}`` is referenced twice
+    (by ``p{i+1}`` and ``v{i+1}``), so the default inlining
+    re-evaluates the chain 2^n times — 8 minutes at n=12 vs ~2 s
+    materialized (measured at sf0.01)."""
+    parts = [
+        """v0 AS MATERIALIZED (
+    SELECT word, COUNT(*) AS freq,
+           regexp_replace(word, '(.)', '(\\1)', 'g') || '(</w>)' AS seq
+    FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents)
+    WHERE word NOT LIKE '%(%' AND word NOT LIKE '%)%' AND word <> ''
+    GROUP BY word
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS (
+    SELECT s[j] AS l, s[j + 1] AS r, SUM(freq) AS c
+    FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS s,
+                 freq
+          FROM v{i - 1}) sx,
+         UNNEST(range(1, greatest(len(s), 1))) AS u(j)
+    GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} "
+            "ORDER BY c DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+    SELECT word, freq,
+           replace(seq, '(' || b.l || ')(' || b.r || ')',
+                   '(' || b.l || b.r || ')') AS seq
+    FROM v{i - 1}, b{i} b
+)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+ORACLES["q148_bpe_merges"] = (
+    _bpe_chain_sql(_BPE_MERGES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS it, l AS lhs, r AS rhs, "
+        f"CAST(c AS BIGINT) AS pair_count, l || r AS new_symbol FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+ORACLES["q149_bpe_token_counts"] = (
+    _bpe_chain_sql(_BPE_MERGES)
+    + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(substring(seq, 2, length(seq) - 2), ')(')))
+            AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(len(string_split(substring(seq, 2, length(seq) - 2),
+                                       ')('))) AS DOUBLE) / COUNT(*), 4)
+           AS tokens_per_word
+FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents) w
+JOIN v{_BPE_MERGES} v USING (word)
+GROUP BY 1
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Q150 — INCREMENTAL BPE vocabulary (operators/bpe.py:
+# incremental_vocab): the (word, freq) training input maintained as
+# layered +delta count rows — associative sums, so ONE atomic
+# append_version per fold with the replay watermark inside the delta
+# layer (the q140 protocol verbatim; no crash window). The merge loop
+# is a pure function of the count table, so retraining from the
+# maintained vocab equals training on the full corpus — which is
+# exactly what this query proves: two folds, retrain, and the oracle
+# is q148's global chain verbatim. This is how a production tokenizer
+# tracks a growing corpus: fold word counts at intake (cheap), re-run
+# the vocab-bounded merge loop only when retraining is scheduled.
+# Reference anchor: none (beyond-reference tier); one-shot form q148.
+# ---------------------------------------------------------------------------
+def q150_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.bpe import bpe_learn, incremental_vocab, vocab_from_store
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incvocab_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_vocab(docs.filter(F.col("doc_id") <= split), store)
+        r2 = incremental_vocab(docs.filter(F.col("doc_id") > split), store)
+        _require(r1.n_new > 0 and r2.n_new > 0, "both folds must add documents")
+        merges = bpe_learn(vocab_from_store(store), _BPE_MERGES).merges
+        return _finish_with_store(merges, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q150_incremental_vocab"] = ORACLES["q148_bpe_merges"]
+
+
+# ---------------------------------------------------------------------------
+# Q151 — INCREMENTAL repetition metrics (operators/quality.py:
+# incremental_repetition): q146 maintained at intake. The metrics are
+# a pure PER-DOCUMENT function, so the fold is one id-keyed idempotent
+# append — the report table is its own watermark, ONE commit per fold,
+# NO crash window (the q128 chunk-index protocol verbatim), and
+# maintained ≡ global is the disjoint-union-of-per-doc-rows argument.
+# The registered query folds two batches and returns the maintained
+# table; the oracle is q146's global pass verbatim.
+# Reference anchor: none (beyond-reference tier); one-shot form q146.
+# ---------------------------------------------------------------------------
+def q151_incremental_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.quality import incremental_repetition
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_increp_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_repetition(docs.filter(F.col("doc_id") <= split), store)
+        n2 = incremental_repetition(docs.filter(F.col("doc_id") > split), store)
+        _require(n1 > 0 and n2 > 0, "both folds must add documents")
+        return _finish_with_store(store.read("repetition_reports"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q151_incremental_repetition"] = ORACLES["q146_repetition_metrics"]
+
+
+# ---------------------------------------------------------------------------
+# Q152 — sequence packing under EXACT BPE token counts: the packed
+# token stream a pretraining run actually materializes, with each
+# document charged its model-true q149 count instead of q64's
+# whitespace estimate (at 2048-token packs a ~25% systematic
+# undercount misplaces every boundary after the first few documents —
+# the whole point of exact counts). Composition: q148's learned vocab
+# → q149's per-doc counts → q64's concat-then-chunk offsets via the
+# bucketed two-level prefix sum (no single-task sort).
+# Docs with no in-vocab words contribute no row (the q149 inner-join
+# contract), matching the oracle chain's join.
+# Reference anchor: none (beyond-reference tier); estimate form q64.
+# ---------------------------------------------------------------------------
+_BPE_PACK_BUDGET = 2048
+
+
+def q152_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn, bpe_token_counts, word_vocab
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = bpe_learn(word_vocab(docs), _BPE_MERGES).vocab
+    counts = bpe_token_counts(docs, vocab).select("doc_id", "n_bpe_tokens")
+    return pack_sequences(
+        counts, "doc_id", "n_bpe_tokens", budget=_BPE_PACK_BUDGET
+    ).select(
+        "doc_id", "n_bpe_tokens", "start_offset", "pack_first", "pack_last", "n_packs"
+    )
+
+
+ORACLES["q152_bpe_packing"] = (
+    _bpe_chain_sql(_BPE_MERGES)
+    + f""",
+cnt AS (
+    SELECT doc_id,
+           CAST(SUM(len(string_split(substring(seq, 2, length(seq) - 2),
+                                     ')('))) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents) w
+    JOIN v{_BPE_MERGES} v USING (word)
+    GROUP BY 1
+),
+p AS (
+    SELECT doc_id, n_bpe_tokens,
+           CAST(COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+    FROM cnt
+)
+SELECT doc_id, n_bpe_tokens, start_offset,
+       CAST(floor(start_offset / {_BPE_PACK_BUDGET}) AS BIGINT) AS pack_first,
+       CAST(floor((start_offset + greatest(n_bpe_tokens, 1) - 1)
+                  / {_BPE_PACK_BUDGET}) AS BIGINT) AS pack_last,
+       CAST(floor((start_offset + greatest(n_bpe_tokens, 1) - 1)
+                  / {_BPE_PACK_BUDGET})
+            - floor(start_offset / {_BPE_PACK_BUDGET}) + 1 AS BIGINT) AS n_packs
+FROM p
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Q153 — INCREMENTAL cross-source overlap (operators/sketch.py:
+# incremental_source_overlap): q147's composition diagnostic
+# maintained at intake. State = the distinct (source, shingle-hash)
+# set — the minimal sufficient statistic for the pairwise Jaccard
+# matrix — folded with an idempotent keyed anti-join append (set
+# union: ONE commit per fold, no watermark, NO crash window — the
+# q126 retention protocol). Shingles enter the state as portable
+# 60-bit md5 hashes (16-byte rows instead of raw 5-gram strings; the
+# oracle replays the identical hash, so even a collision would
+# match). Maintained ≡ global by set-union associativity.
+# Reference anchor: none (beyond-reference tier); one-shot raw-string
+# form q147.
+# ---------------------------------------------------------------------------
+def q153_incremental_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_source_overlap
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incovl_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_source_overlap(
+            docs.filter(F.col("doc_id") <= split), store, n=_SRC_SHINGLE_N
+        )
+        out = incremental_source_overlap(
+            docs.filter(F.col("doc_id") > split), store, n=_SRC_SHINGLE_N
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q153_incremental_source_overlap"] = f"""
+WITH toks AS (
+    SELECT source, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           {oracle_hash60(" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SRC_SHINGLE_N)))}
+               AS gh
+    FROM toks,
+         UNNEST(range(1, greatest(length(t) - {_SRC_SHINGLE_N - 2}, 1))) AS u(i)
+),
+sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(a.n AS BIGINT) AS n_shingles_a,
+       CAST(b.n AS BIGINT) AS n_shingles_b,
+       CAST(COALESCE(i, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
+             / (a.n + b.n - COALESCE(i, 0)), 4) AS jaccard
+FROM sz a
+JOIN sz b ON a.source < b.source
+LEFT JOIN inter ON inter.source_a = a.source AND inter.source_b = b.source
+"""
 
 
 QUERIES = {

@@ -65,16 +65,22 @@ ORACLES: dict[str, str] = {
 #   2. the 19 queries whose newest driver row dates from r04 (q22,
 #      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
 #      3 rounds;
-#   3. the oldest r05-green queries (incremental tier q101-q109
+#   3. past the window (the 31 round-7 additions + 19 stale rows
+#      fill the 50 exactly), ordered for the round-8 rotation front:
+#      the oldest r05-green queries (incremental tier q101-q109
 #      first — the flagship family — then the warehouse builds and
-#      the relational core; q01-q17 land at positions 51-67, just
-#      past the window, and front round 8 with the rest).
+#      the relational core).
 # The r05-green remainder (q13-q25, q52-q67) ages to 2 rounds and
 # fronts the round-8 rotation; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
     # round-7 additions:
     "q145_incremental_duplicated_spans",
+    "q146_repetition_metrics",
+    "q147_source_overlap_matrix",
+    "q148_bpe_merges",
+    "q149_bpe_token_counts",
+    "q150_incremental_vocab",
     "q139_ngram_lm_score",
     "q140_incremental_lm",
     "q141_dsir_selection",
@@ -120,6 +126,12 @@ _DRIVER_PRIORITY = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
+    # q151-q153 landed after the 50-slot window filled (31 round-7
+    # additions + the 19 mandated r04-stale refreshes); they are
+    # pytest-oracle-verified at HEAD meanwhile and front round 8:
+    "q151_incremental_repetition",
+    "q152_bpe_packing",
+    "q153_incremental_source_overlap",
     # oldest r05-green: the incremental tier ...
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
