@@ -5126,6 +5126,112 @@ LEFT JOIN inter ON inter.source_a = a.source AND inter.source_b = b.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q154 — temperature-smoothed mixture budgets (the mT5 / ROOTS / UniMax
+# α-sampling step): per-source token budgets ∝ (source token mass)^α
+# with α = 1/2, then each source filled in deterministic hash order to
+# its budget. α < 1 up-weights small sources relative to proportional
+# sampling — THE standard fix for web-crawl dominance in multilingual /
+# multi-source pretraining mixes; q130 takes externally-given budgets,
+# this derives them from the corpus itself.
+# Engine-exactness: α = 1/2 is computed with SQRT (correctly rounded
+# by IEEE 754 in both engines — general POW is not), snapped to
+# 1e-6 fixed point; the budget split then happens entirely in int64
+# (TOTAL·w_s div Σw — exact and order-free, no float sum anywhere).
+# Scale shape: one map-side per-source mass aggregate (≤S rows),
+# weights/budgets broadcast back; the per-source fill reuses q130's
+# grouped two-level prefix sum — no single-task sort, skew-immune.
+# Reference anchor: none (beyond-reference tier); fixed-budget form
+# q130, rate form q89.
+# ---------------------------------------------------------------------------
+_TEMP_TOTAL_BUDGET = 5000  # tokens across all sources
+_TEMP_FIXED = 1_000_000  # 1e-6 fixed point for the sqrt weights
+
+
+def q154_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import global_prefix_sum
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+            portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("m"))
+        .select(
+            "source",
+            F.round(F.sqrt(F.col("m").cast("double")) * _TEMP_FIXED)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    budgets = (
+        w.crossJoin(F.broadcast(w.agg(F.sum("w").alias("w_tot"))))
+        .select(
+            "source",
+            F.expr(f"CAST({_TEMP_TOTAL_BUDGET} * w div w_tot AS BIGINT)").alias(
+                "source_budget"
+            ),
+        )
+    )
+    pref = global_prefix_sum(
+        docs,
+        order_col="h",
+        value_col="n_tokens",
+        out_col="_prefix",
+        bucket_size=2**60 // _MIX_HASH_BUCKETS,
+        group_cols=["source"],
+    )
+    return (
+        pref.withColumn(
+            "cum_tokens", (F.col("_prefix") + F.col("n_tokens")).cast("long")
+        )
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("source_budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "source_budget")
+    )
+
+
+ORACLES["q154_temperature_mixture"] = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+w AS (
+    SELECT source,
+           CAST(ROUND(SQRT(CAST(SUM(n_tokens) AS DOUBLE)) * {_TEMP_FIXED})
+                AS BIGINT) AS w
+    FROM t GROUP BY 1
+),
+b AS (
+    SELECT source,
+           CAST({_TEMP_TOTAL_BUDGET} * w
+                // (SELECT CAST(SUM(w) AS BIGINT) FROM w) AS BIGINT)
+               AS source_budget
+    FROM w
+),
+p AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {oracle_hash60("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens, source_budget
+FROM p JOIN b USING (source)
+WHERE cum_tokens <= source_budget
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

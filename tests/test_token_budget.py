@@ -99,3 +99,40 @@ def test_budget_is_tight(spark):
     for src, mn in first_dropped.items():
         assert mn > _BUDGET
         assert src in by_src_kept
+
+
+def test_temperature_budgets_follow_sqrt_mass(spark):
+    """q154's α=1/2 split: a source with 100× the token mass gets only
+    10× the budget (√ ratio), and the int64 split is exact —
+    budget_s == TOTAL·w_s div Σw for the hand-computed weights."""
+    from efiche_data_pipeline_spark.plans.corpus import (
+        _TEMP_FIXED,
+        _TEMP_TOTAL_BUDGET,
+        q154_temperature_mixture,
+    )
+    import math
+    import os
+    import tempfile
+
+    # big: 100 docs × 100 tokens = 10_000; small: 10 docs × 10 = 100.
+    rows = [(i, "big", " ".join(["tok"] * 100)) for i in range(100)]
+    rows += [(1000 + i, "small", " ".join(["tok"] * 10)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["source"]: r["source_budget"]
+            for r in q154_temperature_mixture(spark, d)
+            .select("source", "source_budget")
+            .distinct()
+            .collect()
+        }
+    w_big = round(math.sqrt(10_000) * _TEMP_FIXED)
+    w_small = round(math.sqrt(100) * _TEMP_FIXED)
+    tot = w_big + w_small
+    assert got == {
+        "big": _TEMP_TOTAL_BUDGET * w_big // tot,
+        "small": _TEMP_TOTAL_BUDGET * w_small // tot,
+    }
+    # α = 1/2 semantics: 100× the mass ⇒ exactly 10× the weight
+    assert w_big == 10 * w_small
