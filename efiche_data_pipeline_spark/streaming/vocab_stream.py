@@ -1,0 +1,106 @@
+"""Streaming BPE-vocabulary intake: the live q150 — the tokenizer's
+(word, freq) training input folds file-by-file as the corpus arrives,
+so a retrain is always a vocab-bounded merge loop away and the corpus
+is never re-tokenized for it.
+
+Per micro-batch, two commits, each independently replay-safe:
+
+1. **Vocab fold** (`incremental_vocab`): the batch's word counts
+   appended as ONE atomic +delta layer whose rows carry the replay
+   watermark — the q140 single-commit protocol, NO crash window.
+2. **Docs sink** (``append_new`` keyed on the id): the intake record
+   of everything seen — idempotent.
+
+The merge loop itself runs ON DEMAND, not per batch: training is a
+pure function of the maintained count table (associative sums ⇒
+maintained ≡ one-shot over everything seen — the q150 argument), so
+the report retrains once at the end and charges every document seen
+its exact token count under that vocabulary. A production deployment
+would trigger the retrain on a schedule or a drift gate (the q120
+lifecycle shape), not per micro-batch — 12 merge iterations per file
+would be pure waste.
+
+Scale: per batch, one token pass over the batch only (history text is
+never re-read); the vocab state is aggregate-bounded (true vocabulary
+size, not corpus size).
+
+Reference analogue: none — beyond-reference production tier, same
+family as streaming/lm_stream.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bpe import (
+    BpeResult,
+    bpe_learn,
+    bpe_token_counts,
+    incremental_vocab,
+    vocab_from_store,
+)
+from ..pipeline.store import Store
+
+
+@dataclass(frozen=True)
+class VocabStreamReport:
+    n_batches: int
+    n_docs_folded: int
+    n_docs_seen: int
+    # retrained on the maintained vocab (None before any document)
+    bpe: BpeResult | None
+    # exact per-doc counts for everything seen, under that vocab
+    token_counts: DataFrame | None
+
+
+def run_vocab_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    store: Store,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    vocab_table: str = "bpe_vocab",
+    docs_table: str = "bpe_docs",
+    max_files_per_trigger: int = 1,
+) -> VocabStreamReport:
+    """availableNow consumption of parquet document files under
+    ``source_dir``; the returned report reflects every file seen
+    across all runs of this checkpoint."""
+    totals = {"batches": 0, "folded": 0}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        totals["batches"] += 1
+        docs = batch.select(id_col, text_col).localCheckpoint(eager=True)
+        r = incremental_vocab(
+            docs, store, id_col=id_col, text_col=text_col, vocab_table=vocab_table
+        )
+        totals["folded"] += r.n_new
+        store.append_new(docs, docs_table, id_col)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(fold)
+        .start()
+    )
+    q.awaitTermination()
+    if not store.exists(docs_table):
+        return VocabStreamReport(totals["batches"], totals["folded"], 0, None, None)
+    seen = store.read(docs_table)
+    res = bpe_learn(vocab_from_store(store, vocab_table), n_merges)
+    return VocabStreamReport(
+        n_batches=totals["batches"],
+        n_docs_folded=totals["folded"],
+        n_docs_seen=seen.count(),
+        bpe=res,
+        token_counts=bpe_token_counts(seen, res.vocab, id_col, text_col),
+    )

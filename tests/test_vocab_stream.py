@@ -1,0 +1,87 @@
+"""Streaming BPE-vocabulary intake (streaming/vocab_stream.py):
+
+- merges retrained on the maintained vocab equal the one-shot global
+  training over everything seen, and the per-doc token counts equal
+  the one-shot q149-style counts;
+- a checkpoint restart consumes only new files but reports globally;
+- re-running with no new files is a pure no-op (vocab version and
+  counts unchanged).
+"""
+
+from __future__ import annotations
+
+from efiche_data_pipeline_spark.operators.bpe import (
+    bpe_learn,
+    bpe_token_counts,
+    word_vocab,
+)
+from efiche_data_pipeline_spark.pipeline.store import Store
+from efiche_data_pipeline_spark.streaming.vocab_stream import run_vocab_stream
+
+_SCHEMA = "doc_id long, text string"
+_MERGES = 4
+
+_WORDS = ["low", "lower", "newest", "widest", "lowest", "newer"]
+
+
+def _doc(i):
+    return " ".join(_WORDS[(i * 7 + j * 5) % len(_WORDS)] for j in range(15))
+
+
+def _rows(lo, hi):
+    return [(i, _doc(i)) for i in range(lo, hi)]
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _merge_rows(df):
+    return [
+        (r["it"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in df.orderBy("it").collect()
+    ]
+
+
+def _count_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _global(spark, rows):
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    res = bpe_learn(word_vocab(docs), _MERGES)
+    return _merge_rows(res.merges), _count_rows(bpe_token_counts(docs, res.vocab))
+
+
+def test_stream_equals_one_shot(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(spark, src, _rows(0, 6))
+    _write(spark, src, _rows(6, 12))
+    store = Store(spark, str(tmp_path / "store"))
+    rep = run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+    assert rep.n_batches >= 2 and rep.n_docs_seen == 12 and rep.n_docs_folded == 12
+    want_merges, want_counts = _global(spark, _rows(0, 12))
+    assert _merge_rows(rep.bpe.merges) == want_merges
+    assert _count_rows(rep.token_counts) == want_counts
+
+
+def test_restart_consumes_only_new_files_reports_globally(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = Store(spark, str(tmp_path / "store"))
+    _write(spark, src, _rows(0, 6))
+    rep1 = run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+    assert rep1.n_docs_seen == 6
+    v1 = store.current_version("bpe_vocab")
+    _write(spark, src, _rows(6, 10))
+    rep2 = run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+    # only the new file folded (the checkpoint skips consumed ones)
+    assert rep2.n_docs_folded == 4 and rep2.n_docs_seen == 10
+    assert store.current_version("bpe_vocab") == v1 + 1
+    want_merges, want_counts = _global(spark, _rows(0, 10))
+    assert _merge_rows(rep2.bpe.merges) == want_merges
+    assert _count_rows(rep2.token_counts) == want_counts
+    # no new files: vocab untouched, report stable
+    rep3 = run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+    assert rep3.n_docs_folded == 0
+    assert store.current_version("bpe_vocab") == v1 + 1
+    assert _count_rows(rep3.token_counts) == want_counts
