@@ -190,6 +190,93 @@ def vocab_from_store(store, vocab_table: str = "bpe_vocab") -> DataFrame:
     )
 
 
+def apply_merges(word, merges: list[tuple[str, str]]) -> F.Column:
+    """Encode an arbitrary word under a learned merge table: wrap,
+    then apply every merge IN LEARNED ORDER as one literal replace —
+    the standard BPE encoding rule, and exactly how training itself
+    rewrote its sequences, so in-vocab words reproduce their training
+    segmentation and unseen words decompose greedily down to
+    characters. ``merges`` is the collected (lhs, rhs) list — bounded
+    by the merge count, so the whole encoder is ONE chained
+    literal-replace column expression (JVM codegen; no UDF, no join
+    against a vocab)."""
+    seq = _wrapped_seq(word)
+    for left, right in merges:
+        seq = F.replace(
+            seq, F.lit(f"({left})({right})"), F.lit(f"({left}{right})")
+        )
+    return seq
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges_df: DataFrame,
+    train_vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-document token counts for ANY corpus under a learned
+    merge table — including words the trainer never saw (the
+    deployment property :func:`bpe_token_counts`'s vocab join cannot
+    give: a tokenizer must encode tomorrow's text). Unseen words
+    decompose by the same in-order merge application; ``n_oov_words``
+    counts occurrences whose word is absent from the training vocab.
+
+    Scale shape: merges collect to a ≤n_merges literal list (driver
+    O(1)); the encoder runs once per DISTINCT word (the corpus's own
+    vocabulary — aggregate-bounded), then one word-keyed join back to
+    the exploded occurrences (AQE broadcasts it while the vocab fits;
+    the shuffle-join fallback is keyed on the word, fan-out = word
+    frequency). Words violating the paren contract are excluded,
+    matching :func:`word_vocab`."""
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("it").select("lhs", "rhs").collect()
+    ]
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    ).filter((~F.col("word").rlike(r"[()]")) & (F.col("word") != ""))
+    encoded = (
+        words.select("word")
+        .distinct()
+        .withColumn("n_symbols", F.size(_symbols_of(apply_merges(F.col("word"), merges))))
+        .join(
+            train_vocab.select("word", F.lit(False).alias("_oov_no")),
+            "word",
+            "left",
+        )
+        .select(
+            "word",
+            "n_symbols",
+            F.col("_oov_no").isNull().alias("is_oov"),
+        )
+    )
+    return (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.when(F.col("is_oov"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_words"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ),
+        )
+    )
+
+
+def _symbols_of(seq_col: F.Column) -> F.Column:
+    """Symbol array of a wrapped-sequence COLUMN EXPRESSION (the
+    string-name form :func:`_symbols` can't take): strip the outer
+    walls, split on the ')(' boundaries."""
+    return F.split(F.regexp_replace(seq_col, r"^\(|\)$", ""), r"\)\(")
+
+
 def bpe_token_counts(
     docs: DataFrame,
     final_vocab: DataFrame,

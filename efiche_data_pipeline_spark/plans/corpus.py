@@ -4846,19 +4846,21 @@ def q149_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, res.vocab)
 
 
-def _bpe_chain_sql(n: int) -> str:
+def _bpe_chain_sql(n: int, doc_filter: str = "") -> str:
     """The BPE training loop as chained CTEs (one p/b/v triple per
     iteration — the q85 oracle pattern): pairs → argmax → replace.
+    ``doc_filter`` optionally restricts the TRAINING corpus (q155
+    trains on half and encodes everything).
     Every v/b CTE is MATERIALIZED: each ``v{i}`` is referenced twice
     (by ``p{i+1}`` and ``v{i+1}``), so the default inlining
     re-evaluates the chain 2^n times — 8 minutes at n=12 vs ~2 s
     materialized (measured at sf0.01)."""
     parts = [
-        """v0 AS MATERIALIZED (
+        f"""v0 AS MATERIALIZED (
     SELECT word, COUNT(*) AS freq,
            regexp_replace(word, '(.)', '(\\1)', 'g') || '(</w>)' AS seq
     FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
-          FROM documents)
+          FROM documents{doc_filter})
     WHERE word NOT LIKE '%(%' AND word NOT LIKE '%)%' AND word <> ''
     GROUP BY word
 )"""
@@ -5230,6 +5232,89 @@ SELECT doc_id, source, n_tokens, cum_tokens, source_budget
 FROM p JOIN b USING (source)
 WHERE cum_tokens <= source_budget
 """
+
+
+# ---------------------------------------------------------------------------
+# Q155 — BPE ENCODING of unseen text (operators/bpe.py:bpe_encode_
+# counts): the deployment property a tokenizer exists for — encode
+# text the trainer never saw. Train the q148 merge table on the FIRST
+# HALF of the corpus only, then charge EVERY document (both halves)
+# its exact token count by applying the merges in learned order to
+# each distinct word; unseen words decompose greedily toward
+# characters (higher tokens_per_word — the fertility penalty OOV text
+# pays), and n_oov_words counts occurrences outside the training
+# vocabulary. The encoder is a chained literal-replace column
+# expression (JVM codegen, no UDF) over the corpus's distinct words.
+# The oracle replays training on the filtered half (the same
+# MATERIALIZED chain) plus a second chain applying each learned merge
+# to ALL distinct words, in order — bit-for-bit.
+# Reference anchor: none (beyond-reference tier); training q148,
+# in-vocab counts q149.
+# ---------------------------------------------------------------------------
+def q155_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_counts, bpe_learn, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    train_vocab = word_vocab(docs.filter(F.col("doc_id") <= split))
+    res = bpe_learn(train_vocab, _BPE_MERGES)
+    return bpe_encode_counts(docs, res.merges, train_vocab)
+
+
+def _bpe_encode_chain_sql(n: int) -> str:
+    """All distinct corpus words re-encoded under the b1..bn merges,
+    in learned order (e0 → en) — MATERIALIZED for the same 2^n
+    inlining reason as the training chain."""
+    parts = [
+        """e0 AS MATERIALIZED (
+    SELECT word,
+           regexp_replace(word, '(.)', '(\\1)', 'g') || '(</w>)' AS seq
+    FROM (SELECT DISTINCT word
+          FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+                FROM documents)
+          WHERE word NOT LIKE '%(%' AND word NOT LIKE '%)%' AND word <> '')
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+    SELECT word,
+           replace(seq, '(' || b.l || ')(' || b.r || ')',
+                   '(' || b.l || b.r || ')') AS seq
+    FROM e{i - 1}, b{i} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLES["q155_bpe_encode_oov"] = (
+    _bpe_chain_sql(
+        _BPE_MERGES,
+        doc_filter=(
+            " WHERE doc_id <= (SELECT (MIN(doc_id) + MAX(doc_id)) // 2"
+            " FROM documents)"
+        ),
+    )
+    + ",\n"
+    + _bpe_encode_chain_sql(_BPE_MERGES)
+    + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(substring(seq, 2, length(seq) - 2), ')(')))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov_words,
+       ROUND(CAST(SUM(len(string_split(substring(seq, 2, length(seq) - 2),
+                                       ')('))) AS DOUBLE) / COUNT(*), 4)
+           AS tokens_per_word
+FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents) w
+JOIN e{_BPE_MERGES} e USING (word)
+LEFT JOIN (SELECT word FROM v0) v USING (word)
+GROUP BY 1
+"""
+)
 
 
 QUERIES = {

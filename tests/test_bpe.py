@@ -118,3 +118,28 @@ def test_incremental_vocab_maintained_equals_global(spark, tmp_path):
         for r in bpe_learn(word_vocab(docs), 3).merges.collect()
     ]
     assert inc == one
+
+
+def test_bpe_encode_unseen_words(spark):
+    """Deployment property: the merge table applies to words the
+    trainer never saw. With merges (e,s),(es,t),(est,</w>),(l,o),
+    unseen 'lowest' -> (lo)(w)(est</w>) = 3 symbols; unseen 'zq'
+    decomposes to characters = 3 symbols; in-vocab words reproduce
+    their training segmentation."""
+    from efiche_data_pipeline_spark.operators.bpe import bpe_encode_counts
+
+    corpus = _docs(spark, [" ".join(_WORDS)])
+    vocab = word_vocab(corpus)
+    res = bpe_learn(vocab, 4)
+    score = _docs(spark, ["lowest zq", "low newest"])
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_bpe_tokens"],
+            r["n_oov_words"],
+            r["tokens_per_word"],
+        )
+        for r in bpe_encode_counts(score, res.merges, vocab).collect()
+    }
+    # lowest=3 + zq=3 -> 6 tokens, both OOV; low=3 + newest=4 -> 7, 0 OOV
+    assert got == {0: (2, 6, 2, 3.0), 1: (2, 7, 0, 3.5)}
