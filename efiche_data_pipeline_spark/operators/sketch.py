@@ -1006,3 +1006,85 @@ def source_overlap_result(
             4,
         ).alias("jaccard"),
     )
+
+
+def incremental_temperature_mixture(
+    new_docs: DataFrame,
+    store,
+    total_budget: int,
+    fixed: int = 1_000_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    stats_table: str = "mixture_doc_stats",
+) -> DataFrame:
+    """Maintain q154's α=1/2 temperature-mixture selection across
+    intake folds. The per-source budgets depend on the GLOBAL source
+    masses, which every fold moves — so the selected set is not
+    monotone and cannot be appended; instead the state is the minimal
+    sufficient statistic the selection is a pure function of: the
+    32-byte (id, source, n_tokens, order-hash) projection, folded by
+    an idempotent id-keyed anti-join append (ONE commit per fold, the
+    table its own watermark, NO crash window). Budgets, prefix sums,
+    and the kept set all derive from the state at read — maintained ≡
+    global because the state union IS the global projection. Batch
+    text is tokenized once; history text is never re-read.
+
+    The derived selection recomputes a per-source window over the
+    compact state (32 B/row). At 100 TB of TEXT that state is ~0.03%
+    of corpus bytes; if even that outgrew a window, the read side
+    would swap in packing.global_prefix_sum's grouped two-level form
+    unchanged (it is the same computation — the registered q154 uses
+    it; this read side keeps the naive window to stay oracle-literal
+    over the small state)."""
+    from ..functions.text import token_count
+
+    batch = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        portable_hash60(F.col(id_col).cast("string")).alias("h"),
+    )
+    if store.exists(stats_table):
+        batch = batch.join(store.read(stats_table), ["doc_id"], "left_anti")
+    store.append(batch.localCheckpoint(eager=True), stats_table)
+    return temperature_mixture_result(store, total_budget, fixed, stats_table)
+
+
+def temperature_mixture_result(
+    store,
+    total_budget: int,
+    fixed: int = 1_000_000,
+    stats_table: str = "mixture_doc_stats",
+) -> DataFrame:
+    """The q154-shaped selection derived from the maintained doc
+    stats: √-mass weights at ``fixed`` fixed-point, an all-int64
+    TOTAL·w div Σw budget split, per-source hash-order fill."""
+    stats = store.read(stats_table)
+    w = (
+        stats.groupBy("source")
+        .agg(F.sum("n_tokens").alias("m"))
+        .select(
+            "source",
+            F.round(F.sqrt(F.col("m").cast("double")) * fixed)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    budgets = w.crossJoin(F.broadcast(w.agg(F.sum("w").alias("w_tot")))).select(
+        "source",
+        F.expr(f"CAST({int(total_budget)} * w div w_tot AS BIGINT)").alias(
+            "source_budget"
+        ),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        stats.withColumn("cum_tokens", F.sum("n_tokens").over(win).cast("long"))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("source_budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "source_budget")
+    )

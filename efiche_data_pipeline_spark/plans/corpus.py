@@ -5317,6 +5317,53 @@ GROUP BY 1
 )
 
 
+# ---------------------------------------------------------------------------
+# Q156 — INCREMENTAL temperature mixture (operators/sketch.py:
+# incremental_temperature_mixture): q154 maintained at intake. Every
+# fold moves the global source masses, so the selected set is NOT
+# monotone and cannot be appended — the state is instead the minimal
+# sufficient statistic the selection is a pure function of: the
+# 32-byte (id, source, n_tokens, order-hash) projection, folded by an
+# idempotent id-keyed append (one commit, its own watermark, no crash
+# window). Budgets and the kept set derive at read; maintained ≡
+# global because the state union IS the global projection, so the
+# oracle is q154's verbatim.
+# Reference anchor: none (beyond-reference tier); one-shot form q154.
+# ---------------------------------------------------------------------------
+def q156_incremental_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_temperature_mixture
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incmix_")
+    store = Store(spark, tmp_root)
+    try:
+        incremental_temperature_mixture(
+            docs.filter(F.col("doc_id") <= split), store, _TEMP_TOTAL_BUDGET
+        )
+        out = incremental_temperature_mixture(
+            docs.filter(F.col("doc_id") > split), store, _TEMP_TOTAL_BUDGET
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q156_incremental_temperature_mixture"] = ORACLES[
+    "q154_temperature_mixture"
+]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -136,3 +136,48 @@ def test_temperature_budgets_follow_sqrt_mass(spark):
     }
     # α = 1/2 semantics: 100× the mass ⇒ exactly 10× the weight
     assert w_big == 10 * w_small
+
+
+def test_incremental_temperature_mixture_folds_equal_global(spark, tmp_path):
+    """q156: two folds ≡ one-shot, replay no-ops, and a fold that
+    grows one source's mass reshapes the OTHER source's budget too
+    (the non-monotonicity that forces derive-at-read)."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        incremental_temperature_mixture,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = [(i, "big", " ".join(["tok"] * 40)) for i in range(30)]
+    rows += [(100 + i, "small", " ".join(["tok"] * 8)) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 400
+
+    g = Store(spark, str(tmp_path / "g"))
+    want = sorted(
+        tuple(r) for r in incremental_temperature_mixture(docs, g, budget).collect()
+    )
+
+    s = Store(spark, str(tmp_path / "s"))
+    r1 = incremental_temperature_mixture(
+        docs.filter(F.col("doc_id") < 15), s, budget
+    )
+    mid = sorted(tuple(r) for r in r1.collect())
+    got = sorted(
+        tuple(r)
+        for r in incremental_temperature_mixture(
+            docs.filter(F.col("doc_id") >= 15), s, budget
+        ).collect()
+    )
+    assert got == want
+    # fold 2 changed the masses, so fold 1's interim budgets differ —
+    # the selection genuinely re-derives rather than appends
+    assert mid != want
+    # replay: state keyed on doc_id no-ops, selection stable
+    again = sorted(
+        tuple(r)
+        for r in incremental_temperature_mixture(docs, s, budget).collect()
+    )
+    assert again == want
+    n = s.read("mixture_doc_stats").count()
+    incremental_temperature_mixture(docs, s, budget)
+    assert s.read("mixture_doc_stats").count() == n
