@@ -74,6 +74,11 @@ HEADLINE = (
     "q130_token_budget_sample",
     # model-based quality gate: bigram LM train + broadcast-join score
     "q139_ngram_lm_score",
+    # tokenizer family: BPE induction (one corpus pass + 12
+    # vocab-bounded argmax iterations) and the α-sampling mixture
+    # (per-source mass agg + int64 split + grouped prefix-sum fill)
+    "q148_bpe_merges",
+    "q154_temperature_mixture",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

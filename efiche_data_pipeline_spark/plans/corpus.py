@@ -5364,6 +5364,72 @@ ORACLES["q156_incremental_temperature_mixture"] = ORACLES[
 ]
 
 
+# ---------------------------------------------------------------------------
+# Q157 — tokenizer FERTILITY by language: per-language mean BPE
+# tokens per word under the learned vocab — the standard multilingual
+# tokenizer-fairness diagnostic (a vocab trained on a skewed mix
+# charges under-represented languages more tokens for the same text,
+# which directly inflates their training/inference cost). Weighted
+# mean = Σtokens / Σwords per language, plus the document count and
+# the per-language worst-case doc ratio.
+# Scale shape: q148/q149's audited shapes; the per-language rollup is
+# one ≤|langs|-row aggregate over the per-doc counts joined back to
+# the (doc_id, lang) projection.
+# Reference anchor: none (beyond-reference tier); per-doc form q149.
+# ---------------------------------------------------------------------------
+def q157_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn, bpe_token_counts, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    res = bpe_learn(word_vocab(docs), _BPE_MERGES)
+    counts = bpe_token_counts(docs, res.vocab)
+    return (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words"), 4
+            ).alias("fertility"),
+            F.max("tokens_per_word").alias("worst_doc_fertility"),
+        )
+    )
+
+
+ORACLES["q157_bpe_fertility_by_lang"] = (
+    _bpe_chain_sql(_BPE_MERGES)
+    + f""",
+cnt AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(substring(seq, 2, length(seq) - 2),
+                                     ')('))) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(len(string_split(substring(seq, 2,
+                                                     length(seq) - 2),
+                                           ')('))) AS DOUBLE) / COUNT(*), 4)
+               AS tokens_per_word
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents) w
+    JOIN v{_BPE_MERGES} v USING (word)
+    GROUP BY 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe_tokens) AS DOUBLE) / SUM(n_words), 4)
+           AS fertility,
+       MAX(tokens_per_word) AS worst_doc_fertility
+FROM cnt JOIN documents USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
