@@ -143,3 +143,21 @@ def test_bpe_encode_unseen_words(spark):
     }
     # lowest=3 + zq=3 -> 6 tokens, both OOV; low=3 + newest=4 -> 7, 0 OOV
     assert got == {0: (2, 6, 2, 3.0), 1: (2, 7, 0, 3.5)}
+
+
+def test_bpe_iterations_never_rescan_the_corpus(spark):
+    """Scale pin: training touches the corpus ONCE (the vocabulary
+    aggregate). The per-iteration state is localCheckpoint-pinned, so
+    the final vocab's plan — the accumulated 4 iterations of
+    replaces — must contain no parquet scan and no re-aggregation of
+    the corpus (no Generate from explode, no HashAggregate over
+    words): everything derives from the checkpointed RDD."""
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "text"
+    )
+    res = bpe_learn(word_vocab(docs), 4)
+    plan = res.vocab._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "Generate" not in plan  # the explode ran once, pre-checkpoint
