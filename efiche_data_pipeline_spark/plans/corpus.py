@@ -5430,6 +5430,68 @@ GROUP BY 1
 )
 
 
+# ---------------------------------------------------------------------------
+# Q158 — join-key SKEW diagnostic: the report run BEFORE deciding to
+# salt (operators/skew.py:salted_join) or lean on AQE's skew-join
+# split — the top-N heavy hitters of a join key with their share of
+# all rows, each key's multiple of the mean key load, and the global
+# key stats (distinct keys, mean rows/key) on every row for context.
+# A key at many× the mean is exactly the one whose shuffle partition
+# becomes the straggler at 100 TB.
+# Scale shape: one key-bounded COUNT aggregate (map-side combined —
+# the output is |distinct keys|, not rows), one single-row global
+# rollup broadcast back, top-N via ORDER BY count LIMIT (TakeOrdered,
+# no global sort materialization).
+# Reference anchor: none (beyond-reference tier); the remedy it
+# gates is operators/skew.py:salted_join (§2.10).
+# ---------------------------------------------------------------------------
+_SKEW_TOP_N = 20
+
+
+def q158_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    glob = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(glob))
+        .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+        .limit(_SKEW_TOP_N)
+        .select(
+            "l_suppkey",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("x_mean"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+ORACLES["q158_join_key_skew"] = f"""
+WITH per_key AS (
+    SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+g_stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows
+    FROM per_key
+)
+SELECT l_suppkey,
+       CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+       ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 4) AS x_mean,
+       n_keys, n_rows
+FROM per_key, g_stats
+ORDER BY cnt DESC, l_suppkey ASC
+LIMIT {_SKEW_TOP_N}
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
