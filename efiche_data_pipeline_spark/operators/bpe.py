@@ -180,14 +180,64 @@ def incremental_vocab(
 
 
 def vocab_from_store(store, vocab_table: str = "bpe_vocab") -> DataFrame:
-    """The current (word, freq) vocabulary: sum the layered +deltas —
-    equal to :func:`word_vocab` over every folded batch by
-    associativity."""
+    """The current (word, freq) vocabulary: sum the layered ±deltas —
+    equal to :func:`word_vocab` over every folded batch MINUS every
+    forgotten one, by associativity (negative layers come from
+    :func:`forget_vocab_documents`; words cancelled to zero are
+    dropped, exactly as if never folded)."""
     return (
         store.read_union(vocab_table)
         .groupBy("word")
         .agg(F.sum("freq").cast("long").alias("freq"))
+        .filter(F.col("freq") > 0)
     )
+
+
+def forget_vocab_documents(
+    store,
+    ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_table: str = "bpe_vocab",
+    docs_table: str = "bpe_docs",
+) -> int:
+    """Right-to-be-forgotten for the MAINTAINED tokenizer input: the
+    count-table twin of forget_documents. Counts are associative sums,
+    so a deletion is ONE more +delta layer — with NEGATED frequencies
+    recomputed from the kept docs sink's text — after which
+    :func:`vocab_from_store` (and therefore any retrain) equals
+    training on the surviving corpus alone: the forgotten documents'
+    words stop influencing every FUTURE merge table. (Already-shipped
+    merge tables are model artifacts, not stored personal data.) The
+    negative layer carries the CURRENT watermark, so replay filtering
+    is untouched; the docs-sink rows then purge physically via
+    `delete_keys` + vacuum. Returns the number of documents forgotten.
+
+    Commit order: negative delta FIRST (idempotence: a crash before
+    the sink delete leaves the ids still present in the sink, so the
+    caller's retry can detect the half-done state by comparing the
+    sink against the vocab — and because `delete_keys` is itself
+    idempotent, simply re-running this function twice is safe ONLY if
+    the first negative layer committed with the sink delete; callers
+    that need blind-retry safety should drive it through one
+    outer claim, the pattern `forget_documents` uses)."""
+    docs = store.read(docs_table)
+    gone = docs.filter(
+        F.col(id_col).isin([int(i) for i in ids])
+    ).localCheckpoint(eager=True)
+    n = gone.count()
+    if n == 0:
+        return 0
+    wm = store.read_union(vocab_table).agg(F.max("batch_max_id")).first()[0]
+    neg = (
+        word_vocab(gone, text_col)
+        .select("word", (-F.col("freq")).alias("freq"))
+        .withColumn("batch_max_id", F.lit(int(wm)).cast("long"))
+    )
+    store.append_version(neg, vocab_table)
+    keys = gone.select(id_col).distinct()
+    store.delete_keys(docs_table, keys, id_col)
+    return int(n)
 
 
 def apply_merges(word, merges: list[tuple[str, str]]) -> F.Column:

@@ -85,3 +85,35 @@ def test_restart_consumes_only_new_files_reports_globally(spark, tmp_path):
     assert rep3.n_docs_folded == 0
     assert store.current_version("bpe_vocab") == v1 + 1
     assert _count_rows(rep3.token_counts) == want_counts
+
+
+def test_forget_vocab_documents_equals_survivor_training(spark, tmp_path):
+    """GDPR for the maintained tokenizer input: after the negative
+    delta, retraining from the store equals training on the surviving
+    corpus alone, and the forgotten docs purge from the sink."""
+    from efiche_data_pipeline_spark.operators.bpe import (
+        forget_vocab_documents,
+        vocab_from_store,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(spark, src, _rows(0, 10))
+    store = Store(spark, str(tmp_path / "store"))
+    run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+
+    n = forget_vocab_documents(store, [2, 5, 7])
+    assert n == 3
+    survivors = [(i, _doc(i)) for i in range(10) if i not in (2, 5, 7)]
+    docs = spark.createDataFrame(survivors, _SCHEMA)
+    want_vocab = {r["word"]: r["freq"] for r in word_vocab(docs).collect()}
+    got_vocab = {r["word"]: r["freq"] for r in vocab_from_store(store).collect()}
+    assert got_vocab == want_vocab
+    # the retrain sees only survivor statistics
+    inc = _merge_rows(bpe_learn(vocab_from_store(store), _MERGES).merges)
+    one = _merge_rows(bpe_learn(word_vocab(docs), _MERGES).merges)
+    assert inc == one
+    # the docs sink no longer holds the forgotten ids
+    left = {r["doc_id"] for r in store.read("bpe_docs").select("doc_id").collect()}
+    assert left == {i for i, _ in survivors}
+    # forgetting ids that are already gone is a no-op
+    assert forget_vocab_documents(store, [2]) == 0
