@@ -5492,6 +5492,91 @@ LIMIT {_SKEW_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q159 — PERCENTILE-CALIBRATED quality gate: the production way to
+# set a quality threshold — not a magic constant, but "keep pool text
+# no worse than the p-th percentile of the TRUSTED reference slice's
+# own score distribution" (CCNet sets its perplexity buckets exactly
+# this way). Threshold = the k-th smallest reference xent with
+# k = ceil(0.9 · n_ref) as an exact integer order statistic ((xent,
+# doc_id) total order — engine-exact, no percentile-interpolation
+# ambiguity); the gate keeps pool (non-reference) docs at or below it.
+# Scale shape: q139's audited one-pass scoring, the reference rank
+# via the bucketed two-level global_row_number (no single-task sort),
+# the single-row (k, threshold) frame broadcast into the gate filter.
+# Reference anchor: none (beyond-reference tier); score q139,
+# drift gate q143.
+# ---------------------------------------------------------------------------
+_GATE_PCT_NUM, _GATE_PCT_DEN = 9, 10  # keep at or below the ref p90
+
+
+def q159_calibrated_quality_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.lm import lm_count_delta, ngram_lm_score
+    from ..operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    model = lm_count_delta(train, "doc_id", "text").localCheckpoint(eager=True)
+    scores = ngram_lm_score(docs, model, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    ref = scores.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    ranked = global_row_number(
+        ref.select("doc_id", "xent"), ["xent", "doc_id"], out_col="rn"
+    )
+    # exact integer ceil-div — no float percentile ambiguity
+    k = ref.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.expr(
+            f"CAST((_n * {_GATE_PCT_NUM} + {_GATE_PCT_DEN - 1})"
+            f" div {_GATE_PCT_DEN} AS BIGINT)"
+        ).alias("k")
+    )
+    thr = (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") == F.col("k"))
+        .select(F.col("xent").alias("threshold"))
+    )
+    return (
+        scores.filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("xent") <= F.col("threshold"))
+        .select("doc_id", "n_tokens", "n_oov", "n_hit_bigrams", "xent", "threshold")
+    )
+
+
+def _gate_oracle() -> str:
+    """Splice q139's scoring chain into a MATERIALIZED sc_all CTE,
+    then rank the reference slice, pick the exact k-th order
+    statistic, and gate the pool."""
+    chain, final = ORACLES["q139_ngram_lm_score"].rsplit("SELECT doc_id,", 1)
+    return (
+        chain
+        + ", sc_all AS MATERIALIZED (SELECT doc_id,"
+        + final
+        + f"""),
+ranked AS (
+    SELECT doc_id, xent,
+           ROW_NUMBER() OVER (ORDER BY xent, doc_id) AS rn
+    FROM sc_all WHERE doc_id % {_LM_TRAIN_MOD} = 0
+),
+kk AS (
+    SELECT CAST((COUNT(*) * {_GATE_PCT_NUM} + {_GATE_PCT_DEN - 1})
+                // {_GATE_PCT_DEN} AS BIGINT) AS k
+    FROM sc_all WHERE doc_id % {_LM_TRAIN_MOD} = 0
+),
+thr AS (SELECT xent AS threshold FROM ranked, kk WHERE rn = k)
+SELECT s.doc_id, s.n_tokens, s.n_oov, s.n_hit_bigrams, s.xent, threshold
+FROM sc_all s, thr
+WHERE s.doc_id % {_LM_TRAIN_MOD} <> 0 AND s.xent <= threshold
+"""
+    )
+
+
+ORACLES["q159_calibrated_quality_gate"] = _gate_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
