@@ -5577,6 +5577,95 @@ WHERE s.doc_id % {_LM_TRAIN_MOD} <> 0 AND s.xent <= threshold
 ORACLES["q159_calibrated_quality_gate"] = _gate_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q160 — pack MANIFEST: the writer-side artifact of sequence packing —
+# for every (pack, document) incidence, the exact slice of the doc
+# that lands in that pack and where: (pack_id, doc_id, doc_off =
+# tokens of the doc already consumed by earlier packs, pack_off =
+# position inside the pack, n_slice). A shard writer materializes
+# packs from exactly these rows; q64/q152 say WHERE docs start, this
+# says what each PACK contains. Empty docs are charged a 1-token
+# placeholder slice (the q64 convention, so every doc appears).
+# Scale shape: the q64 prefix sum + one explode over each doc's
+# ≤(n_packs) pack ids — output size is the manifest itself (≈ docs +
+# pack-crossings); all arithmetic in-row.
+# Reference anchor: none (beyond-reference tier); offsets q64/q152.
+# ---------------------------------------------------------------------------
+def q160_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(lens, "doc_id", "n_tokens", budget=budget)
+    eff = F.greatest(F.col("n_tokens"), F.lit(1))
+    return (
+        packed.withColumn(
+            "pack_id", F.explode(F.sequence("pack_first", "pack_last"))
+        )
+        .select(
+            "pack_id",
+            "doc_id",
+            (
+                F.greatest(F.col("pack_id") * budget, F.col("start_offset"))
+                - F.col("start_offset")
+            )
+            .cast("long")
+            .alias("doc_off"),
+            (
+                F.greatest(F.col("pack_id") * budget, F.col("start_offset"))
+                - F.col("pack_id") * budget
+            )
+            .cast("long")
+            .alias("pack_off"),
+            (
+                F.least(
+                    (F.col("pack_id") + 1) * budget,
+                    F.col("start_offset") + eff,
+                )
+                - F.greatest(F.col("pack_id") * budget, F.col("start_offset"))
+            )
+            .cast("long")
+            .alias("n_slice"),
+        )
+    )
+
+
+ORACLES["q160_pack_manifest"] = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+p AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+    FROM t
+),
+spans AS (
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 2048) AS BIGINT) AS pack_first,
+           CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048)
+                AS BIGINT) AS pack_last
+    FROM p
+)
+SELECT CAST(u.pack_id AS BIGINT) AS pack_id,
+       doc_id,
+       CAST(greatest(u.pack_id * 2048, start_offset) - start_offset AS BIGINT)
+           AS doc_off,
+       CAST(greatest(u.pack_id * 2048, start_offset) - u.pack_id * 2048
+            AS BIGINT) AS pack_off,
+       CAST(least((u.pack_id + 1) * 2048,
+                  start_offset + greatest(n_tokens, 1))
+            - greatest(u.pack_id * 2048, start_offset) AS BIGINT) AS n_slice
+FROM spans, UNNEST(range(pack_first, pack_last + 1)) AS u(pack_id)
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

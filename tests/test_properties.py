@@ -243,3 +243,45 @@ def test_canonical_text_idempotent_and_case_insensitive(spark, texts):
             assert r["cu"] == r["c1"]
         # canonical form never holds runs of spaces or edge spaces
         assert "  " not in r["c1"] and r["c1"] == r["c1"].strip()
+
+
+def test_pack_manifest_tiles_exactly(spark):
+    """q160's manifest invariants on a boundary-crossing fixture:
+    per-doc slices sum to max(n_tokens, 1) with contiguous doc_off;
+    per-pack slices tile [0, budget) contiguously (every pack but the
+    last is exactly full); slice bounds never cross a pack edge."""
+    import os
+    import tempfile
+
+    from efiche_data_pipeline_spark.plans.corpus import q160_pack_manifest
+
+    # tokens: 1500, 1500 (crosses pack 0->1), 3000 (spans 2 edges),
+    # 0 (placeholder slice), 100
+    sizes = [1500, 1500, 3000, 0, 100]
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        m = sorted(
+            tuple(r) for r in q160_pack_manifest(spark, d).collect()
+        )  # (pack_id, doc_id, doc_off, pack_off, n_slice)
+    budget = 2048
+    total = sum(max(n, 1) for n in sizes)
+    # per-doc: slices cover the doc contiguously
+    for i, n in enumerate(sizes):
+        sl = sorted((r[2], r[4]) for r in m if r[1] == i)
+        assert sl[0][0] == 0 and sum(x[1] for x in sl) == max(n, 1)
+        off = 0
+        for doc_off, ln in sl:
+            assert doc_off == off
+            off += ln
+    # per-pack: slices tile [0, budget) (last pack partial)
+    n_packs = -(-total // budget)
+    for p in range(n_packs):
+        sl = sorted((r[3], r[4]) for r in m if r[0] == p)
+        assert sl[0][0] == 0
+        off = 0
+        for pack_off, ln in sl:
+            assert pack_off == off and ln >= 1
+            off += ln
+        assert off == (budget if p < n_packs - 1 else total - budget * p)
