@@ -5666,6 +5666,85 @@ FROM spans, UNNEST(range(pack_first, pack_last + 1)) AS u(pack_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q161 — INCREMENTAL join-key skew (q158 maintained at intake): the
+# skew diagnostic a long-running pipeline keeps current without ever
+# rescanning history. Per-key counts are associative sums, so the
+# fold is ONE atomic layered +delta append with the watermark inside
+# the layer (the q140/q150 protocol verbatim — no crash window); the
+# top-N report derives from the key-bounded summed state at read.
+# Maintained ≡ global by commutativity, so the oracle is q158's
+# verbatim.
+# Reference anchor: none (beyond-reference tier); one-shot form q158.
+# ---------------------------------------------------------------------------
+def q161_incremental_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import Store
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incskew_")
+    store = Store(spark, tmp_root)
+
+    def fold(batch: DataFrame) -> None:
+        wm = None
+        if store.current_version("key_counts") is not None:
+            wm = (
+                store.read_union("key_counts")
+                .agg(F.max("batch_max_id"))
+                .first()[0]
+            )
+        fresh = batch.filter(F.col("l_orderkey") > wm) if wm is not None else batch
+        mx = fresh.agg(F.max("l_orderkey")).first()[0]
+        if mx is None:
+            return
+        delta = (
+            fresh.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("batch_max_id", F.lit(int(mx)).cast("long"))
+        )
+        store.append_version(delta, "key_counts")
+
+    try:
+        fold(li.filter(F.col("l_orderkey") <= split))
+        fold(li.filter(F.col("l_orderkey") > split))
+        per_key = (
+            store.read_union("key_counts")
+            .groupBy("l_suppkey")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        glob = per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+        )
+        out = (
+            per_key.crossJoin(F.broadcast(glob))
+            .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+            .limit(_SKEW_TOP_N)
+            .select(
+                "l_suppkey",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+                F.round(
+                    F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 4
+                ).alias("x_mean"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q161_incremental_key_skew"] = ORACLES["q158_join_key_skew"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
