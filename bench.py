@@ -189,7 +189,8 @@ def main() -> None:
     for name in HEADLINE:
         runs = 1 if name == "q36_wh_build" else 2
         best = float("inf")
-        for _ in range(runs):
+        reps = 0
+        while reps < runs:
             start = time.perf_counter()
             if name == "q36_wh_build":
                 # Dims + fact + bridges + 3 MVs written to parquet; the
@@ -204,6 +205,12 @@ def main() -> None:
             # would otherwise get a cache-warm second run — clear so
             # every repetition measures the cold dataflow.
             spark.catalog.clearCache()
+            reps += 1
+            # Small entries are the most noise-sensitive on a shared
+            # box (BENCH_r06 drift): one extra rep under 3 s costs
+            # seconds total and tightens the min-of-N floor.
+            if reps == runs and runs == 2 and best < 3.0:
+                runs = 3
         timings[name] = round(best, 3)
 
     env_end = _env_context(spark)
