@@ -77,7 +77,9 @@ class BpeResult:
     vocab: DataFrame  # (word, freq, seq, n_symbols)
 
 
-def bpe_learn(vocab: DataFrame, n_merges: int) -> BpeResult:
+def bpe_learn(
+    vocab: DataFrame, n_merges: int, partitions: int = 1
+) -> BpeResult:
     """Learn the first ``n_merges`` BPE merge operations from a
     (word, freq) vocabulary. Raises if the vocabulary exhausts its
     pairs before ``n_merges`` (the oracle chain has no early-stop, so
@@ -88,14 +90,17 @@ def bpe_learn(vocab: DataFrame, n_merges: int) -> BpeResult:
     argmax pair) — ONE job — plus a lazy literal-replace projection.
     Checkpoints land every 4th iteration only (replaying a few string
     replaces over the vocab is cheaper than an extra eager job per
-    iteration); the vocab itself is coalesced to one partition up
-    front — it is aggregate-bounded, and a 200-partition vanilla
-    session would otherwise pay full-width task scheduling twelve
-    times over."""
+    iteration). ``partitions`` sizes the pinned vocab: the default 1
+    fits test/sf corpora (a 200-partition vanilla session would
+    otherwise pay full-width task scheduling per iteration), while a
+    production vocabulary (~10^6-10^7 distinct words at 100 TB) should
+    pass 8-32 so each iteration's pair aggregate and replace
+    projection parallelize — the loop itself is partition-agnostic
+    (the argmax is a global TakeOrdered either way)."""
     spark = vocab.sparkSession
     seqs = (
         vocab.select("word", "freq", _wrapped_seq("word").alias("seq"))
-        .coalesce(1)
+        .coalesce(max(1, int(partitions)))
         .localCheckpoint(eager=True)
     )
     merge_rows: list[tuple[int, str, str, int, str]] = []
