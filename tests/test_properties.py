@@ -285,3 +285,52 @@ def test_pack_manifest_tiles_exactly(spark):
             assert pack_off == off and ln >= 1
             off += ln
         assert off == (budget if p < n_packs - 1 else total - budget * p)
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6),
+    min_size=3,
+    max_size=30,
+)
+
+
+@given(words=_bpe_words)
+@SET
+def test_bpe_encoding_is_lossless_segmentation(spark, words):
+    """For ANY corpus and any learned merge table, every word's
+    encoded symbols concatenate back to exactly word + '</w>' — BPE
+    merges re-group characters but never create, drop, or reorder
+    them (the invariant that makes the token count a true length
+    measure). Checked on the training vocab AND on the apply_merges
+    encoder over unseen words."""
+    from efiche_data_pipeline_spark.operators.bpe import (
+        END_OF_WORD,
+        apply_merges,
+        bpe_learn,
+        word_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    vocab = word_vocab(docs)
+    # learn as many merges as the corpus allows, capped small
+    try:
+        res = bpe_learn(vocab, 3)
+    except RuntimeError:
+        res = bpe_learn(vocab, 1)
+    for r in res.vocab.collect():
+        syms = r["seq"][1:-1].split(")(")
+        assert "".join(syms) == r["word"] + END_OF_WORD
+    merges = [
+        (m["lhs"], m["rhs"]) for m in res.merges.orderBy("it").collect()
+    ]
+    unseen = spark.createDataFrame(
+        [(w + "x",) for w in set(words)], "word string"
+    )
+    enc = unseen.select(
+        "word", apply_merges(F.col("word"), merges).alias("seq")
+    )
+    for r in enc.collect():
+        syms = r["seq"][1:-1].split(")(")
+        assert "".join(syms) == r["word"] + END_OF_WORD
