@@ -1,0 +1,101 @@
+"""Release export (pipeline/release.py): deterministic verifiable
+shards.
+
+- write → verify round-trips ok, counts/digests per shard;
+- shard membership is a pure function of the key (re-writing the same
+  rows from a different partitioning produces identical manifests);
+- tampering (dropping a shard file's rows) is detected, and the
+  offending shard is named;
+- the digest is row-order invariant but content-sensitive.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from efiche_data_pipeline_spark.pipeline.release import (
+    MANIFEST_NAME,
+    verify_release,
+    write_release,
+)
+
+_N_SHARDS = 4
+
+
+def _df(spark, lo, hi, shuffle_seed=None):
+    rows = [(i, f"src{i % 3}", f"text body {i}") for i in range(lo, hi)]
+    if shuffle_seed is not None:
+        import random
+
+        random.Random(shuffle_seed).shuffle(rows)
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_write_verify_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "rel")
+    m = write_release(_df(spark, 0, 200), path, _N_SHARDS, "doc_id")
+    assert m["total_rows"] == 200
+    assert sum(s["rows"] for s in m["shards"].values()) == 200
+    v = verify_release(spark, path)
+    assert v["ok"] and v["bad_shards"] == []
+
+
+def test_manifest_is_partitioning_invariant(spark, tmp_path):
+    a = write_release(
+        _df(spark, 0, 150), str(tmp_path / "a"), _N_SHARDS, "doc_id"
+    )
+    b = write_release(
+        _df(spark, 0, 150, shuffle_seed=7).repartition(13),
+        str(tmp_path / "b"),
+        _N_SHARDS,
+        "doc_id",
+    )
+    assert a["shards"] == b["shards"]
+
+
+def test_tamper_detection_names_the_shard(spark, tmp_path):
+    path = str(tmp_path / "rel")
+    write_release(_df(spark, 0, 200), path, _N_SHARDS, "doc_id")
+    # drop one shard's data files entirely
+    victim = glob.glob(os.path.join(path, "data", "shard=2", "*.parquet"))
+    assert victim
+    for f in victim:
+        os.remove(f)
+    v = verify_release(spark, path)
+    assert not v["ok"] and v["bad_shards"] == [2]
+
+
+def test_digest_content_sensitive(spark, tmp_path):
+    p1 = write_release(_df(spark, 0, 50), str(tmp_path / "x"), 2, "doc_id")
+    # change ONE row's content: rebuild with doc 7's text altered
+    import pyspark.sql.functions as F
+
+    changed = _df(spark, 0, 50).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    p2 = write_release(changed, str(tmp_path / "y"), 2, "doc_id")
+    diff = [
+        s
+        for s in p1["shards"]
+        if p1["shards"][s]["digest"] != p2["shards"][s]["digest"]
+    ]
+    assert len(diff) == 1  # exactly doc 7's shard moved
+    # row counts identical — only the digest catches it
+    assert {s: v["rows"] for s, v in p1["shards"].items()} == {
+        s: v["rows"] for s, v in p2["shards"].items()
+    }
+
+
+def test_manifest_file_published(spark, tmp_path):
+    path = str(tmp_path / "rel")
+    write_release(_df(spark, 0, 20), path, 2, "doc_id")
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        m = json.load(f)
+    assert m["key_col"] == "doc_id" and m["n_shards"] == 2
