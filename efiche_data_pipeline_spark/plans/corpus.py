@@ -5745,6 +5745,105 @@ def q161_incremental_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q161_incremental_key_skew"] = ORACLES["q158_join_key_skew"]
 
 
+# ---------------------------------------------------------------------------
+# Q162 — CURRICULUM schedule: the training-order artifact of
+# curriculum learning — every document assigned a quality-quartile
+# STAGE (NTILE over the q32 rule-based score, best first) and a
+# deterministic hash order WITHIN its stage, so the loader streams
+# stage 1 → 4 with intra-stage shuffling that is reproducible across
+# engines and runs. q89 mixes by rate; this ORDERS the corpus.
+# Scale shape: both ranks ride the bucketed two-level
+# global_row_number (operators/ranking.py — no single-task sort, no
+# per-stage single-partition window: the in-stage order is ONE global
+# rank over (stage, order-hash, id) minus broadcast per-stage
+# offsets).
+# Reference anchor: none (beyond-reference tier); score q32, rate
+# mixture q89, ntile machinery q79.
+# ---------------------------------------------------------------------------
+_CURR_STAGES = 4
+
+
+def _en_stop_sql() -> str:
+    from ..functions.text import LANG_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+_EN_STOP_SQL_C = _en_stop_sql()
+
+
+def q162_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.text import quality_score_raw
+    from ..operators.ranking import global_ntile, global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_score_raw("text"), 4).alias("quality_score"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    # best quality = stage 1: NTILE ascends, so rank on the negated score
+    staged = global_ntile(
+        docs.withColumn("q_neg", -F.col("quality_score")),
+        ["q_neg", "doc_id"],
+        _CURR_STAGES,
+        out_col="stage",
+    ).drop("q_neg")
+    ranked = global_row_number(staged, ["stage", "h", "doc_id"], "_grn")
+    offsets = (
+        ranked.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("stage").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("stage", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "stage")
+        .select(
+            "doc_id",
+            "quality_score",
+            F.col("stage").cast("int").alias("stage"),
+            (F.col("_grn") - F.col("_off")).cast("long").alias("stage_order"),
+        )
+    )
+
+
+ORACLES["q162_curriculum_schedule"] = f"""
+WITH scored AS (
+    SELECT doc_id,
+           ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0), 4)
+               AS quality_score,
+           {oracle_hash60("CAST(doc_id AS VARCHAR)")} AS h
+    FROM (
+        SELECT doc_id,
+               length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+               length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t IN ({_EN_STOP_SQL_C}))) AS n_stop
+        FROM documents
+    )
+),
+staged AS (
+    SELECT doc_id, quality_score, h,
+           CAST(NTILE({_CURR_STAGES}) OVER (
+               ORDER BY -quality_score, doc_id) AS INTEGER) AS stage
+    FROM scored
+)
+SELECT doc_id, quality_score, stage,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage ORDER BY h, doc_id)
+            AS BIGINT) AS stage_order
+FROM staged
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
