@@ -5772,20 +5772,26 @@ def _en_stop_sql() -> str:
 _EN_STOP_SQL_C = _en_stop_sql()
 
 
-def q162_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+def _curriculum_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_score_raw
-    from ..operators.ranking import global_ntile, global_row_number
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.round(quality_score_raw("text"), 4).alias("quality_score"),
         portable_hash60(F.col("doc_id").cast("string")).alias("h"),
     )
+
+
+def _curriculum_from_stats(stats: DataFrame) -> DataFrame:
+    """The schedule as a pure function of the (id, quality, hash)
+    stats — shared by the one-shot q162 and the maintained q163."""
+    from pyspark.sql import Window as W
+
+    from ..operators.ranking import global_ntile, global_row_number
+
     # best quality = stage 1: NTILE ascends, so rank on the negated score
     staged = global_ntile(
-        docs.withColumn("q_neg", -F.col("quality_score")),
+        stats.withColumn("q_neg", -F.col("quality_score")),
         ["q_neg", "doc_id"],
         _CURR_STAGES,
         out_col="stage",
@@ -5816,6 +5822,10 @@ def q162_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curriculum_from_stats(_curriculum_doc_stats(spark, sf_dir))
+
+
 ORACLES["q162_curriculum_schedule"] = f"""
 WITH scored AS (
     SELECT doc_id,
@@ -5842,6 +5852,51 @@ SELECT doc_id, quality_score, stage,
             AS BIGINT) AS stage_order
 FROM staged
 """
+
+
+# ---------------------------------------------------------------------------
+# Q163 — INCREMENTAL curriculum (q162 maintained at intake): stage
+# boundaries are global quality quantiles, so every fold moves them —
+# the schedule is NOT monotone and cannot be appended (the q156
+# non-monotone argument). State = the 24-byte (id, quality, hash)
+# stats projection the schedule is a pure function of: ONE idempotent
+# id-keyed commit per fold (its own watermark, no crash window);
+# the schedule derives at read via the shared _curriculum_from_stats.
+# Maintained ≡ global because the state union IS the global stats, so
+# the oracle is q162's verbatim.
+# Reference anchor: none (beyond-reference tier); one-shot form q162.
+# ---------------------------------------------------------------------------
+def q163_incremental_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import Store
+
+    stats = _curriculum_doc_stats(spark, sf_dir)
+    lo, hi = stats.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inccurr_")
+    store = Store(spark, tmp_root)
+
+    def fold(batch: DataFrame) -> None:
+        fresh = batch
+        if store.exists("curriculum_stats"):
+            fresh = fresh.join(
+                store.read("curriculum_stats"), ["doc_id"], "left_anti"
+            )
+        store.append(fresh.localCheckpoint(eager=True), "curriculum_stats")
+
+    try:
+        fold(stats.filter(F.col("doc_id") <= split))
+        fold(stats.filter(F.col("doc_id") > split))
+        out = _curriculum_from_stats(store.read("curriculum_stats"))
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q163_incremental_curriculum"] = ORACLES["q162_curriculum_schedule"]
 
 
 QUERIES = {
