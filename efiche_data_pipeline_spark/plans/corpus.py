@@ -5899,6 +5899,74 @@ def q163_incremental_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q163_incremental_curriculum"] = ORACLES["q162_curriculum_schedule"]
 
 
+# ---------------------------------------------------------------------------
+# Q164 — stratified eval HOLDOUT: exactly N documents per source,
+# chosen in deterministic hash order — the held-out eval carve-out a
+# release reserves per stratum BEFORE training (exact counts, not the
+# rate-based expectation q56/q89 give; reproducible across engines,
+# runs, and repartitionings). Output: the holdout with each doc's
+# in-source pick rank.
+# Scale shape: the in-source rank is ONE bucketed two-level global
+# rank over (source, order-hash, id) minus broadcast per-source
+# offsets (the q162 discipline) — deliberately NOT a PARTITION BY
+# source window, which would funnel each source through one task.
+# Reference anchor: none (beyond-reference tier); global exact-N
+# q43, weighted q99, per-source token budgets q130.
+# ---------------------------------------------------------------------------
+_HOLDOUT_PER_SOURCE = 20
+
+
+def q164_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        # numeric source key: the rank's bucket pass needs a numeric
+        # lead (percentile_approx), and any injective source order
+        # works — pick ranks only depend on the within-source order
+        portable_hash60("source").alias("_sk"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    ranked = global_row_number(docs, ["_sk", "h", "doc_id"], "_grn")
+    offsets = (
+        ranked.groupBy("source", "_sk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_sk").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "source")
+        .withColumn("pick", (F.col("_grn") - F.col("_off")).cast("long"))
+        .filter(F.col("pick") <= _HOLDOUT_PER_SOURCE)
+        .select("doc_id", "source", "pick")
+    )
+
+
+ORACLES["q164_stratified_holdout"] = f"""
+SELECT doc_id, source, pick
+FROM (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {oracle_hash60("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS BIGINT) AS pick
+    FROM documents
+)
+WHERE pick <= {_HOLDOUT_PER_SOURCE}
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
