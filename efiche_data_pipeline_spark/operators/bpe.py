@@ -338,10 +338,14 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact per-document BPE token counts under a learned vocabulary:
-    explode the doc's words, broadcast-join the (tiny) vocab's
-    per-word symbol counts, sum. Words outside the vocab contract
-    (parens) are skipped, matching :func:`word_vocab`."""
+    """Exact per-document BPE token counts under a learned vocabulary.
+    PRECONDITION: every (paren-free) word of ``docs`` must appear in
+    ``final_vocab`` — i.e. ``docs`` is (a subset of) the corpus the
+    vocab was trained on. The inner join silently DROPS any other
+    word from both ``n_words`` and ``n_bpe_tokens`` (and a doc of
+    only such words from the output); for scoring text the trainer
+    never saw, use :func:`bpe_encode_counts`, which applies the merge
+    table to arbitrary words and reports ``n_oov_words``."""
     words = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("word")
     )

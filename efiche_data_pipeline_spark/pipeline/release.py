@@ -68,9 +68,15 @@ def write_release(
     sharded.repartition("shard").write.mode("errorifexists").partitionBy(
         "shard"
     ).parquet(data_dir)
+    # Digest what actually LANDED, not the input lineage: re-executing
+    # ``df`` here could evaluate a nondeterministic plan (sample, rand,
+    # a re-run shuffle) a second time and publish a manifest describing
+    # rows the files don't contain. Reading back is also cheaper than
+    # re-running the upstream job.
+    landed = df.sparkSession.read.parquet(data_dir)
     stats = {
         int(r["shard"]): (int(r["rows"]), int(r["digest"]))
-        for r in _shard_digests(sharded).collect()
+        for r in _shard_digests(landed).collect()
     }
     manifest = {
         "n_shards": int(n_shards),
@@ -109,4 +115,8 @@ def verify_release(spark: SparkSession, path: str) -> dict:
         have = got.get(s, (0, 0))
         if (want["rows"], want["digest"]) != have:
             bad.append(s)
+    # Addition-tampering: a shard directory OUTSIDE the manifest's
+    # range is read by any consumer of data/ but would pass a
+    # manifest-keyed loop — flag it explicitly.
+    bad += sorted(s for s in got if s >= manifest["n_shards"] or s < 0)
     return {"ok": not bad, "bad_shards": bad, "manifest": manifest}

@@ -70,6 +70,15 @@ from ..operators.quality import (
 from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources.catalog import load_table
 
+
+def _en_stop_sql() -> str:
+    from ..functions.text import LANG_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+_EN_STOP_SQL_C = _en_stop_sql()
+
 ORACLES: dict[str, str] = {}
 
 
@@ -3360,10 +3369,9 @@ def q129_neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rep_oracle() -> str:
-    from ..functions.text import LANG_STOPWORDS
     from .extensions import _SHINGLE_PAIR_CTES
 
-    stop_sql = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    stop_sql = _EN_STOP_SQL_C
     return f"""
 WITH RECURSIVE {_SHINGLE_PAIR_CTES},
 edges AS (
@@ -3540,14 +3548,13 @@ def q131_incremental_representatives(
 
 
 def _inc_rep_oracle() -> str:
-    from ..functions.text import LANG_STOPWORDS
     from .extensions import oracle_minhash_lsh_sql
 
     lsh = oracle_minhash_lsh_sql(
         "documents", "doc_id", "text", n_hashes=16, bands=4,
         min_est_sim=_INC_DEDUP_SIM,
     )
-    stop_sql = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    stop_sql = _EN_STOP_SQL_C
     return f"""
 WITH RECURSIVE pairs AS ({lsh}),
 edges AS (
@@ -5448,19 +5455,19 @@ GROUP BY 1
 _SKEW_TOP_N = 20
 
 
-def q158_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
-    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+def _skew_report(per_key: DataFrame, key: str) -> DataFrame:
+    """Top-N heavy hitters + global key stats from a (key, cnt)
+    frame — shared by the one-shot q158 and the maintained q161."""
     glob = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
     )
     return (
         per_key.crossJoin(F.broadcast(glob))
-        .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+        .orderBy(F.col("cnt").desc(), F.col(key).asc())
         .limit(_SKEW_TOP_N)
         .select(
-            "l_suppkey",
+            key,
             F.col("cnt").cast("long").alias("cnt"),
             F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
             F.round(
@@ -5470,6 +5477,12 @@ def q158_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("long").alias("n_rows"),
         )
     )
+
+
+def q158_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return _skew_report(per_key, "l_suppkey")
 
 
 ORACLES["q158_join_key_skew"] = f"""
@@ -5718,25 +5731,9 @@ def q161_incremental_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_suppkey")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        glob = per_key.agg(
-            F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+        return _finish_with_store(
+            _skew_report(per_key, "l_suppkey"), tmp_root
         )
-        out = (
-            per_key.crossJoin(F.broadcast(glob))
-            .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
-            .limit(_SKEW_TOP_N)
-            .select(
-                "l_suppkey",
-                F.col("cnt").cast("long").alias("cnt"),
-                F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
-                F.round(
-                    F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 4
-                ).alias("x_mean"),
-                F.col("n_keys").cast("long").alias("n_keys"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-            )
-        )
-        return _finish_with_store(out, tmp_root)
     except BaseException:
         shutil.rmtree(tmp_root, ignore_errors=True)
         raise
@@ -5763,15 +5760,6 @@ ORACLES["q161_incremental_key_skew"] = ORACLES["q158_join_key_skew"]
 _CURR_STAGES = 4
 
 
-def _en_stop_sql() -> str:
-    from ..functions.text import LANG_STOPWORDS
-
-    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
-
-
-_EN_STOP_SQL_C = _en_stop_sql()
-
-
 def _curriculum_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_score_raw
 
@@ -5784,10 +5772,16 @@ def _curriculum_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curriculum_from_stats(stats: DataFrame) -> DataFrame:
     """The schedule as a pure function of the (id, quality, hash)
-    stats — shared by the one-shot q162 and the maintained q163."""
-    from pyspark.sql import Window as W
-
-    from ..operators.ranking import global_ntile, global_row_number
+    stats — shared by the one-shot q162 and the maintained q163.
+    The IN-STAGE rank is a grouped two-level prefix-COUNT over the
+    order hash (operators/packing.py:global_prefix_sum with
+    group_cols) — rows bucket by hash magnitude and the bounded
+    window runs per (stage, bucket), so no stage ever funnels through
+    a single task (a plain global rank led by the 4-valued stage
+    column would degenerate to exactly that: ≤4 quantile buckets =
+    per-stage single-partition windows)."""
+    from ..operators.packing import global_prefix_sum
+    from ..operators.ranking import global_ntile
 
     # best quality = stage 1: NTILE ascends, so rank on the negated score
     staged = global_ntile(
@@ -5796,29 +5790,19 @@ def _curriculum_from_stats(stats: DataFrame) -> DataFrame:
         _CURR_STAGES,
         out_col="stage",
     ).drop("q_neg")
-    ranked = global_row_number(staged, ["stage", "h", "doc_id"], "_grn")
-    offsets = (
-        ranked.groupBy("stage")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy("stage").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("stage", "_off")
+    pref = global_prefix_sum(
+        staged.withColumn("_one", F.lit(1)),
+        order_col="h",
+        value_col="_one",
+        out_col="_rk",
+        bucket_size=2**60 // _MIX_HASH_BUCKETS,
+        group_cols=["stage"],
     )
-    return (
-        ranked.join(F.broadcast(offsets), "stage")
-        .select(
-            "doc_id",
-            "quality_score",
-            F.col("stage").cast("int").alias("stage"),
-            (F.col("_grn") - F.col("_off")).cast("long").alias("stage_order"),
-        )
+    return pref.select(
+        "doc_id",
+        "quality_score",
+        F.col("stage").cast("int").alias("stage"),
+        (F.col("_rk") + 1).cast("long").alias("stage_order"),
     )
 
 
@@ -5917,37 +5901,26 @@ _HOLDOUT_PER_SOURCE = 20
 
 
 def q164_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..operators.ranking import global_row_number
+    from ..operators.packing import global_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        # numeric source key: the rank's bucket pass needs a numeric
-        # lead (percentile_approx), and any injective source order
-        # works — pick ranks only depend on the within-source order
-        portable_hash60("source").alias("_sk"),
         portable_hash60(F.col("doc_id").cast("string")).alias("h"),
     )
-    ranked = global_row_number(docs, ["_sk", "h", "doc_id"], "_grn")
-    offsets = (
-        ranked.groupBy("source", "_sk")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy("_sk").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("source", "_off")
+    # in-source pick rank = grouped two-level prefix-COUNT over the
+    # order hash (bounded window per (source, bucket)) — never a
+    # per-source single-partition window
+    pref = global_prefix_sum(
+        docs.withColumn("_one", F.lit(1)),
+        order_col="h",
+        value_col="_one",
+        out_col="_rk",
+        bucket_size=2**60 // _MIX_HASH_BUCKETS,
+        group_cols=["source"],
     )
     return (
-        ranked.join(F.broadcast(offsets), "source")
-        .withColumn("pick", (F.col("_grn") - F.col("_off")).cast("long"))
+        pref.withColumn("pick", (F.col("_rk") + 1).cast("long"))
         .filter(F.col("pick") <= _HOLDOUT_PER_SOURCE)
         .select("doc_id", "source", "pick")
     )

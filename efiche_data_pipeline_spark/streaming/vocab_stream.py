@@ -80,6 +80,24 @@ def run_vocab_stream(
             docs, store, id_col=id_col, text_col=text_col, vocab_table=vocab_table
         )
         totals["folded"] += r.n_new
+        # Enforce incremental_vocab's monotone-id contract HERE, where
+        # violations actually enter (file discovery order is not id
+        # order): a doc below the vocab watermark that is NOT already
+        # in the docs sink would land in the sink but never in the
+        # vocab — a silent divergence. Fail loudly instead.
+        fresh_by_sink = docs
+        if store.exists(docs_table):
+            fresh_by_sink = docs.join(
+                store.read(docs_table).select(id_col), id_col, "left_anti"
+            )
+        n_sink_fresh = fresh_by_sink.count()
+        if n_sink_fresh != r.n_new:
+            raise ValueError(
+                f"monotone-{id_col} contract violated: batch {batch_id} has "
+                f"{n_sink_fresh} never-seen docs but only {r.n_new} above the "
+                "vocab watermark — an earlier file carried higher ids. "
+                "Feed files in id order (or repartition the drop)."
+            )
         store.append_new(docs, docs_table, id_col)
 
     q = (

@@ -1,97 +1,89 @@
-"""WITHIN-document repetition metrics (operators/quality.py) —
-hand-checkable semantics beyond the q146/q151 oracle differential:
-
-- exact metrics on planted looping / clean / tiny docs, including the
-  overlapping-gram coverage cap and the lexicographic tie-break;
-- incremental_repetition: folds ≡ global, replay no-ops, and the
-  one-commit protocol (report table is its own watermark).
-"""
+"""Data-quality rule tests (pipeline/quality.py): planted violations
+per rule kind, the single-pass plan shape, and the FK contract on the
+real generated operational tables."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
-from efiche_data_pipeline_spark.operators.quality import (
-    incremental_repetition,
-    repetition_report,
+from efiche_data_pipeline_spark.pipeline.generate import generate_operational
+from efiche_data_pipeline_spark.pipeline.quality import (
+    assert_quality,
+    check_fk,
+    check_rules,
+    in_range,
+    in_set,
+    matches,
+    not_null,
 )
-from efiche_data_pipeline_spark.pipeline.store import Store
 
 
-def _docs(spark, texts):
+@pytest.fixture(scope="module")
+def dirty(spark):
     return spark.createDataFrame(
-        list(enumerate(texts)), "doc_id long, text string"
+        [
+            (1, 44, "M", "IMG_1"),
+            (2, 130, "F", "IMG_2"),  # age out of range
+            (3, None, "X", "IMG_3"),  # null age (ignored by range), bad sex
+            (1, 30, "F", "bad id"),  # dup id, bad image pattern
+        ],
+        "id long, age int, sex string, image_id string",
     )
 
 
-def _rows(df):
-    return {
-        r["doc_id"]: (
-            r["n_tokens"],
-            r["top_2gram"],
-            r["top_2gram_count"],
-            r["top_2gram_frac"],
-            r["dup_3gram_frac"],
-            r["repetitive"],
-        )
-        for r in df.collect()
+def test_rules_count_planted_violations(spark, dirty):
+    report = check_rules(
+        dirty,
+        [
+            not_null("age"),
+            in_range("age", 0, 120),
+            in_set("sex", ["M", "F", "Unknown"]),
+            matches("image_id", r"^IMG_\d+$"),
+        ],
+        unique_key=["id"],
+    )
+    assert report == {
+        "not_null(age)": 1,
+        "in_range(age,0,120)": 1,  # the NULL age is NOT a range violation
+        "in_set(sex)": 1,
+        "matches(image_id)": 1,
+        "unique(id)": 1,
     }
+    with pytest.raises(ValueError, match="in_set"):
+        assert_quality(report)
+    assert_quality({k: 0 for k in report})  # clean report passes
 
 
-def test_repetition_planted_looping_doc(spark):
-    # "spam ham " * 4: 8 tokens, 7 2-grams — "spam ham" ×4,
-    # "ham spam" ×3; top 2-gram covers min(1, 2*4/8) = 1.0.
-    # 6 3-grams: "spam ham spam" ×3, "ham spam ham" ×3 → all 6
-    # positions duplicated → dup_3gram_frac = 1.0.
-    looping = " ".join(["spam", "ham"] * 4)
-    # 12 distinct tokens: a unique top 2-gram covers 2/12 < 0.20, so
-    # a genuinely clean doc stays below the Gopher threshold (at 8
-    # tokens even a unique gram covers 0.25 — doc must be long enough
-    # for the fraction filter to be meaningful, as in the paper).
-    clean = "the quick brown fox jumps over two lazy dogs near old barns"
-    got = _rows(repetition_report(_docs(spark, [looping, clean])))
-    assert got[0] == (8, "spam ham", 4, 1.0, 1.0, True)
-    # clean doc: every gram unique → top 2-gram count 1, frac 2/12,
-    # dup3 0.0, not repetitive.
-    n, g, c, f2, f3, rep = got[1]
-    assert (n, c, f3, rep) == (12, 1, 0.0, False)
-    assert f2 == 0.1667
+def test_rules_single_pass_plan(spark, tmp_path):
+    """All row-level rules (plus uniqueness) must compile into ONE
+    aggregate over ONE scan of the table — no per-rule jobs. Asserted
+    on a parquet-backed frame so the scan is countable in the plan."""
+    src = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 120).cast("int").alias("age")
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    rules = [not_null("age"), in_range("age", 0, 120)]
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules
+    ] + [(F.count(F.lit(1)) - F.countDistinct("id")).alias("uniq")]
+    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
 
 
-def test_repetition_overlap_cap_and_ties(spark):
-    # "a a a a": 3 2-grams all "a a" → 2*3/4 = 1.5, capped at 1.0.
-    got = _rows(repetition_report(_docs(spark, ["a a a a"])))
-    assert got[0][1:4] == ("a a", 3, 1.0)
-    # tie on count → lexicographically smallest gram wins in both
-    # engines' binary order: "b c" and "c b" both appear twice.
-    got = _rows(repetition_report(_docs(spark, ["b c b c b"])))
-    assert got[0][1] == "b c" and got[0][2] == 2
-
-
-def test_repetition_tiny_docs_zeroed(spark):
-    # 1-token and 2-token docs: no 3-grams (and no 2-grams for the
-    # single token) → coalesced zeros, never nulls or divide-by-zero.
-    got = _rows(repetition_report(_docs(spark, ["one", "two words"])))
-    assert got[0] == (1, None, 0, 0.0, 0.0, False)
-    assert got[1][0] == 2 and got[1][4] == 0.0
-
-
-def test_incremental_repetition_folds_equal_global(spark, tmp_path):
-    texts = [
-        " ".join(["spam", "ham"] * 4),
-        "the quick brown fox jumps over lazy dogs",
-        "x y x y x y x y",
-        "alpha beta gamma delta",
-    ]
-    docs = _docs(spark, texts)
-    store = Store(spark, str(tmp_path / "rep"))
-    n1 = incremental_repetition(docs.filter(F.col("doc_id") <= 1), store)
-    n2 = incremental_repetition(docs.filter(F.col("doc_id") > 1), store)
-    assert (n1, n2) == (2, 2)
-    got = _rows(store.read("repetition_reports"))
-    want = _rows(repetition_report(docs))
-    assert got == want
-    # replay: pure no-op (the report table is its own watermark)
-    n3 = incremental_repetition(docs, store)
-    assert n3 == 0
-    assert _rows(store.read("repetition_reports")) == want
+def test_fk_contract_on_generated_tables(spark):
+    tables = generate_operational(spark, n_patients=100, seed=7)
+    enc, pat = tables["encounters"], tables["patients"]
+    assert check_fk(enc, "patient_id", pat, "patient_id") == 0
+    # break it: drop some parents
+    broken = pat.filter(F.col("patient_id").isNotNull()).limit(60)
+    orphans = check_fk(enc, "patient_id", broken, "patient_id")
+    assert orphans > 0
+    # null child keys are not orphans
+    enc_null = enc.withColumn(
+        "patient_id",
+        F.when(F.rand(1) < 0.5, None).otherwise(F.col("patient_id")),
+    )
+    assert check_fk(enc_null, "patient_id", pat, "patient_id") == 0

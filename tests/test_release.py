@@ -99,3 +99,15 @@ def test_manifest_file_published(spark, tmp_path):
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         m = json.load(f)
     assert m["key_col"] == "doc_id" and m["n_shards"] == 2
+
+
+def test_injected_extra_shard_detected(spark, tmp_path):
+    """Addition-tampering: a shard directory outside the manifest's
+    range must fail verification, because consumers of data/ read it."""
+    path = str(tmp_path / "rel")
+    write_release(_df(spark, 0, 40), path, 2, "doc_id")
+    _df(spark, 900, 905).write.parquet(
+        os.path.join(path, "data", "shard=9")
+    )
+    v = verify_release(spark, path)
+    assert not v["ok"] and 9 in v["bad_shards"]

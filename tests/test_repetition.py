@@ -1,0 +1,97 @@
+"""WITHIN-document repetition metrics (operators/quality.py) —
+hand-checkable semantics beyond the q146/q151 oracle differential:
+
+- exact metrics on planted looping / clean / tiny docs, including the
+  overlapping-gram coverage cap and the lexicographic tie-break;
+- incremental_repetition: folds ≡ global, replay no-ops, and the
+  one-commit protocol (report table is its own watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.operators.quality import (
+    incremental_repetition,
+    repetition_report,
+)
+from efiche_data_pipeline_spark.pipeline.store import Store
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_2gram"],
+            r["top_2gram_count"],
+            r["top_2gram_frac"],
+            r["dup_3gram_frac"],
+            r["repetitive"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_repetition_planted_looping_doc(spark):
+    # "spam ham " * 4: 8 tokens, 7 2-grams — "spam ham" ×4,
+    # "ham spam" ×3; top 2-gram covers min(1, 2*4/8) = 1.0.
+    # 6 3-grams: "spam ham spam" ×3, "ham spam ham" ×3 → all 6
+    # positions duplicated → dup_3gram_frac = 1.0.
+    looping = " ".join(["spam", "ham"] * 4)
+    # 12 distinct tokens: a unique top 2-gram covers 2/12 < 0.20, so
+    # a genuinely clean doc stays below the Gopher threshold (at 8
+    # tokens even a unique gram covers 0.25 — doc must be long enough
+    # for the fraction filter to be meaningful, as in the paper).
+    clean = "the quick brown fox jumps over two lazy dogs near old barns"
+    got = _rows(repetition_report(_docs(spark, [looping, clean])))
+    assert got[0] == (8, "spam ham", 4, 1.0, 1.0, True)
+    # clean doc: every gram unique → top 2-gram count 1, frac 2/12,
+    # dup3 0.0, not repetitive.
+    n, g, c, f2, f3, rep = got[1]
+    assert (n, c, f3, rep) == (12, 1, 0.0, False)
+    assert f2 == 0.1667
+
+
+def test_repetition_overlap_cap_and_ties(spark):
+    # "a a a a": 3 2-grams all "a a" → 2*3/4 = 1.5, capped at 1.0.
+    got = _rows(repetition_report(_docs(spark, ["a a a a"])))
+    assert got[0][1:4] == ("a a", 3, 1.0)
+    # tie on count → lexicographically smallest gram wins in both
+    # engines' binary order: "b c" and "c b" both appear twice.
+    got = _rows(repetition_report(_docs(spark, ["b c b c b"])))
+    assert got[0][1] == "b c" and got[0][2] == 2
+
+
+def test_repetition_tiny_docs_zeroed(spark):
+    # 1-token and 2-token docs: no 3-grams (and no 2-grams for the
+    # single token) → coalesced zeros, never nulls or divide-by-zero.
+    got = _rows(repetition_report(_docs(spark, ["one", "two words"])))
+    assert got[0] == (1, None, 0, 0.0, 0.0, False)
+    assert got[1][0] == 2 and got[1][4] == 0.0
+
+
+def test_incremental_repetition_folds_equal_global(spark, tmp_path):
+    texts = [
+        " ".join(["spam", "ham"] * 4),
+        "the quick brown fox jumps over lazy dogs",
+        "x y x y x y x y",
+        "alpha beta gamma delta",
+    ]
+    docs = _docs(spark, texts)
+    store = Store(spark, str(tmp_path / "rep"))
+    n1 = incremental_repetition(docs.filter(F.col("doc_id") <= 1), store)
+    n2 = incremental_repetition(docs.filter(F.col("doc_id") > 1), store)
+    assert (n1, n2) == (2, 2)
+    got = _rows(store.read("repetition_reports"))
+    want = _rows(repetition_report(docs))
+    assert got == want
+    # replay: pure no-op (the report table is its own watermark)
+    n3 = incremental_repetition(docs, store)
+    assert n3 == 0
+    assert _rows(store.read("repetition_reports")) == want

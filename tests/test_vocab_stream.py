@@ -117,3 +117,22 @@ def test_forget_vocab_documents_equals_survivor_training(spark, tmp_path):
     assert left == {i for i, _ in survivors}
     # forgetting ids that are already gone is a no-op
     assert forget_vocab_documents(store, [2]) == 0
+
+
+def test_out_of_order_files_fail_loudly(spark, tmp_path):
+    """A file carrying ids BELOW an earlier file's max violates the
+    vocab fold's monotone contract; the stream must raise rather than
+    silently record docs whose words never entered the vocab."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = Store(spark, str(tmp_path / "store"))
+    _write(spark, src, _rows(6, 12))  # high ids first
+    run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+    _write(spark, src, _rows(0, 6))  # lower ids arrive late
+    # the ValueError surfaces through awaitTermination's wrapper
+    with pytest.raises(StreamingQueryException, match="monotone"):
+        run_vocab_stream(spark, src, _SCHEMA, store, ckpt, n_merges=_MERGES)
+    # and nothing diverged: the violating batch committed neither side
+    assert store.read("bpe_docs").count() == 6
