@@ -5940,6 +5940,90 @@ WHERE pick <= {_HOLDOUT_PER_SOURCE}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q165 — per-source DEDUP SAVINGS: the summary a data owner reads
+# after the exact-dedup pass — per source, documents and token mass
+# before vs after min-id keep-first dedup (the q24 rule), and the
+# fraction of tokens the pass saved. The dedup rule is GLOBAL (a copy
+# counts as kept only in its keeper's source), so per-source savings
+# reflect cross-source duplication honestly rather than each source
+# double-counting the same survivor.
+# Scale shape: one (fp → min id) aggregate over hashed text (the q24
+# exchange), a left-semi back onto the narrow (id, source, n_tokens)
+# projection, two ≤S-row rollups — text is read once and dropped at
+# the first exchange.
+# Reference anchor: none (beyond-reference tier); dedup rule q24,
+# rollup cousin q68.
+# ---------------------------------------------------------------------------
+def q165_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    keepers = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("n_tokens").alias("tokens_before"),
+    )
+    after = (
+        docs.join(keepers, ["fp", "doc_id"], "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_after"),
+        )
+    )
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            F.col("docs_before").cast("long").alias("docs_before"),
+            F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+            F.col("tokens_before").cast("long").alias("tokens_before"),
+            F.coalesce("tokens_after", F.lit(0))
+            .cast("long")
+            .alias("tokens_after"),
+            F.round(
+                (
+                    F.col("tokens_before")
+                    - F.coalesce("tokens_after", F.lit(0))
+                ).cast("double")
+                / F.col("tokens_before"),
+                4,
+            ).alias("tokens_saved_frac"),
+        )
+    )
+
+
+ORACLES["q165_dedup_savings"] = """
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+           md5(text) AS fp
+    FROM documents
+),
+k AS (SELECT fp, MIN(doc_id) AS doc_id FROM d GROUP BY 1),
+b AS (SELECT source, COUNT(*) AS docs_before, SUM(n_tokens) AS tokens_before
+      FROM d GROUP BY 1),
+a AS (
+    SELECT source, COUNT(*) AS docs_after, SUM(n_tokens) AS tokens_after
+    FROM d SEMI JOIN k USING (fp, doc_id)
+    GROUP BY 1
+)
+SELECT source,
+       CAST(docs_before AS BIGINT) AS docs_before,
+       CAST(COALESCE(docs_after, 0) AS BIGINT) AS docs_after,
+       CAST(tokens_before AS BIGINT) AS tokens_before,
+       CAST(COALESCE(tokens_after, 0) AS BIGINT) AS tokens_after,
+       ROUND(CAST(tokens_before - COALESCE(tokens_after, 0) AS DOUBLE)
+             / tokens_before, 4) AS tokens_saved_frac
+FROM b LEFT JOIN a USING (source)
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
