@@ -6131,6 +6131,94 @@ def q166_incremental_dedup_savings(
 ORACLES["q166_incremental_dedup_savings"] = ORACLES["q165_dedup_savings"]
 
 
+# ---------------------------------------------------------------------------
+# Q167 — per-source NEAR-DUP savings: q165's report under the fuzzy
+# rule — the number actually cited for a dedup pass ("MinHash removed
+# X% of tokens"). Kept set = the q103 order-free dominated rule (drop
+# iff LSH-paired with ANY smaller id) over the portable pair set;
+# exact-duplicate texts share every band bucket, so the fuzzy rule
+# subsumes the exact one and savings here ≥ q165's.
+# Scale shape: the q28 single-shuffle banded LSH (text dropped at the
+# signature exchange), one anti-join of the ≤pairs 8-byte doc_b set
+# onto the narrow projection, two ≤S-row rollups.
+# Reference anchor: none (beyond-reference tier); exact form q165,
+# rule q103, pair machinery q28.
+# ---------------------------------------------------------------------------
+def q167_neardup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    full = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        full, "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM, portable=True,
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("n_tokens").alias("tokens_before"),
+    )
+    after = (
+        docs.join(dropped, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_after"),
+        )
+    )
+    return before.join(after, "source", "left").select(
+        "source",
+        F.col("docs_before").cast("long").alias("docs_before"),
+        F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+        F.col("tokens_before").cast("long").alias("tokens_before"),
+        F.coalesce("tokens_after", F.lit(0)).cast("long").alias("tokens_after"),
+        F.round(
+            (F.col("tokens_before") - F.coalesce("tokens_after", F.lit(0)))
+            .cast("double")
+            / F.col("tokens_before"),
+            4,
+        ).alias("tokens_saved_frac"),
+    )
+
+
+def _neardup_savings_oracle() -> str:
+    from .extensions import oracle_minhash_lsh_sql
+
+    lsh = oracle_minhash_lsh_sql(
+        "documents", "doc_id", "text", n_hashes=16, bands=4,
+        min_est_sim=_INC_DEDUP_SIM,
+    )
+    return f"""
+WITH pairs AS ({lsh}),
+d AS (
+    SELECT doc_id, source,
+           CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+b AS (SELECT source, COUNT(*) AS docs_before, SUM(n_tokens) AS tokens_before
+      FROM d GROUP BY 1),
+a AS (
+    SELECT source, COUNT(*) AS docs_after, SUM(n_tokens) AS tokens_after
+    FROM d WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    GROUP BY 1
+)
+SELECT source,
+       CAST(docs_before AS BIGINT) AS docs_before,
+       CAST(COALESCE(docs_after, 0) AS BIGINT) AS docs_after,
+       CAST(tokens_before AS BIGINT) AS tokens_before,
+       CAST(COALESCE(tokens_after, 0) AS BIGINT) AS tokens_after,
+       ROUND(CAST(tokens_before - COALESCE(tokens_after, 0) AS DOUBLE)
+             / tokens_before, 4) AS tokens_saved_frac
+FROM b LEFT JOIN a USING (source)
+"""
+
+
+ORACLES["q167_neardup_savings"] = _neardup_savings_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
