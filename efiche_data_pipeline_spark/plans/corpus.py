@@ -6219,6 +6219,73 @@ FROM b LEFT JOIN a USING (source)
 ORACLES["q167_neardup_savings"] = _neardup_savings_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q168 — per-source BOILERPLATE savings: the third member of the
+# savings triad (exact q165, near-dup q167, boilerplate here) — per
+# source, total vs removed token mass under the q127 cross-document
+# chunk rule, and the affected-doc count. Together the three reports
+# are the cost-benefit sheet of the whole dedup family.
+# Scale shape: q127's audited one-text-pass decomposition; the rollup
+# joins the ≤40-byte per-doc report rows to the (id, source)
+# projection, two bounded aggregates.
+# Reference anchor: none (beyond-reference tier); per-doc form q127.
+# ---------------------------------------------------------------------------
+def q168_boilerplate_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = q127_boilerplate_removal(spark, sf_dir).select(
+        "doc_id", "n_boiler", "kept_tokens", "removed_tokens"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        rep.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_boiler") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_affected"),
+            (F.sum("kept_tokens") + F.sum("removed_tokens"))
+            .cast("long")
+            .alias("tokens_total"),
+            F.sum("removed_tokens").cast("long").alias("tokens_removed"),
+            F.round(
+                F.sum("removed_tokens").cast("double")
+                / (F.sum("kept_tokens") + F.sum("removed_tokens")),
+                4,
+            ).alias("tokens_removed_frac"),
+        )
+    )
+
+
+def _boiler_savings_oracle() -> str:
+    """Splice q127's per-doc oracle into a MATERIALIZED rep CTE (the
+    q159 gate's splice pattern), then roll it up by source."""
+    chain, final = ORACLES["q127_boilerplate_removal"].rsplit(
+        "SELECT a.doc_id", 1
+    )
+    return (
+        chain
+        + ", rep AS MATERIALIZED (SELECT a.doc_id"
+        + final
+        + """)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_affected,
+       CAST(SUM(kept_tokens) + SUM(removed_tokens) AS BIGINT)
+           AS tokens_total,
+       CAST(SUM(removed_tokens) AS BIGINT) AS tokens_removed,
+       ROUND(CAST(SUM(removed_tokens) AS DOUBLE)
+             / (SUM(kept_tokens) + SUM(removed_tokens)), 4)
+           AS tokens_removed_frac
+FROM rep JOIN documents USING (doc_id)
+GROUP BY 1
+"""
+    )
+
+
+ORACLES["q168_boilerplate_savings"] = _boiler_savings_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
