@@ -1088,3 +1088,99 @@ def temperature_mixture_result(
         .filter(F.col("cum_tokens") <= F.col("source_budget"))
         .select("doc_id", "source", "n_tokens", "cum_tokens", "source_budget")
     )
+
+
+def incremental_dedup_savings(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    keepers_table: str = "savings_keepers",
+    sums_table: str = "savings_sums",
+) -> int:
+    """Maintain q165's per-source exact-dedup savings across intake
+    folds. Under monotone ids a fingerprint's min-id keeper IS its
+    first arrival, so the keeper set is APPEND-ONLY — one idempotent
+    fp-keyed append — and the per-source before-sums are associative
+    deltas committed atomically WITH the replay watermark (the q140
+    layer protocol). Keeper index commits FIRST (idempotent), the
+    sums delta (the watermark) LAST: a crash between them replays the
+    batch, the keeper re-append no-ops, and the sums then commit —
+    convergence, never divergence. Returns the docs folded.
+
+    Cost per fold: batch text hashed once and dropped; history enters
+    only through the fp-keyed keeper index (40-byte rows) and the
+    ≤|sources| summed layers."""
+    from ..functions.text import token_count
+
+    batch = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(text_col).alias("fp"),
+    )
+    wm = None
+    if store.current_version(sums_table) is not None:
+        wm = store.read_union(sums_table).agg(F.max("batch_max_id")).first()[0]
+    fresh = (
+        batch.filter(F.col("doc_id") > wm) if wm is not None else batch
+    ).localCheckpoint(eager=True)
+    stats = fresh.agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    ).first()
+    if stats["n"] == 0:
+        return 0
+    first = (
+        fresh.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("k"))
+        .select("fp", "k.source", "k.n_tokens")
+    )
+    store.append_new(first, keepers_table, "fp")
+    delta = (
+        fresh.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            F.sum("n_tokens").alias("tokens_before"),
+        )
+        .withColumn("batch_max_id", F.lit(int(stats["mx"])).cast("long"))
+    )
+    store.append_version(delta, sums_table)
+    return int(stats["n"])
+
+
+def dedup_savings_result(
+    store,
+    keepers_table: str = "savings_keepers",
+    sums_table: str = "savings_sums",
+) -> DataFrame:
+    """The q165-shaped report derived from the maintained state."""
+    before = (
+        store.read_union(sums_table)
+        .groupBy("source")
+        .agg(
+            F.sum("docs_before").alias("docs_before"),
+            F.sum("tokens_before").alias("tokens_before"),
+        )
+    )
+    after = (
+        store.read(keepers_table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_after"),
+        )
+    )
+    return before.join(after, "source", "left").select(
+        "source",
+        F.col("docs_before").cast("long").alias("docs_before"),
+        F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+        F.col("tokens_before").cast("long").alias("tokens_before"),
+        F.coalesce("tokens_after", F.lit(0)).cast("long").alias("tokens_after"),
+        F.round(
+            (F.col("tokens_before") - F.coalesce("tokens_after", F.lit(0)))
+            .cast("double")
+            / F.col("tokens_before"),
+            4,
+        ).alias("tokens_saved_frac"),
+    )

@@ -6042,87 +6042,25 @@ def q166_incremental_dedup_savings(
     import shutil
     import tempfile
 
+    from ..operators.sketch import dedup_savings_result, incremental_dedup_savings
     from ..pipeline.store import Store
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        token_count("text").cast("long").alias("n_tokens"),
-        F.md5("text").alias("fp"),
+        "doc_id", "source", "text"
     )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2
     tmp_root = tempfile.mkdtemp(prefix="efiche_incsave_")
     store = Store(spark, tmp_root)
-
-    def fold(batch: DataFrame) -> None:
-        wm = None
-        if store.current_version("savings_sums") is not None:
-            wm = (
-                store.read_union("savings_sums")
-                .agg(F.max("batch_max_id"))
-                .first()[0]
-            )
-        fresh = (
-            batch.filter(F.col("doc_id") > wm) if wm is not None else batch
-        ).localCheckpoint(eager=True)
-        mx = fresh.agg(F.max("doc_id")).first()[0]
-        if mx is None:
-            return
-        # batch-local first arrival per fp (min id), then the novel ones
-        first = (
-            fresh.groupBy("fp")
-            .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("k"))
-            .select("fp", "k.source", "k.n_tokens")
-        )
-        store.append_new(first, "savings_keepers", "fp")
-        delta = (
-            fresh.groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("docs_before"),
-                F.sum("n_tokens").alias("tokens_before"),
-            )
-            .withColumn("batch_max_id", F.lit(int(mx)).cast("long"))
-        )
-        store.append_version(delta, "savings_sums")
-
     try:
-        fold(docs.filter(F.col("doc_id") <= split))
-        fold(docs.filter(F.col("doc_id") > split))
-        before = (
-            store.read_union("savings_sums")
-            .groupBy("source")
-            .agg(
-                F.sum("docs_before").alias("docs_before"),
-                F.sum("tokens_before").alias("tokens_before"),
-            )
+        n1 = incremental_dedup_savings(
+            docs.filter(F.col("doc_id") <= split), store
         )
-        after = (
-            store.read("savings_keepers")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("docs_after"),
-                F.sum("n_tokens").alias("tokens_after"),
-            )
+        n2 = incremental_dedup_savings(
+            docs.filter(F.col("doc_id") > split), store
         )
-        out = before.join(after, "source", "left").select(
-            "source",
-            F.col("docs_before").cast("long").alias("docs_before"),
-            F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
-            F.col("tokens_before").cast("long").alias("tokens_before"),
-            F.coalesce("tokens_after", F.lit(0))
-            .cast("long")
-            .alias("tokens_after"),
-            F.round(
-                (
-                    F.col("tokens_before")
-                    - F.coalesce("tokens_after", F.lit(0))
-                ).cast("double")
-                / F.col("tokens_before"),
-                4,
-            ).alias("tokens_saved_frac"),
-        )
-        return _finish_with_store(out, tmp_root)
+        _require(n1 > 0 and n2 > 0, "both folds must add documents")
+        return _finish_with_store(dedup_savings_result(store), tmp_root)
     except BaseException:
         shutil.rmtree(tmp_root, ignore_errors=True)
         raise
