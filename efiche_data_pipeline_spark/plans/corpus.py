@@ -6224,6 +6224,123 @@ GROUP BY 1
 ORACLES["q168_boilerplate_savings"] = _boiler_savings_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q169 — INCREMENTAL near-dup savings (q167 maintained at intake):
+# the fuzzy savings dashboard kept current batch-by-batch. Three
+# maintained pieces, each idempotent ahead of its OWN watermark (the
+# intake.py multi-stage discipline):
+#   1. kept sink — (id, source, n_tokens) of the q103 dominated-rule
+#      survivors, keyed append (idempotent), commits BEFORE
+#   2. the MinHash signature index (the dedup stage's watermark,
+#      committed via the operator's commit=False hook), then
+#   3. per-source before-sums as a watermarked associative delta
+#      (independent of the dedup stage — dropped docs count too).
+# Crash between 1-2: replay re-dedups against unchanged history,
+# recomputes the SAME kept set, no-op appends, commits. Between 2-3:
+# the dedup stage no-ops and the sums stage folds from its own
+# watermark. Maintained ≡ global by the q103 dominated-rule argument
+# + sum associativity; oracle is q167's verbatim.
+# Reference anchor: none (beyond-reference tier); one-shot q167,
+# rule/state machinery q103.
+# ---------------------------------------------------------------------------
+def q169_incremental_neardup_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_minhash_dedup
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text",
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incnds_")
+    store = Store(spark, tmp_root)
+
+    def fold(batch: DataFrame) -> None:
+        res = incremental_minhash_dedup(
+            batch, store, n_hashes=16, bands=4,
+            threshold=_INC_DEDUP_SIM, portable=True, commit=False,
+        )
+        if res.n_new > 0:
+            store.append_new(
+                res.kept.select("doc_id", "source", "n_tokens"),
+                "nds_kept",
+                "doc_id",
+            )
+            store.append_version(res.index_delta, "minhash_sig_index")
+        # before-sums: independent stage, own watermark (dropped docs
+        # count toward "before" too)
+        wm = None
+        if store.current_version("nds_sums") is not None:
+            wm = (
+                store.read_union("nds_sums")
+                .agg(F.max("batch_max_id"))
+                .first()[0]
+            )
+        fresh = batch.filter(F.col("doc_id") > wm) if wm is not None else batch
+        mx = fresh.agg(F.max("doc_id")).first()[0]
+        if mx is None:
+            return
+        delta = (
+            fresh.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("docs_before"),
+                F.sum("n_tokens").alias("tokens_before"),
+            )
+            .withColumn("batch_max_id", F.lit(int(mx)).cast("long"))
+        )
+        store.append_version(delta, "nds_sums")
+
+    try:
+        fold(docs.filter(F.col("doc_id") <= split))
+        fold(docs.filter(F.col("doc_id") > split))
+        before = (
+            store.read_union("nds_sums")
+            .groupBy("source")
+            .agg(
+                F.sum("docs_before").alias("docs_before"),
+                F.sum("tokens_before").alias("tokens_before"),
+            )
+        )
+        after = (
+            store.read("nds_kept")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("docs_after"),
+                F.sum("n_tokens").alias("tokens_after"),
+            )
+        )
+        out = before.join(after, "source", "left").select(
+            "source",
+            F.col("docs_before").cast("long").alias("docs_before"),
+            F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+            F.col("tokens_before").cast("long").alias("tokens_before"),
+            F.coalesce("tokens_after", F.lit(0))
+            .cast("long")
+            .alias("tokens_after"),
+            F.round(
+                (
+                    F.col("tokens_before")
+                    - F.coalesce("tokens_after", F.lit(0))
+                ).cast("double")
+                / F.col("tokens_before"),
+                4,
+            ).alias("tokens_saved_frac"),
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q169_incremental_neardup_savings"] = ORACLES["q167_neardup_savings"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -126,7 +126,7 @@ _DRIVER_PRIORITY = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
-    # q151-q168 landed after the 50-slot window filled (31 round-7
+    # q151-q169 landed after the 50-slot window filled (31 round-7
     # additions + the 19 mandated r04-stale refreshes); they are
     # pytest-oracle-verified at HEAD meanwhile and front round 8:
     "q151_incremental_repetition",
@@ -147,6 +147,7 @@ _DRIVER_PRIORITY = [
     "q166_incremental_dedup_savings",
     "q167_neardup_savings",
     "q168_boilerplate_savings",
+    "q169_incremental_neardup_savings",
     # oldest r05-green: the incremental tier ...
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
