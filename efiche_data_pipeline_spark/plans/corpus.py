@@ -5955,6 +5955,25 @@ WHERE pick <= {_HOLDOUT_PER_SOURCE}
 # Reference anchor: none (beyond-reference tier); dedup rule q24,
 # rollup cousin q68.
 # ---------------------------------------------------------------------------
+def _savings_report(before: DataFrame, after: DataFrame) -> DataFrame:
+    """The shared 6-column savings projection (q165/q167; the
+    maintained q166/q169 read side lives in
+    operators/sketch.py:dedup_savings_result)."""
+    return before.join(after, "source", "left").select(
+        "source",
+        F.col("docs_before").cast("long").alias("docs_before"),
+        F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+        F.col("tokens_before").cast("long").alias("tokens_before"),
+        F.coalesce("tokens_after", F.lit(0)).cast("long").alias("tokens_after"),
+        F.round(
+            (F.col("tokens_before") - F.coalesce("tokens_after", F.lit(0)))
+            .cast("double")
+            / F.col("tokens_before"),
+            4,
+        ).alias("tokens_saved_frac"),
+    )
+
+
 def q165_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -5975,26 +5994,7 @@ def q165_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_after"),
         )
     )
-    return (
-        before.join(after, "source", "left")
-        .select(
-            "source",
-            F.col("docs_before").cast("long").alias("docs_before"),
-            F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
-            F.col("tokens_before").cast("long").alias("tokens_before"),
-            F.coalesce("tokens_after", F.lit(0))
-            .cast("long")
-            .alias("tokens_after"),
-            F.round(
-                (
-                    F.col("tokens_before")
-                    - F.coalesce("tokens_after", F.lit(0))
-                ).cast("double")
-                / F.col("tokens_before"),
-                4,
-            ).alias("tokens_saved_frac"),
-        )
-    )
+    return _savings_report(before, after)
 
 
 ORACLES["q165_dedup_savings"] = """
@@ -6074,8 +6074,10 @@ ORACLES["q166_incremental_dedup_savings"] = ORACLES["q165_dedup_savings"]
 # rule — the number actually cited for a dedup pass ("MinHash removed
 # X% of tokens"). Kept set = the q103 order-free dominated rule (drop
 # iff LSH-paired with ANY smaller id) over the portable pair set;
-# exact-duplicate texts share every band bucket, so the fuzzy rule
-# subsumes the exact one and savings here ≥ q165's.
+# exact-duplicate texts long enough to shingle (≥3 tokens) share
+# every band bucket, so on such docs the fuzzy rule subsumes the
+# exact one; sub-shingle docs carry no signature and are always kept
+# here even when byte-identical (q165 still catches those).
 # Scale shape: the q28 single-shuffle banded LSH (text dropped at the
 # signature exchange), one anti-join of the ≤pairs 8-byte doc_b set
 # onto the narrow projection, two ≤S-row rollups.
@@ -6106,19 +6108,7 @@ def q167_neardup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_after"),
         )
     )
-    return before.join(after, "source", "left").select(
-        "source",
-        F.col("docs_before").cast("long").alias("docs_before"),
-        F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
-        F.col("tokens_before").cast("long").alias("tokens_before"),
-        F.coalesce("tokens_after", F.lit(0)).cast("long").alias("tokens_after"),
-        F.round(
-            (F.col("tokens_before") - F.coalesce("tokens_after", F.lit(0)))
-            .cast("double")
-            / F.col("tokens_before"),
-            4,
-        ).alias("tokens_saved_frac"),
-    )
+    return _savings_report(before, after)
 
 
 def _neardup_savings_oracle() -> str:
@@ -6261,7 +6251,7 @@ def q169_incremental_neardup_savings(
     tmp_root = tempfile.mkdtemp(prefix="efiche_incnds_")
     store = Store(spark, tmp_root)
 
-    def fold(batch: DataFrame) -> None:
+    def fold(batch: DataFrame) -> int:
         res = incremental_minhash_dedup(
             batch, store, n_hashes=16, bands=4,
             threshold=_INC_DEDUP_SIM, portable=True, commit=False,
@@ -6282,55 +6272,33 @@ def q169_incremental_neardup_savings(
                 .agg(F.max("batch_max_id"))
                 .first()[0]
             )
-        fresh = batch.filter(F.col("doc_id") > wm) if wm is not None else batch
-        mx = fresh.agg(F.max("doc_id")).first()[0]
-        if mx is None:
-            return
+        fresh = (
+            batch.filter(F.col("doc_id") > wm) if wm is not None else batch
+        ).localCheckpoint(eager=True)
+        stats = fresh.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+        ).first()
+        if stats["n"] == 0:
+            return 0
         delta = (
             fresh.groupBy("source")
             .agg(
                 F.count(F.lit(1)).alias("docs_before"),
                 F.sum("n_tokens").alias("tokens_before"),
             )
-            .withColumn("batch_max_id", F.lit(int(mx)).cast("long"))
+            .withColumn("batch_max_id", F.lit(int(stats["mx"])).cast("long"))
         )
         store.append_version(delta, "nds_sums")
+        return int(stats["n"])
 
     try:
-        fold(docs.filter(F.col("doc_id") <= split))
-        fold(docs.filter(F.col("doc_id") > split))
-        before = (
-            store.read_union("nds_sums")
-            .groupBy("source")
-            .agg(
-                F.sum("docs_before").alias("docs_before"),
-                F.sum("tokens_before").alias("tokens_before"),
-            )
-        )
-        after = (
-            store.read("nds_kept")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("docs_after"),
-                F.sum("n_tokens").alias("tokens_after"),
-            )
-        )
-        out = before.join(after, "source", "left").select(
-            "source",
-            F.col("docs_before").cast("long").alias("docs_before"),
-            F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
-            F.col("tokens_before").cast("long").alias("tokens_before"),
-            F.coalesce("tokens_after", F.lit(0))
-            .cast("long")
-            .alias("tokens_after"),
-            F.round(
-                (
-                    F.col("tokens_before")
-                    - F.coalesce("tokens_after", F.lit(0))
-                ).cast("double")
-                / F.col("tokens_before"),
-                4,
-            ).alias("tokens_saved_frac"),
+        n1 = fold(docs.filter(F.col("doc_id") <= split))
+        n2 = fold(docs.filter(F.col("doc_id") > split))
+        _require(n1 > 0 and n2 > 0, "both folds must add documents")
+        from ..operators.sketch import dedup_savings_result
+
+        out = dedup_savings_result(
+            store, keepers_table="nds_kept", sums_table="nds_sums"
         )
         return _finish_with_store(out, tmp_root)
     except BaseException:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.sketch import dedup_savings_result, incremental_dedup_savings
 from ..pipeline.store import Store
@@ -50,8 +51,37 @@ def run_savings_stream(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         totals["batches"] += 1
+        ids = batch.select(id_col).distinct().localCheckpoint(eager=True)
+        # Enforce the fold's monotone-id contract HERE, where
+        # violations enter (file discovery order is mtime order, not
+        # id order): an id at-or-below the sums watermark that is NOT
+        # in the ids sink means an earlier file carried higher ids —
+        # its docs would be silently dropped from the report. The ids
+        # sink commits BEFORE the operator, so a crash-replay (ids
+        # present) never false-alarms.
+        if store.current_version("savings_sums") is not None and store.exists(
+            "savings_ids"
+        ):
+            wm = (
+                store.read_union("savings_sums")
+                .agg(F.max("batch_max_id"))
+                .first()[0]
+            )
+            unseen_low = ids.filter(F.col(id_col) <= wm).join(
+                store.read("savings_ids"), id_col, "left_anti"
+            )
+            if unseen_low.count() > 0:
+                raise ValueError(
+                    f"monotone-{id_col} contract violated: batch "
+                    f"{batch_id} carries never-seen ids at or below the "
+                    f"sums watermark {wm} — an earlier file carried "
+                    "higher ids. Feed files in id order."
+                )
+        store.append_new(ids, "savings_ids", id_col)
+        # no outer checkpoint: the operator pins its own watermark-
+        # filtered batch, and this frame has exactly one consumer
         totals["folded"] += incremental_dedup_savings(
-            batch.localCheckpoint(eager=True),
+            batch,
             store,
             id_col=id_col,
             source_col=source_col,
