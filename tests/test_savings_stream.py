@@ -87,3 +87,20 @@ def test_crash_between_keeper_and_sums_converges(spark, tmp_path):
     )
     # and a full replay after convergence is a no-op
     assert incremental_dedup_savings(docs, store) == 0
+
+
+def test_out_of_order_files_fail_loudly(spark, tmp_path):
+    """A file carrying ids below an earlier file's max violates the
+    fold's monotone contract; the stream must raise before either
+    commit rather than silently drop the docs from the report."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = Store(spark, str(tmp_path / "store"))
+    _write(spark, src, _rows(8, 16))  # high ids first
+    run_savings_stream(spark, src, _SCHEMA, store, ckpt)
+    _write(spark, src, _rows(0, 8))  # low ids arrive late
+    with pytest.raises(StreamingQueryException, match="monotone"):
+        run_savings_stream(spark, src, _SCHEMA, store, ckpt)
+    # nothing from the violating batch committed
+    assert store.read("savings_ids").count() == 8
