@@ -198,6 +198,15 @@ def vocab_from_store(store, vocab_table: str = "bpe_vocab") -> DataFrame:
     )
 
 
+# Retry-ledger row inside the negative delta layer itself: freq=0 so
+# it never reaches vocab sums (vocab_from_store filters freq > 0),
+# batch_max_id carries the forgotten doc's id (always <= the watermark
+# — the doc was folded before it could be forgotten — so watermark
+# max() reads are untouched). The parens GUARANTEE no collision with a
+# real vocab word: word_vocab excludes paren-bearing words by contract.
+FORGOTTEN_MARKER = "(forgotten)"
+
+
 def forget_vocab_documents(
     store,
     ids: list[int],
@@ -216,33 +225,53 @@ def forget_vocab_documents(
     merge tables are model artifacts, not stored personal data.) The
     negative layer carries the CURRENT watermark, so replay filtering
     is untouched; the docs-sink rows then purge physically via
-    `delete_keys` + vacuum. Returns the number of documents forgotten.
+    `delete_keys` + vacuum. Returns the number of documents NEWLY
+    subtracted (0 on a pure retry or for already-gone ids).
 
-    Commit order: negative delta FIRST (idempotence: a crash before
-    the sink delete leaves the ids still present in the sink, so the
-    caller's retry can detect the half-done state by comparing the
-    sink against the vocab — and because `delete_keys` is itself
-    idempotent, simply re-running this function twice is safe ONLY if
-    the first negative layer committed with the sink delete; callers
-    that need blind-retry safety should drive it through one
-    outer claim, the pattern `forget_documents` uses)."""
+    Blind-retry safe: each forgotten id is recorded as a freq=0
+    :data:`FORGOTTEN_MARKER` row committed INSIDE the same atomic
+    ``append_version`` as its negative counts (one commit — no window
+    between the subtraction and its ledger). A retry anti-joins the
+    requested ids against the marker ledger, so a crash between the
+    negative layer and the sink delete re-runs to delete-only — the
+    double-subtraction window this function used to have is closed.
+    ``delete_keys`` is idempotent, so every path converges."""
+    wanted = sorted({int(i) for i in ids})
     docs = store.read(docs_table)
-    gone = docs.filter(
-        F.col(id_col).isin([int(i) for i in ids])
-    ).localCheckpoint(eager=True)
-    n = gone.count()
-    if n == 0:
-        return 0
-    wm = store.read_union(vocab_table).agg(F.max("batch_max_id")).first()[0]
-    neg = (
-        word_vocab(gone, text_col)
-        .select("word", (-F.col("freq")).alias("freq"))
-        .withColumn("batch_max_id", F.lit(int(wm)).cast("long"))
+    already: set[int] = set()
+    if store.current_version(vocab_table) is not None:
+        already = {
+            int(r["batch_max_id"])
+            for r in store.read_union(vocab_table)
+            .filter(F.col("word") == FORGOTTEN_MARKER)
+            .select("batch_max_id")
+            .distinct()
+            .collect()
+        }
+    pending = [i for i in wanted if i not in already]
+    gone = docs.filter(F.col(id_col).isin(pending)).localCheckpoint(eager=True)
+    gone_ids = sorted(
+        int(r[id_col]) for r in gone.select(id_col).distinct().collect()
     )
-    store.append_version(neg, vocab_table)
-    keys = gone.select(id_col).distinct()
-    store.delete_keys(docs_table, keys, id_col)
-    return int(n)
+    if gone_ids:
+        wm = store.read_union(vocab_table).agg(F.max("batch_max_id")).first()[0]
+        neg = (
+            word_vocab(gone, text_col)
+            .select("word", (-F.col("freq")).alias("freq"))
+            .withColumn("batch_max_id", F.lit(int(wm)).cast("long"))
+        )
+        markers = gone.sparkSession.createDataFrame(
+            [(FORGOTTEN_MARKER, 0, i) for i in gone_ids],
+            "word string, freq long, batch_max_id long",
+        )
+        store.append_version(neg.unionByName(markers), vocab_table)
+    # Sink purge covers the FULL request: ids subtracted just now AND
+    # ids whose negative layer landed on a crashed earlier run but
+    # whose sink rows survived (the retry's remaining work).
+    leftover = docs.filter(F.col(id_col).isin(wanted)).select(id_col).distinct()
+    if gone_ids or leftover.limit(1).count() > 0:
+        store.delete_keys(docs_table, leftover, id_col)
+    return len(gone_ids)
 
 
 def apply_merges(word, merges: list[tuple[str, str]]) -> F.Column:

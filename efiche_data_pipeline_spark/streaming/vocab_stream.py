@@ -3,13 +3,20 @@
 so a retrain is always a vocab-bounded merge loop away and the corpus
 is never re-tokenized for it.
 
-Per micro-batch, two commits, each independently replay-safe:
+Per micro-batch: ONE pre-commit validation, then two commits in
+pinned order (the savings_stream protocol):
 
-1. **Vocab fold** (`incremental_vocab`): the batch's word counts
+0. **Guard BEFORE any commit**: ids at-or-below the vocab watermark
+   that are absent from the docs sink mean an earlier file carried
+   higher ids — raise with ZERO state committed, so retries never
+   see a partial layer.
+1. **Docs sink FIRST** (``append_new`` keyed on the id): idempotent,
+   so a crash after it replays to a no-op — and because crash-replay
+   ids are then PRESENT in the sink, the guard never false-alarms on
+   restart.
+2. **Vocab fold LAST** (`incremental_vocab`): the batch's word counts
    appended as ONE atomic +delta layer whose rows carry the replay
    watermark — the q140 single-commit protocol, NO crash window.
-2. **Docs sink** (``append_new`` keyed on the id): the intake record
-   of everything seen — idempotent.
 
 The merge loop itself runs ON DEMAND, not per batch: training is a
 pure function of the maintained count table (associative sums ⇒
@@ -33,6 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.bpe import (
     BpeResult,
@@ -76,29 +84,41 @@ def run_vocab_stream(
     def fold(batch: DataFrame, batch_id: int) -> None:
         totals["batches"] += 1
         docs = batch.select(id_col, text_col).localCheckpoint(eager=True)
+        # Enforce incremental_vocab's monotone-id contract BEFORE any
+        # commit, where violations actually enter (file discovery
+        # order is not id order): an id at-or-below the vocab
+        # watermark that is NOT in the docs sink means an earlier file
+        # carried higher ids — its words would never enter the vocab.
+        # Raising here commits NOTHING, so a genuine violation leaves
+        # zero partial state; a crash-replay (ids present in the sink,
+        # committed below before the vocab) never false-alarms.
+        if store.current_version(vocab_table) is not None and store.exists(
+            docs_table
+        ):
+            wm = (
+                store.read_union(vocab_table)
+                .agg(F.max("batch_max_id"))
+                .first()[0]
+            )
+            unseen_low = docs.filter(F.col(id_col) <= wm).join(
+                store.read(docs_table).select(id_col), id_col, "left_anti"
+            )
+            if unseen_low.count() > 0:
+                raise ValueError(
+                    f"monotone-{id_col} contract violated: batch "
+                    f"{batch_id} carries never-seen ids at or below the "
+                    f"vocab watermark {wm} — an earlier file carried "
+                    "higher ids. Feed files in id order."
+                )
+        # Docs sink FIRST (idempotent), vocab delta LAST: the only
+        # crash window (between the two) replays with the ids present
+        # in the sink and still above the vocab watermark, so the
+        # retry folds them exactly once and the guard stays quiet.
+        store.append_new(docs, docs_table, id_col)
         r = incremental_vocab(
             docs, store, id_col=id_col, text_col=text_col, vocab_table=vocab_table
         )
         totals["folded"] += r.n_new
-        # Enforce incremental_vocab's monotone-id contract HERE, where
-        # violations actually enter (file discovery order is not id
-        # order): a doc below the vocab watermark that is NOT already
-        # in the docs sink would land in the sink but never in the
-        # vocab — a silent divergence. Fail loudly instead.
-        fresh_by_sink = docs
-        if store.exists(docs_table):
-            fresh_by_sink = docs.join(
-                store.read(docs_table).select(id_col), id_col, "left_anti"
-            )
-        n_sink_fresh = fresh_by_sink.count()
-        if n_sink_fresh != r.n_new:
-            raise ValueError(
-                f"monotone-{id_col} contract violated: batch {batch_id} has "
-                f"{n_sink_fresh} never-seen docs but only {r.n_new} above the "
-                "vocab watermark — an earlier file carried higher ids. "
-                "Feed files in id order (or repartition the drop)."
-            )
-        store.append_new(docs, docs_table, id_col)
 
     q = (
         spark.readStream.schema(schema)
