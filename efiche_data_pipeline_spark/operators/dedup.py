@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_chunk_hash, portable_hash60, seeded_hash64
 from ..functions.text import tokens, word_shingles
 
+# Hash-prefix bucket count for the layered gh-keyed indexes (novelty
+# introducer, positional gram index): each delta layer is laid out
+# hive-partitioned by ghp = gh mod GH_BUCKETS so small-batch folds and
+# point lookups prune the SCAN to the touched prefixes. 64 balances
+# prune granularity against per-layer directory/file counts (a fold
+# writes at most one file per touched bucket).
+GH_BUCKETS = 64
+
 
 def nfc_normalize_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """NFC-normalize a text column (é as one codepoint ≡ e + combining
@@ -926,15 +934,35 @@ def incremental_novelty(
         )
     batch_min = fresh_sh.groupBy("gh").agg(F.min(id_col).alias("first_doc"))
     cur = store.current_version(index_table)
+    bucketed = cur is None or store.layer_partitioning(index_table) == ["ghp"]
     if cur is not None:
         # Cut history to the batch's own hashes BEFORE the min-merge
         # groupBy: only batch-present hashes can affect the delta or
         # the scoring join, so the semi-join (batch side broadcast —
         # it is O(batch distinct shingles)) keeps the exchange O(batch)
         # while the full index may hold 10^11 rows at corpus scale.
+        hist_src = store.read_union(index_table)
+        if bucketed:
+            # The index is laid out hive-partitioned by the hash
+            # prefix ghp = gh mod GH_BUCKETS, so the SCAN itself (not
+            # just the exchange) prunes to the batch's own prefixes —
+            # O(index/GH_BUCKETS x touched prefixes) bytes read. A
+            # saturating batch touches every prefix (uniform hashes)
+            # and reads everything, exactly as before; a small drop —
+            # the single-document re-fold, the GDPR spot-check — reads
+            # a sliver. The prefix set is <= GH_BUCKETS values
+            # (driver-bounded collect of an O(batch) aggregate).
+            prefixes = [
+                int(r["p"])
+                for r in fresh_sh.select(
+                    F.pmod(F.col("gh"), F.lit(GH_BUCKETS)).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            hist_src = hist_src.filter(F.col("ghp").isin(prefixes))
         hist = (
-            store.read_union(index_table)
-            .join(F.broadcast(batch_min.select("gh")), "gh", "left_semi")
+            hist_src.join(F.broadcast(batch_min.select("gh")), "gh", "left_semi")
             .groupBy("gh")
             .agg(F.min("first_doc").alias("first_doc"))
         )
@@ -994,7 +1022,19 @@ def incremental_novelty(
     # the two appends skip the index delta forever — replay saw
     # n_new == 0 and returned before ever committing the minima
     # (tests/test_incremental_dedup.py crash-injection test).
-    version = store.append_version(merged, index_table)
+    if bucketed:
+        # Bucketed delta: one repartition by prefix (O(delta) — the
+        # improved-minima rows only) so each fold writes at most one
+        # file per touched ghp directory instead of files-per-task-
+        # per-bucket; compact_layers preserves the layout.
+        delta = merged.withColumn(
+            "ghp", F.pmod(F.col("gh"), F.lit(GH_BUCKETS)).cast("int")
+        ).repartition("ghp")
+        version = store.append_version(delta, index_table, partition_by=["ghp"])
+    else:
+        # legacy unpartitioned index (committed before bucketing):
+        # keep the layer schema/layout it was started with
+        version = store.append_version(merged, index_table)
     store.append_new(scores, scores_table, key=id_col)
     return IncrementalNoveltyResult(
         scores=scores, n_new=n_new, index_version=version

@@ -281,8 +281,17 @@ class Store:
         """Detect a hive-partitioned layout from the first level of
         ``col=value`` directory names (possibly nested for multi-column
         partitioning)."""
+        return self._dir_partition_columns(self.path(table))
+
+    def _layer_partition_columns(self, table: str, version: int) -> list[str]:
+        """Hive partition columns of ONE layer directory — layered
+        tables carry the layout per layer (every layer of a table uses
+        the same one; :meth:`append_version` enforces it)."""
+        return self._dir_partition_columns(self._vdir(table, version))
+
+    @staticmethod
+    def _dir_partition_columns(d: str) -> list[str]:
         cols: list[str] = []
-        d = self.path(table)
         while True:
             subs = [
                 s
@@ -645,10 +654,20 @@ class Store:
         with open(self._manifest_file(table, version)) as f:
             return [int(x) for x in f.read().split() if x]
 
-    def append_version(self, df: DataFrame, table: str) -> int:
+    def append_version(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> int:
         """Commit ``df`` as the next DELTA layer of ``table``; readers
         (:meth:`read_union`) see the union of the committed layers.
-        Write cost is O(df), independent of the accumulated size."""
+        Write cost is O(df), independent of the accumulated size.
+
+        ``partition_by`` lays the layer out hive-partitioned
+        (``col=value`` directories), so :meth:`read_union` readers
+        filtering on those columns prune whole directories of EVERY
+        layer — the bucketed-index layout the incremental dedup folds
+        use (partition by a hash prefix, read only the batch's
+        prefixes). All layers of one table must agree on the layout
+        (enforced here); delete/compact rewrites preserve it."""
         cur = self.current_version(table)
         if cur is not None and not os.path.exists(
             self._manifest_file(table, cur)
@@ -666,7 +685,30 @@ class Store:
             # is guaranteed to be the latest.
             cur = self.current_version(table)
             base = self._layers(table, cur) if cur is not None else []
-            df.write.mode("overwrite").parquet(self._vdir(table, nxt))
+            # Layout consistency: detect from the first layer that has
+            # content (an EMPTY delta layer writes no partition dirs
+            # and must not be mistaken for an unpartitioned layout).
+            have: list[str] | None = None
+            for x in base:
+                d = self._vdir(table, x)
+                cols = self._dir_partition_columns(d)
+                if cols:
+                    have = cols
+                    break
+                if any(f.endswith(".parquet") for f in os.listdir(d)):
+                    have = []
+                    break
+            if have is not None and have != list(partition_by or []):
+                raise ValueError(
+                    f"{table}: layer partitioning mismatch — existing "
+                    f"layers use {have or 'no partitioning'}, this "
+                    f"commit asked for {list(partition_by or []) or 'none'}; "
+                    "read_union cannot mix layouts in one table"
+                )
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._vdir(table, nxt))
             with open(self._manifest_file(table, nxt), "w") as f:
                 f.write(" ".join(str(x) for x in base + [nxt]))
             tmp = self._current_file(table) + ".tmp"
@@ -677,6 +719,24 @@ class Store:
             self._release_claim(table, nxt)
         self._log(table, f"append_version:{nxt}")
         return nxt
+
+    def layer_partitioning(self, table: str) -> list[str]:
+        """Hive partition columns of a LAYERED table — detected from
+        the first layer with content in the current manifest ([] if
+        the table is absent, empty, or unpartitioned). Callers use it
+        to pick between the pruned (bucketed) and legacy read paths;
+        :meth:`append_version` enforces that all layers agree."""
+        cur = self.current_version(table)
+        if cur is None:
+            return []
+        for x in self._layers(table, cur):
+            cols = self._layer_partition_columns(table, x)
+            if cols:
+                return cols
+            d = self._vdir(table, x)
+            if any(f.endswith(".parquet") for f in os.listdir(d)):
+                return []
+        return []
 
     def read_union(self, table: str, version: int | None = None) -> DataFrame:
         """Read a layered table at ``version`` (current by default):
@@ -694,6 +754,31 @@ class Store:
                 "APIs cannot be mixed — use read_version"
             )
         dirs = [self._vdir(table, x) for x in self._layers(table, v)]
+        # Hive-partitioned layers cannot share one multi-root relation
+        # (Spark raises CONFLICTING_DIRECTORY_STRUCTURES): read each
+        # layer with ITS OWN basePath and union — partition-pruning
+        # filters push into every branch, so the bucketed readers
+        # still skip untouched ghp/cell directories per layer. Empty
+        # layers (no parquet content) are skipped: alone they cannot
+        # infer a schema.
+        if any(self._dir_partition_columns(d) for d in dirs):
+            live = [
+                d
+                for d in dirs
+                if any(
+                    f.endswith(".parquet")
+                    for _r, _dd, fs in os.walk(d)
+                    for f in fs
+                )
+            ]
+            dfs = [
+                self.spark.read.option("basePath", d).parquet(d)
+                for d in (live or dirs)
+            ]
+            out = dfs[0]
+            for x in dfs[1:]:
+                out = out.unionByName(x)
+            return out
         return self.spark.read.parquet(*dirs)
 
     def delete_keys(self, table: str, keys: DataFrame, key_col: str) -> int | None:
@@ -776,12 +861,18 @@ class Store:
             for layer in affected:
                 nxt = self._claim_next_version(table)
                 try:
+                    # Preserve the layer's hive layout through the
+                    # rewrite: flattening it would break every reader
+                    # whose partition-pruning filter IS the index
+                    # (the bucketed dedup/novelty folds).
+                    pcols = self._layer_partition_columns(table, layer)
                     cleaned = clean(
                         self.spark.read.parquet(self._vdir(table, layer))
                     ).localCheckpoint(eager=True)
-                    cleaned.write.mode("overwrite").parquet(
-                        self._vdir(table, nxt)
-                    )
+                    w = cleaned.write.mode("overwrite")
+                    if pcols:
+                        w = w.partitionBy(*pcols)
+                    w.parquet(self._vdir(table, nxt))
                     replacement[layer] = nxt
                 finally:
                     self._release_claim(table, nxt)
@@ -847,19 +938,45 @@ class Store:
         if target_files is None:
             total = 0
             for layer in self._layers(table, cur):
-                d = self._vdir(table, layer)
-                total += sum(
-                    os.path.getsize(os.path.join(d, f))
-                    for f in os.listdir(d)
-                    if f.endswith(".parquet")
-                )
+                # walk: partitioned layers nest files under col=value dirs
+                for root, _dirs, files in os.walk(self._vdir(table, layer)):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files
+                        if f.endswith(".parquet")
+                    )
             target_files = max(1, -(-total // (128 << 20)))
-        merged = self.read_union(table).coalesce(target_files).localCheckpoint(
-            eager=True
-        )
+        pcols: list[str] = []
+        for layer in self._layers(table, cur):
+            pcols = self._layer_partition_columns(table, layer)
+            if pcols:
+                break
+        if pcols:
+            # Per-partition compaction, the compact() pattern: shuffle
+            # key (partition cols, row-hash % target_files) caps each
+            # hive partition's file count at target_files while
+            # PRESERVING the directory layout readers prune by.
+            from pyspark.sql import functions as F
+
+            df = self.read_union(table)
+            data_cols = [c for c in df.columns if c not in pcols]
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in data_cols] or [F.lit(0)]),
+                F.lit(target_files),
+            )
+            merged = df.repartition(
+                *[F.col(c) for c in pcols], salt
+            ).localCheckpoint(eager=True)
+        else:
+            merged = self.read_union(table).coalesce(
+                target_files
+            ).localCheckpoint(eager=True)
         nxt = self._claim_next_version(table)
         try:
-            merged.write.mode("overwrite").parquet(self._vdir(table, nxt))
+            w = merged.write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(self._vdir(table, nxt))
             with open(self._manifest_file(table, nxt), "w") as f:
                 f.write(str(nxt))
             tmp = self._current_file(table) + ".tmp"

@@ -582,14 +582,18 @@ def test_novelty_history_exchange_is_o_batch_measured(spark, tmp_path, monkeypat
         incremental_novelty(docs, store)
         monkeypatch.undo()
         # the history fold is the one grouped frame that is the
-        # semi-joined index read: LeftSemi over the parquet relation,
-        # not the batch aggregate (LogicalRDD only) and not the
-        # introducer union
+        # semi-joined index read: its plan ROOT is the LeftSemi join
+        # itself — the batch aggregate's root is the LogicalRDD
+        # projection and the introducer frame's root is the Union
+        # OVER the fold (the per-layer union inside the bucketed
+        # read_union sits BELOW the join, so root-matching still
+        # isolates the fold frame)
         _plan = lambda df: df._jdf.queryExecution().analyzed().toString()
         hist = [
             df
             for df in captured
-            if "Join LeftSemi" in _plan(df) and "Union" not in _plan(df)
+            if "Join LeftSemi" in _plan(df)
+            and not _plan(df).lstrip().startswith("Union")
         ]
         if fold == 0:
             assert not hist  # no history yet
@@ -865,3 +869,123 @@ def test_incremental_spans_crash_before_positions_converges(spark, tmp_path):
     assert _span_reports(store) == expected
     # and a further replay is a clean no-op
     assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
+
+
+# ---------------------------------------------------------------------------
+# Hash-prefix-bucketed introducer index (VERDICT r07 Next #3): the
+# per-fold SCAN prunes to the batch's prefixes, not just the exchange.
+# ---------------------------------------------------------------------------
+def test_novelty_index_bucketed_layout_and_pruned_scan(spark, tmp_path):
+    """The introducer index commits hive-partitioned by ghp; the
+    fold's history read prunes the parquet SCAN to the batch's own
+    prefixes (plan-pinned PartitionFilters), and both compact_layers
+    and the GDPR delete rewrite preserve the layout."""
+    import os
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        GH_BUCKETS,
+        incremental_novelty,
+    )
+
+    store = Store(spark, str(tmp_path / "novbkt"))
+    mk = lambda i: (i, " ".join(f"tok{i:02d}{t:02d}" for t in range(20)))
+    incremental_novelty(_docs(spark, [mk(i) for i in range(4)]), store)
+    incremental_novelty(_docs(spark, [mk(i) for i in range(4, 8)]), store)
+
+    # layout on disk: every contentful layer carries ghp= directories
+    assert store.layer_partitioning("shingle_introducer") == ["ghp"]
+    v1_dir = os.path.join(store.path("shingle_introducer"), "v1")
+    assert any(d.startswith("ghp=") for d in os.listdir(v1_dir))
+
+    # the fold's read shape: a prefix filter over the layered union
+    # reaches the FileScan as a PARTITION filter (directory pruning)
+    pruned = store.read_union("shingle_introducer").filter(
+        F.col("ghp").isin([0, 1, 2])
+    )
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ghp" in plan, plan
+
+    # single-doc re-fold (the small-batch case the bucketing exists
+    # for): correctness unchanged — a pure copy introduces nothing
+    r = incremental_novelty(_docs(spark, [(100, mk(3)[1])]), store)
+    s = r.scores.collect()[0]
+    assert r.n_new == 1 and s["n_introduced"] == 0 and s["n_shingles"] > 0
+
+    # compaction preserves the layout (and the data)
+    before = sorted(
+        tuple(x)
+        for x in store.read_union("shingle_introducer")
+        .select("gh", "first_doc")
+        .collect()
+    )
+    store.compact_layers("shingle_introducer")
+    assert store.layer_partitioning("shingle_introducer") == ["ghp"]
+    after = sorted(
+        tuple(x)
+        for x in store.read_union("shingle_introducer")
+        .select("gh", "first_doc")
+        .collect()
+    )
+    assert after == before
+
+    # the GDPR delete's affected-layer rewrite preserves the layout
+    keys = spark.createDataFrame([(0,)], "first_doc long")
+    store.delete_keys("shingle_introducer", keys, "first_doc")
+    assert store.layer_partitioning("shingle_introducer") == ["ghp"]
+    assert (
+        store.read_union("shingle_introducer")
+        .filter(F.col("first_doc") == 0)
+        .count()
+        == 0
+    )
+    # pruning still works over the rewritten layers
+    pruned2 = store.read_union("shingle_introducer").filter(F.col("ghp") == 1)
+    pruned2.collect()
+    plan2 = pruned2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan2 and "ghp" in plan2.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan2
+
+
+def test_novelty_legacy_unbucketed_index_keeps_working(spark, tmp_path):
+    """An introducer index committed before bucketing (no ghp layout)
+    must keep folding on the legacy path: no prune filter, no layout
+    mixing (append_version would raise), identical scores."""
+    from efiche_data_pipeline_spark.operators.dedup import incremental_novelty
+
+    store = Store(spark, str(tmp_path / "novleg"))
+    mk = lambda i: (i, " ".join(f"leg{i:02d}{t:02d}" for t in range(20)))
+    # seed a LEGACY layer: (gh, first_doc) unpartitioned, as the
+    # pre-bucketing operator committed it
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.functions.text import word_shingles
+
+    docs0 = _docs(spark, [mk(i) for i in range(3)])
+    legacy = (
+        docs0.select(
+            F.col("doc_id"),
+            F.explode(word_shingles("text", 3)).alias("g"),
+        )
+        .select("doc_id", portable_hash60(F.col("g")).alias("gh"))
+        .distinct()
+        .groupBy("gh")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    store.append_version(legacy, "shingle_introducer")
+    store.append_new(
+        docs0.select("doc_id")
+        .withColumn("n_shingles", F.lit(18).cast("long"))
+        .withColumn("n_introduced", F.lit(18).cast("long"))
+        .withColumn("introduced_frac", F.lit(1.0)),
+        "novelty_scores",
+        key="doc_id",
+    )
+    assert store.layer_partitioning("shingle_introducer") == []
+
+    # the next fold stays on the legacy layout and scores correctly:
+    # a copy of doc 1's text introduces nothing
+    r = incremental_novelty(_docs(spark, [(10, mk(1)[1])]), store)
+    s = r.scores.collect()[0]
+    assert r.n_new == 1 and s["n_introduced"] == 0
+    assert store.layer_partitioning("shingle_introducer") == []
