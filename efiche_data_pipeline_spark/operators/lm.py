@@ -359,3 +359,157 @@ def lm_model_from_store(store, model_table: str = "lm_model") -> DataFrame:
         .groupBy("kind", "w1", "w2")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+@dataclass(frozen=True)
+class GateCalibration:
+    model_version: int
+    n_ref: int
+    k: int
+    threshold: float
+
+
+def calibrate_quality_gate(
+    store,
+    new_ref_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_table: str = "gate_lm",
+    ref_table: str = "gate_ref_docs",
+    calib_table: str = "gate_calibration",
+    pct_num: int = 9,
+    pct_den: int = 10,
+) -> GateCalibration:
+    """Fold new TRUSTED-reference documents into the gate's layered LM
+    and re-derive the percentile calibration — the maintained half of
+    q159 (CCNet threshold setting). The reference slice is the small
+    retained trusted set (a Wikipedia-scale corpus next to a 100 TB
+    pool), so re-scoring IT per calibration is the honest O(ref)
+    cost; the pool — the part that is actually 100 TB — is never
+    touched here and never re-read anywhere.
+
+    Commit order (the savings_stream/vocab_stream pinned protocol):
+    a pre-commit monotone guard (never-seen ids at or below the model
+    watermark raise with ZERO state committed), then the ref-docs
+    sink FIRST (idempotent ``append_new``), the model delta SECOND
+    (ONE atomic layer, watermark inside — ``incremental_lm``), and
+    the calibration snapshot LAST (``write_version`` of one row that
+    is a pure function of (model, ref sink), so any replay recomputes
+    it bit-identically). Every crash window replays to convergence.
+
+    Threshold semantics are q159's verbatim: the exact k-th smallest
+    reference xent with k = ceil(pct · n_ref) as an integer order
+    statistic via the bucketed two-level global_row_number — no float
+    percentile interpolation, no single-task sort."""
+    from .ranking import global_row_number
+
+    if new_ref_docs is not None:
+        batch = new_ref_docs.select(id_col, text_col).localCheckpoint(eager=True)
+        if store.current_version(model_table) is not None and store.exists(
+            ref_table
+        ):
+            wm = (
+                store.read_union(model_table)
+                .agg(F.max("batch_max_id"))
+                .first()[0]
+            )
+            unseen_low = batch.filter(F.col(id_col) <= wm).join(
+                store.read(ref_table).select(id_col), id_col, "left_anti"
+            )
+            if unseen_low.count() > 0:
+                raise ValueError(
+                    f"monotone-{id_col} contract violated: the reference "
+                    f"batch carries never-seen ids at or below the model "
+                    f"watermark {wm} — feed reference drops in id order."
+                )
+        store.append_new(batch, ref_table, key=id_col)
+        incremental_lm(
+            batch, store, id_col=id_col, text_col=text_col, model_table=model_table
+        )
+    version = store.current_version(model_table)
+    if version is None:
+        raise ValueError(
+            "calibrate_quality_gate: no reference documents have ever "
+            "been folded — seed with a non-empty trusted slice"
+        )
+    model = lm_model_from_store(store, model_table).localCheckpoint(eager=True)
+    ref_scores = ngram_lm_score(
+        store.read(ref_table), model, id_col, text_col
+    ).localCheckpoint(eager=True)
+    n_ref = ref_scores.count()
+    k = (n_ref * pct_num + pct_den - 1) // pct_den
+    ranked = global_row_number(
+        ref_scores.select(id_col, "xent"), ["xent", id_col], out_col="rn"
+    )
+    threshold = float(
+        ranked.filter(F.col("rn") == k).select("xent").first()["xent"]
+    )
+    calib = store.spark.createDataFrame(
+        [(int(version), int(n_ref), int(k), threshold)],
+        "model_version int, n_ref long, k long, threshold double",
+    )
+    store.write_version(calib, calib_table)
+    return GateCalibration(int(version), int(n_ref), int(k), threshold)
+
+
+def gate_pool_batch(
+    pool_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_table: str = "gate_lm",
+    calib_table: str = "gate_calibration",
+    scores_table: str = "gate_scores",
+) -> int:
+    """Score a POOL batch under the CURRENT calibration and append the
+    kept (at-or-below-threshold) rows to the id-keyed scores sink —
+    q159's gate moved to intake time. Each row records the
+    ``model_version`` and ``threshold`` it was judged under
+    (version-tagged online scores), so a later re-calibration changes
+    only FUTURE batches — the CCNet deployment semantics, where a
+    gate verdict is made once, at ingest, under the calibration then
+    in force.
+
+    Maintained ≡ global holds EXACTLY whenever the full reference
+    slice folds before the first pool batch (the registered q170
+    shape: calibration is a pure function of the complete trusted
+    set, gating a pure per-doc function of (doc, frozen model) — so
+    batch-by-batch equals the one-shot q159 verbatim). Under
+    mid-stream re-calibration the sink is the version-tagged union
+    the production semantics call for, and the q143 drift gate
+    decides when re-calibration happens.
+
+    Replay-safe: already-scored ids cut up front (the sink is its own
+    watermark); the model is read AT the calibration's pinned version,
+    so a concurrent model fold never skews an in-flight batch.
+    Returns the number of newly gated-in documents."""
+    if store.current_version(calib_table) is None:
+        raise ValueError(
+            "gate_pool_batch: no calibration committed — run "
+            "calibrate_quality_gate first"
+        )
+    calib = store.read_version(calib_table).first()
+    fresh = pool_docs.select(id_col, text_col)
+    if store.exists(scores_table):
+        fresh = fresh.join(
+            store.read(scores_table).select(id_col), id_col, "left_anti"
+        )
+    model = (
+        store.read_union(model_table, version=int(calib["model_version"]))
+        .groupBy("kind", "w1", "w2")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    kept = (
+        ngram_lm_score(fresh, model, id_col, text_col)
+        .filter(F.col("xent") <= F.lit(float(calib["threshold"])))
+        .withColumn("threshold", F.lit(float(calib["threshold"])))
+        .withColumn(
+            "model_version", F.lit(int(calib["model_version"])).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = kept.count()
+    if n:
+        store.append_new(kept, scores_table, key=id_col)
+    return int(n)

@@ -148,3 +148,55 @@ def incremental_repetition(
     if n_new:
         store.append(rows, reports_table)
     return n_new
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Dolma/Gopher
+    repetitiveness proxy: highly repetitive or templated text
+    compresses far below natural prose (ratio = compressed/raw bytes;
+    natural English sits around 0.3-0.5 at level 6, heavy repetition
+    collapses toward 0.01, and random gibberish pushes past 0.6), so
+    the ratio is a one-number quality signal orthogonal to the
+    n-gram/LM families (q67/q139).
+
+    Returns (id, n_bytes, n_compressed, ratio) with ratio rounded to
+    4 decimals (NULL for empty text). zlib is fully deterministic at
+    a fixed level, so the output is engine-stable; there is no DuckDB
+    twin, which is why the registered q171 is Spark-only (determinism
+    differential) and the discrimination semantics pin via a planted
+    fixture test instead.
+
+    Scale shape: ONE Arrow ``mapInPandas`` pass over (id, text) —
+    the only columns read (column-pruned scan), no shuffle anywhere,
+    compression runs batch-vectorized in the Python worker exactly
+    like the multimodal feature extractors (operators/multimodal.py).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            ratio = (n_comp / n_bytes.where(n_bytes > 0)).round(4)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": ratio,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, out_schema)

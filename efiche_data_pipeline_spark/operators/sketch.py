@@ -1071,11 +1071,17 @@ def temperature_mixture_result(
             .alias("w"),
         )
     )
+    # DECIMAL(38,0) product: w is sqrt(token mass) at 1e-6 fixed point
+    # (~4.5e12 for a 100 TB corpus), so TOTAL·w overflows int64 for any
+    # production total_budget (>~2e6 tokens). The widened multiply keeps
+    # the integral division exact and order-free; values stay far below
+    # 10^38 (≤ ~9.2e18 · ~4.5e12 ≈ 4e31).
     budgets = w.crossJoin(F.broadcast(w.agg(F.sum("w").alias("w_tot")))).select(
         "source",
-        F.expr(f"CAST({int(total_budget)} * w div w_tot AS BIGINT)").alias(
-            "source_budget"
-        ),
+        F.expr(
+            f"CAST(CAST({int(total_budget)} AS DECIMAL(38,0)) * w "
+            "div w_tot AS BIGINT)"
+        ).alias("source_budget"),
     )
     win = (
         Window.partitionBy("source")

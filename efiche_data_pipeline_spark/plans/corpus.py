@@ -5180,13 +5180,17 @@ def q154_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
+    # DECIMAL(38,0) product: at 100 TB, w ≈ 4.5e12, so a production
+    # total_budget (>~2e6) would overflow TOTAL·w in int64; the widened
+    # multiply keeps the split exact (≈4e31 max, far below 10^38).
     budgets = (
         w.crossJoin(F.broadcast(w.agg(F.sum("w").alias("w_tot"))))
         .select(
             "source",
-            F.expr(f"CAST({_TEMP_TOTAL_BUDGET} * w div w_tot AS BIGINT)").alias(
-                "source_budget"
-            ),
+            F.expr(
+                f"CAST(CAST({_TEMP_TOTAL_BUDGET} AS DECIMAL(38,0)) * w "
+                "div w_tot AS BIGINT)"
+            ).alias("source_budget"),
         )
     )
     pref = global_prefix_sum(
@@ -6307,6 +6311,80 @@ def q169_incremental_neardup_savings(
 
 
 ORACLES["q169_incremental_neardup_savings"] = ORACLES["q167_neardup_savings"]
+
+
+# ---------------------------------------------------------------------------
+# Q170 — INCREMENTAL calibrated quality gate (operators/lm.py:
+# calibrate_quality_gate + gate_pool_batch): q159 maintained — the
+# trusted reference slice folds batch-by-batch into the layered gate
+# LM (two atomic-commit folds here), the percentile calibration
+# re-derives per fold (an O(ref-slice) re-score; the reference set is
+# the SMALL retained trusted corpus, the 100 TB pool is never re-read
+# anywhere), and each POOL batch is then gated once, at intake, under
+# the frozen version-tagged calibration. Maintained ≡ global exactly:
+# the full reference folds before the first pool batch, so the final
+# calibration equals q159's, and gating is a pure per-doc function of
+# (doc, pinned model) — batch-by-batch is the one-shot verbatim (the
+# oracle is q159's, reused). Mid-stream re-calibration (version tags
+# diverging between batches) is the production path pytest covers.
+# Reference anchor: none (beyond-reference tier); one-shot q159,
+# model maintenance q140, drift trigger q143.
+# ---------------------------------------------------------------------------
+def q170_incremental_quality_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.lm import calibrate_quality_gate, gate_pool_batch
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    pool = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
+    lo, hi = train.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    plo, phi = pool.agg(F.min("doc_id"), F.max("doc_id")).first()
+    psplit = (int(plo) + int(phi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_incgate_")
+    store = Store(spark, tmp_root)
+    try:
+        c1 = calibrate_quality_gate(store, train.filter(F.col("doc_id") <= split))
+        c2 = calibrate_quality_gate(store, train.filter(F.col("doc_id") > split))
+        _require(
+            c1.n_ref > 0 and c2.n_ref > c1.n_ref,
+            "both reference folds must add documents",
+        )
+        n1 = gate_pool_batch(pool.filter(F.col("doc_id") <= psplit), store)
+        n2 = gate_pool_batch(pool.filter(F.col("doc_id") > psplit), store)
+        _require(n1 > 0 and n2 > 0, "both pool batches must gate docs in")
+        out = store.read("gate_scores").select(
+            "doc_id", "n_tokens", "n_oov", "n_hit_bigrams", "xent", "threshold"
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q170_incremental_quality_gate"] = ORACLES["q159_calibrated_quality_gate"]
+
+
+# ---------------------------------------------------------------------------
+# Q171 — zlib COMPRESSION-RATIO quality signal (operators/quality.py:
+# compression_ratio): the Dolma/Gopher repetitiveness proxy — one
+# Arrow mapInPandas pass over (doc_id, text), no shuffle, no oracle
+# twin (DuckDB has no zlib), so the driver records the Spark-only
+# determinism differential and the discrimination semantics pin via
+# the planted fixture test (repetitive ≪ natural ≪ random).
+# Reference anchor: none (beyond-reference tier); rule-based quality
+# family q32/q67/q88, model-based q139.
+# ---------------------------------------------------------------------------
+def q171_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(docs)
 
 
 QUERIES = {

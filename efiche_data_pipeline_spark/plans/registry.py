@@ -46,89 +46,24 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# ROUND 7 rotation (executes VERDICT r06 Next #3 — freshness): the
-# round-6 priority block landed 50/50 green in CORRECTNESS_r06.json
-# and rotates out. Front of the window, in order of need:
-#   1. round-7 additions (no driver row yet by definition): q120 (the
-#      drift-gated IVF lifecycle), q121 (forget_documents
-#      compliance), q122 (incremental TF-IDF), q123 (intake-time
-#      decontamination), q124 (incremental OHLC bars), q125 (incremental
-#      source-health rollup), q126 (incremental retention), q127
-#      (corpus boilerplate removal), q128 (its incremental twin),
-#      q129 (near-dup cluster representatives), q130 (token-budget
-#      mixture sample), q131 (incremental representatives), q132
-#      (intake-time split-leakage monitor), q133/q134 (binary
-#      quantized search + shortlist rerank), q135 (versioned-store
-#      release diff), q136 (cluster-safe leakage-free split),
-#      q137 (the composed dataset-release pipeline), q138
-#      (product-quantized search — the ladder's bottom rung);
-#   2. the 19 queries whose newest driver row dates from r04 (q22,
-#      q24, q26, q27, q29, q87-q100) — refresh so nothing ages past
-#      3 rounds;
-#   3. past the window (the 31 round-7 additions + 19 stale rows
-#      fill the 50 exactly), ordered for the round-8 rotation front:
-#      the oldest r05-green queries (incremental tier q101-q109
-#      first — the flagship family — then the warehouse builds and
-#      the relational core).
-# The r05-green remainder (q13-q25, q52-q67) ages to 2 rounds and
-# fronts the round-8 rotation; every rotated-out query keeps its
-# per-run pytest oracle differential meanwhile.
+# ROUND 8 rotation (executes VERDICT r07 Next #1): the round-7
+# priority block (31 r7 additions + 19 r04-stale refreshes) landed
+# 50/50 green in CORRECTNESS_r07.json and rotates out. Front of the
+# window, in order of need:
+#   1. q151-q169 — registered in round 7 AFTER the window filled, so
+#      they have never had a driver row (pytest-oracle-green at HEAD
+#      throughout); every registered query gets a driver
+#      countersignature once these land;
+#   2. the oldest r05-green queries, refreshed before anything ages
+#      past the 3-round discipline: the incremental tier q101-q109
+#      (the flagship family) first, then the warehouse builds
+#      q36-q38, then the relational core q01-q19.
+# Past the window: the r05-green remainder (q20/q21/q23/q25,
+# q52-q67), ordered to front the round-9 rotation together with any
+# round-8 additions; every rotated-out query keeps its per-run
+# pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
-    # round-7 additions:
-    "q145_incremental_duplicated_spans",
-    "q146_repetition_metrics",
-    "q147_source_overlap_matrix",
-    "q148_bpe_merges",
-    "q149_bpe_token_counts",
-    "q150_incremental_vocab",
-    "q139_ngram_lm_score",
-    "q140_incremental_lm",
-    "q141_dsir_selection",
-    "q142_incremental_dsir",
-    "q143_quality_drift",
-    "q144_duplicated_spans",
-    "q120_ivf_lifecycle_histogram",
-    "q121_forget_compliance",
-    "q122_incremental_tfidf",
-    "q123_incremental_decontamination",
-    "q124_incremental_ohlc",
-    "q125_incremental_source_rollup",
-    "q126_incremental_retention",
-    "q127_boilerplate_removal",
-    "q128_incremental_boilerplate",
-    "q129_neardup_representatives",
-    "q130_token_budget_sample",
-    "q131_incremental_representatives",
-    "q132_incremental_split_leakage",
-    "q133_binary_topk",
-    "q134_binary_rerank_topk",
-    "q135_release_diff",
-    "q136_cluster_safe_split",
-    "q137_dataset_release",
-    "q138_pq_topk",
-    # r04-stale rows (VERDICT r06 Next #3, refresh first):
-    "q22_brand_volume_mv",
-    "q24_exact_dedup_docs",
-    "q26_jaccard_pairs",
-    "q27_simhash_docs",
-    "q29_cosine_topk",
-    "q87_orders_profile",
-    "q88_char_entropy",
-    "q89_curriculum_mixture",
-    "q90_price_outliers",
-    "q91_tfidf_terms",
-    "q92_bloom_semi_join",
-    "q93_content_defined_chunks",
-    "q94_embedding_quantization",
-    "q95_kmv_merge_global",
-    "q96_equidepth_price_histogram",
-    "q97_ann_recall_eval",
-    "q98_ohlc_bars",
-    "q99_weighted_exact_sample",
-    "q100_dataset_card",
-    # q151-q169 landed after the 50-slot window filled (31 round-7
-    # additions + the 19 mandated r04-stale refreshes); they are
-    # pytest-oracle-verified at HEAD meanwhile and front round 8:
+    # never driver-checked (landed past round 7's filled window):
     "q151_incremental_repetition",
     "q152_bpe_packing",
     "q153_incremental_source_overlap",
@@ -148,7 +83,7 @@ _DRIVER_PRIORITY = [
     "q167_neardup_savings",
     "q168_boilerplate_savings",
     "q169_incremental_neardup_savings",
-    # oldest r05-green: the incremental tier ...
+    # r05-stale refresh: the incremental tier ...
     "q101_orders_profile_kmv",
     "q102_dataset_card_sketch",
     "q103_incremental_minhash_dedup",
@@ -180,8 +115,62 @@ _DRIVER_PRIORITY = [
     "q15_json_extract_events",
     "q16_explode_part_tokens",
     "q17_union_all_counts",
+    "q18_topk_orders",
+    "q19_global_ratio_agg",
 ]
 _ROTATED_OUT = [
+    # r07-green block (50/50 in CORRECTNESS_r07.json; still
+    # differentially oracle-checked every pytest run):
+    "q145_incremental_duplicated_spans",
+    "q146_repetition_metrics",
+    "q147_source_overlap_matrix",
+    "q148_bpe_merges",
+    "q149_bpe_token_counts",
+    "q150_incremental_vocab",
+    "q139_ngram_lm_score",
+    "q140_incremental_lm",
+    "q141_dsir_selection",
+    "q142_incremental_dsir",
+    "q143_quality_drift",
+    "q144_duplicated_spans",
+    "q120_ivf_lifecycle_histogram",
+    "q121_forget_compliance",
+    "q122_incremental_tfidf",
+    "q123_incremental_decontamination",
+    "q124_incremental_ohlc",
+    "q125_incremental_source_rollup",
+    "q126_incremental_retention",
+    "q127_boilerplate_removal",
+    "q128_incremental_boilerplate",
+    "q129_neardup_representatives",
+    "q130_token_budget_sample",
+    "q131_incremental_representatives",
+    "q132_incremental_split_leakage",
+    "q133_binary_topk",
+    "q134_binary_rerank_topk",
+    "q135_release_diff",
+    "q136_cluster_safe_split",
+    "q137_dataset_release",
+    "q138_pq_topk",
+    "q22_brand_volume_mv",
+    "q24_exact_dedup_docs",
+    "q26_jaccard_pairs",
+    "q27_simhash_docs",
+    "q29_cosine_topk",
+    "q87_orders_profile",
+    "q88_char_entropy",
+    "q89_curriculum_mixture",
+    "q90_price_outliers",
+    "q91_tfidf_terms",
+    "q92_bloom_semi_join",
+    "q93_content_defined_chunks",
+    "q94_embedding_quantization",
+    "q95_kmv_merge_global",
+    "q96_equidepth_price_histogram",
+    "q97_ann_recall_eval",
+    "q98_ohlc_bars",
+    "q99_weighted_exact_sample",
+    "q100_dataset_card",
     # r06-green block (50/50 in CORRECTNESS_r06.json; still
     # differentially oracle-checked every pytest run):
     "q110_incremental_embedding_dedup",

