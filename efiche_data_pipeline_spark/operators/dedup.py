@@ -217,6 +217,65 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_freq: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate pairs scored by one-sided shingle CONTAINMENT —
+    |A∩B| / |A| and |A∩B| / |B| — the asymmetric overlap measure
+    quote/partial-copy detection needs where Jaccard goes blind: a
+    200-word passage lifted verbatim into a 20,000-word document has
+    near-zero Jaccard (the union is huge) but containment ≈ 1 on the
+    small side. ``max_containment`` (shared over the SMALLER set) is
+    the number curation thresholds on (Broder's containment measure;
+    the same asymmetry CDC chunking q93 exploits positionally).
+
+    Returns (doc_a, doc_b, n_shared, containment_a, containment_b,
+    max_containment) with doc_a < doc_b, over the same rare-shingle
+    blocked candidates as :func:`jaccard_pairs` — identical dataflow
+    (one bucket shuffle, in-row pair combinations, hashes on the wire,
+    never text), only the final ratios differ."""
+    buckets = shingle_buckets(df, id_col, text_col, n=n, max_freq=max_freq)
+    pair = F.explode(_pair_combinations(F.col("docs"))).alias("pair")
+    shared = (
+        buckets.filter(F.size("docs") >= 2)
+        .select(pair)
+        .select(F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sizes = (
+        buckets.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("na"), 4
+            ).alias("containment_a"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("nb"), 4
+            ).alias("containment_b"),
+            F.round(
+                F.col("n_shared").cast("double") / F.least("na", "nb"), 4
+            ).alias("max_containment"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

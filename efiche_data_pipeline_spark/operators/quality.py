@@ -200,3 +200,31 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(score, out_schema)
+
+
+def incremental_compression_ratio(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    table: str = "zlib_scores",
+) -> int:
+    """Maintain :func:`compression_ratio` scores across intake folds —
+    the family's simplest shape, because the ratio is a pure per-doc
+    function of the text: one id-keyed idempotent ``append_new`` per
+    fold (the sink is its own replay watermark), maintained ≡ global
+    by construction, batch text compressed once and history never
+    re-read. Returns the number of newly scored documents."""
+    fresh = new_docs.select(id_col, text_col)
+    if store.exists(table):
+        fresh = fresh.join(
+            store.read(table).select(id_col), id_col, "left_anti"
+        )
+    scored = compression_ratio(fresh, id_col, text_col, level).localCheckpoint(
+        eager=True
+    )
+    n = scored.count()
+    if n:
+        store.append_new(scored, table, key=id_col)
+    return int(n)

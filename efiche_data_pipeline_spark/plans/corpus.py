@@ -6387,6 +6387,42 @@ def q171_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs)
 
 
+# ---------------------------------------------------------------------------
+# Q172 — INCREMENTAL compression-ratio maintenance (operators/
+# quality.py:incremental_compression_ratio): q171's scores folded
+# batch-by-batch — the ratio is a pure per-doc function, so the fold
+# is one id-keyed idempotent append (sink = watermark) and maintained
+# ≡ global by construction. Spark-only like q171 (no zlib in DuckDB);
+# the determinism differential plus the fold≡one-shot pytest pin it.
+# ---------------------------------------------------------------------------
+def q172_incremental_compression_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.quality import incremental_compression_ratio
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_inczlib_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_compression_ratio(
+            docs.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_compression_ratio(
+            docs.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must score documents")
+        return _finish_with_store(store.read("zlib_scores"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

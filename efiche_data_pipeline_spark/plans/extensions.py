@@ -2446,6 +2446,34 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q173 — shingle CONTAINMENT pairs (operators/dedup.py:
+# containment_pairs): the one-sided |A∩B|/|A| overlap quote and
+# partial-copy detection needs where Jaccard goes blind (a lifted
+# passage inside a much larger document). Same rare-shingle blocked
+# dataflow as q26 — the oracle reuses q26's candidate CTE chain with
+# the containment ratios in the final select.
+# ---------------------------------------------------------------------------
+def q173_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, max_freq=20, min_shared=2)
+
+
+ORACLES["q173_containment_pairs"] = f"""
+WITH {_SHINGLE_PAIR_CTES}
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / sa.n, 4) AS containment_a,
+       ROUND(CAST(n_shared AS DOUBLE) / sb.n, 4) AS containment_b,
+       ROUND(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 4)
+           AS max_containment
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

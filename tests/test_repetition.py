@@ -143,3 +143,29 @@ def test_compression_ratio_discriminates_planted_texts(spark):
         ).collect()
     }
     assert again == {k: v["ratio"] for k, v in out.items()}
+
+
+def test_incremental_compression_ratio_folds_equal_one_shot(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.quality import (
+        compression_ratio,
+        incremental_compression_ratio,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spam ham " * 40,
+        "a calm river bends past granite cliffs at dusk",
+        "tick tock " * 25,
+    ]
+    docs = _docs(spark, texts)
+    store = Store(spark, str(tmp_path / "zlib"))
+    n1 = incremental_compression_ratio(docs.filter("doc_id <= 1"), store)
+    n2 = incremental_compression_ratio(docs.filter("doc_id > 1"), store)
+    assert (n1, n2) == (2, 2)
+    want = sorted(tuple(r) for r in compression_ratio(docs).collect())
+    got = sorted(tuple(r) for r in store.read("zlib_scores").collect())
+    assert got == want
+    # replay is a pure no-op
+    assert incremental_compression_ratio(docs, store) == 0
+    assert sorted(tuple(r) for r in store.read("zlib_scores").collect()) == want
