@@ -1809,3 +1809,70 @@ def incremental_split_leakage(
         F.lit("").alias("split_a"),
         F.lit("").alias("split_b"),
     )
+
+
+def passage_search(
+    docs: DataFrame,
+    passage: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    store=None,
+    positions_table: str = "span_positions",
+) -> DataFrame:
+    """Token-aligned exact passage lookup — the point query a 100 TB
+    corpus store answers for takedown requests and decontamination
+    spot-checks ("find every document containing this paragraph").
+    ``passage`` is a one-row (passage string) frame; returns
+    (doc_id, pos) where pos is the 1-based char position of the
+    space-padded passage inside the single-space-normalized text
+    (engine-exact: both sides normalize with the same tokenizer and
+    pad with spaces, so only WORD-ALIGNED occurrences match — the
+    decontamination semantics, not raw substring).
+
+    Scale shape: with a maintained q145 positional index (``store``),
+    candidates come from a broadcast semi-join of the passage's own
+    k-gram hashes against the index — a scan SLICE of 16-byte hash
+    rows, never the corpus — and the exact verify (one `locate`) runs
+    on the candidate documents only; a token-aligned occurrence
+    implies every one of its k-grams is in the index, so the prune is
+    lossless. Without an index (or a passage shorter than ``k``
+    tokens), the verify degrades to the corpus scan the oracle runs.
+    """
+    needle_doc = passage.select(
+        F.lit(0).cast("long").alias(id_col),
+        F.col("passage").alias(text_col),
+    )
+    needle_hashes = (
+        _gram_positions(needle_doc, id_col, text_col, k)
+        .filter("pos >= 0")
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    candidates = docs
+    if (
+        store is not None
+        and store.exists(positions_table)
+        and needle_hashes.limit(1).count() > 0
+    ):
+        cand_ids = (
+            store.read(positions_table)
+            .filter("pos >= 0")
+            .join(F.broadcast(needle_hashes), "h", "left_semi")
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+        candidates = docs.join(cand_ids, id_col, "left_semi")
+    pad = lambda c: F.concat(F.lit(" "), F.concat_ws(" ", tokens(c)), F.lit(" "))
+    return (
+        candidates.crossJoin(
+            F.broadcast(passage.select(pad(F.col("passage")).alias("_needle")))
+        )
+        .withColumn("_padded", pad(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.expr("CAST(locate(_needle, _padded) AS BIGINT)").alias("pos"),
+        )
+        .filter(F.col("pos") > 0)
+    )

@@ -6423,6 +6423,76 @@ def q172_incremental_compression_ratio(
         raise
 
 
+# ---------------------------------------------------------------------------
+# Q174 — token-aligned PASSAGE SEARCH (operators/dedup.py:
+# passage_search): the takedown/decontamination point query — find
+# every document containing a given passage, word-aligned. The needle
+# here derives deterministically from the corpus (the first 6 tokens
+# of the smallest doc_id), both engines normalize with the same
+# whitespace tokenizer and space-pad, and pos is the 1-based locate
+# in the normalized text — engine-exact. The Spark side answers via
+# the maintained q145 positional index: the passage's own k-gram
+# hashes broadcast-semi-join the 16-byte index rows (a scan SLICE,
+# lossless — a token-aligned hit implies all its k-grams are
+# indexed), and the single `locate` verify runs on the candidate docs
+# only; the oracle IS the naive full corpus scan the index avoids.
+# Reference anchor: none (beyond-reference tier); index maintenance
+# q145, set-level decontamination q66/q123.
+# ---------------------------------------------------------------------------
+def q174_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_duplicated_spans, passage_search
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    needle = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 6)).alias("passage")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_psearch_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must index documents")
+        out = passage_search(docs, needle, "doc_id", "text", k=6, store=store)
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q174_passage_search"] = """
+WITH needle AS (
+    SELECT array_to_string(
+               regexp_split_to_array(text, '\\s+')[1:6], ' ') AS p
+    FROM documents ORDER BY doc_id LIMIT 1
+),
+norm AS (
+    SELECT doc_id,
+           ' ' || array_to_string(
+               regexp_split_to_array(text, '\\s+'), ' ') || ' ' AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(instr(t, ' ' || p || ' ') AS BIGINT) AS pos
+FROM norm, needle
+WHERE instr(t, ' ' || p || ' ') > 0
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

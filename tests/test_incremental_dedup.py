@@ -989,3 +989,79 @@ def test_novelty_legacy_unbucketed_index_keeps_working(spark, tmp_path):
     s = r.scores.collect()[0]
     assert r.n_new == 1 and s["n_introduced"] == 0
     assert store.layer_partitioning("shingle_introducer") == []
+
+
+# ---------------------------------------------------------------------------
+# Token-aligned passage search over the q145 positional index
+# ---------------------------------------------------------------------------
+def test_passage_search_pruned_equals_full_scan(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+    )
+
+    needle_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, "prefix words then " + needle_text + " and a tail here"),
+        (1, "totally unrelated content about rivers and stones flowing"),
+        (2, needle_text + " right at the start of this document"),
+        # word-aligned ONLY matches: 'zalpha beta...' must NOT hit
+        (3, "z" + needle_text + " glued to a prefix breaks alignment"),
+        (4, "ends with the passage " + needle_text),
+        (5, "alpha beta gamma but then it diverges before completing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    needle = spark.createDataFrame([(needle_text,)], "passage string")
+
+    # expected: naive full verify (no index)
+    want = sorted(
+        (r["doc_id"], r["pos"])
+        for r in passage_search(docs, needle, k=6).collect()
+    )
+    assert [d for d, _ in want] == [0, 2, 4]
+    # pos is 1-based in the padded normalized text: doc 2 starts at 1
+    assert dict(want)[2] == 1
+
+    # indexed path: same answer, and the verify ran on candidates only
+    store = Store(spark, str(tmp_path / "ps"))
+    incremental_duplicated_spans(docs.filter("doc_id <= 2"), store, k=6)
+    incremental_duplicated_spans(docs.filter("doc_id > 2"), store, k=6)
+    got = sorted(
+        (r["doc_id"], r["pos"])
+        for r in passage_search(docs, needle, k=6, store=store).collect()
+    )
+    assert got == want
+
+    # the prune is real: only docs sharing a passage k-gram survive the
+    # candidate semi-join (docs 1 and 3 never reach the verify)
+    from efiche_data_pipeline_spark.operators.dedup import _gram_positions
+
+    nh = (
+        _gram_positions(
+            needle.select(F.lit(0).alias("doc_id"), F.col("passage").alias("text")),
+            "doc_id",
+            "text",
+            6,
+        )
+        .filter("pos >= 0")
+        .select("h")
+        .distinct()
+    )
+    cand = (
+        store.read("span_positions")
+        .filter("pos >= 0")
+        .join(nh, "h", "left_semi")
+        .select("_id")
+        .distinct()
+    )
+    cand_ids = sorted(r["_id"] for r in cand.collect())
+    assert 1 not in cand_ids and 3 not in cand_ids
+    assert set(d for d, _ in want) <= set(cand_ids)
+
+    # a passage shorter than k tokens falls back to the full verify
+    short = spark.createDataFrame([("rivers and stones",)], "passage string")
+    got_short = sorted(
+        r["doc_id"]
+        for r in passage_search(docs, short, k=6, store=store).collect()
+    )
+    assert got_short == [1]

@@ -232,3 +232,38 @@ def test_diff_versions_null_shifts_are_changes(spark, tmp_path):
     y = store.write_version(v2, "rel")
     got = store.diff_versions("rel", x, y, "k", ["a", "b"]).collect()
     assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
+
+
+def test_partitioned_layers_commit_guard_and_union(spark, tmp_path):
+    """append_version(partition_by=...): the cross-layer layout guard
+    raises on a mismatched commit (both directions), tolerates EMPTY
+    delta layers between partitioned ones, and read_union returns the
+    exact union with the partition column intact."""
+    import pytest
+
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    store = Store(spark, str(tmp_path / "pl"))
+    rows = lambda lo, hi: spark.createDataFrame(
+        [(i, i % 4) for i in range(lo, hi)], "k long, p int"
+    )
+    store.append_version(rows(0, 8), "t", partition_by=["p"])
+    assert store.layer_partitioning("t") == ["p"]
+    # an EMPTY delta (no partition dirs on disk) must not flip the
+    # detected layout for the commits after it
+    store.append_version(rows(0, 0), "t", partition_by=["p"])
+    store.append_version(rows(8, 12), "t", partition_by=["p"])
+    got = sorted((r["k"], r["p"]) for r in store.read_union("t").collect())
+    assert got == [(i, i % 4) for i in range(12)]
+    # mismatch: unpartitioned commit onto a partitioned table
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        store.append_version(rows(12, 14), "t")
+    # and the reverse on a fresh unpartitioned table
+    store.append_version(rows(0, 4), "u")
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        store.append_version(rows(4, 8), "u", partition_by=["p"])
+    # an all-empty-layers table reports no layout and accepts either
+    store.append_version(rows(0, 0), "w")
+    assert store.layer_partitioning("w") == []
+    store.append_version(rows(0, 3), "w", partition_by=["p"])
+    assert store.layer_partitioning("w") == ["p"]
