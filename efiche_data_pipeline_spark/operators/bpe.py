@@ -240,10 +240,16 @@ def forget_vocab_documents(
     docs = store.read(docs_table)
     already: set[int] = set()
     if store.current_version(vocab_table) is not None:
+        # cut the ledger read to the REQUESTED ids before collecting —
+        # the driver-side set stays bounded by len(ids), not by every
+        # id ever forgotten
         already = {
             int(r["batch_max_id"])
             for r in store.read_union(vocab_table)
-            .filter(F.col("word") == FORGOTTEN_MARKER)
+            .filter(
+                (F.col("word") == FORGOTTEN_MARKER)
+                & F.col("batch_max_id").isin(wanted)
+            )
             .select("batch_max_id")
             .distinct()
             .collect()

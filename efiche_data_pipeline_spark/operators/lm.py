@@ -437,6 +437,11 @@ def calibrate_quality_gate(
         store.read(ref_table), model, id_col, text_col
     ).localCheckpoint(eager=True)
     n_ref = ref_scores.count()
+    if n_ref == 0:
+        raise ValueError(
+            "calibrate_quality_gate: the reference slice has no "
+            "scoreable (>= 2 token) documents — no percentile exists"
+        )
     k = (n_ref * pct_num + pct_den - 1) // pct_den
     ranked = global_row_number(
         ref_scores.select(id_col, "xent"), ["xent", id_col], out_col="rn"
