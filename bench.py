@@ -79,6 +79,12 @@ HEADLINE = (
     # (per-source mass agg + int64 split + grouped prefix-sum fill)
     "q148_bpe_merges",
     "q154_temperature_mixture",
+    # round-8 additions: the maintained calibrated gate (two reference
+    # folds into the layered LM + version-pinned pool gating) and the
+    # index-pruned passage search (q145 positional index build + one
+    # broadcast gram-hash prune + locate verify)
+    "q170_incremental_quality_gate",
+    "q174_passage_search",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an
