@@ -262,8 +262,16 @@ def test_partitioned_layers_commit_guard_and_union(spark, tmp_path):
     store.append_version(rows(0, 4), "u")
     with pytest.raises(ValueError, match="partitioning mismatch"):
         store.append_version(rows(4, 8), "u", partition_by=["p"])
-    # an all-empty-layers table reports no layout and accepts either
+    # an empty UNPARTITIONED first layer still writes a 0-row parquet
+    # file, so it PINS the flat layout (its schema is on disk and
+    # read_union will scan it)
     store.append_version(rows(0, 0), "w")
     assert store.layer_partitioning("w") == []
-    store.append_version(rows(0, 3), "w", partition_by=["p"])
-    assert store.layer_partitioning("w") == ["p"]
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        store.append_version(rows(0, 3), "w", partition_by=["p"])
+    # an empty PARTITIONED first layer writes no files at all, so the
+    # layout stays undetected until the first contentful commit
+    store.append_version(rows(0, 0), "x", partition_by=["p"])
+    assert store.layer_partitioning("x") == []
+    store.append_version(rows(0, 3), "x", partition_by=["p"])
+    assert store.layer_partitioning("x") == ["p"]
