@@ -1876,3 +1876,33 @@ def passage_search(
         )
         .filter(F.col("pos") > 0)
     )
+
+
+def rebucket_introducer_index(
+    store, index_table: str = "shingle_introducer"
+) -> int:
+    """One-shot migration of a LEGACY flat introducer index to the
+    ghp-bucketed layout :func:`incremental_novelty` prunes by: min-
+    merge the layered union (semantics-preserving — MIN is the
+    table's merge law), add ghp = gh mod GH_BUCKETS, and replace all
+    layers with ONE partitioned layer via ``Store.rewrite_layers``
+    (single atomic commit; old layers time-travel until vacuum).
+    Deliberately O(index) — run once, off the hot path, like an IVF
+    retrain; every later fold auto-detects the new layout and prunes.
+    Idempotent: an already-bucketed index returns its version
+    untouched. Returns the committed version."""
+    cur = store.current_version(index_table)
+    if cur is None:
+        raise FileNotFoundError(f"{index_table}: no committed versions")
+    if store.layer_partitioning(index_table) == ["ghp"]:
+        return cur
+    merged = (
+        store.read_union(index_table)
+        .groupBy("gh")
+        .agg(F.min("first_doc").alias("first_doc"))
+        .withColumn("ghp", F.pmod(F.col("gh"), F.lit(GH_BUCKETS)).cast("int"))
+        .repartition("ghp")
+    )
+    return store.rewrite_layers(
+        merged, index_table, partition_by=["ghp"], op="rebucket"
+    )

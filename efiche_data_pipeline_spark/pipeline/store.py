@@ -964,18 +964,41 @@ class Store:
                 F.xxhash64(*[F.col(c) for c in data_cols] or [F.lit(0)]),
                 F.lit(target_files),
             )
-            merged = df.repartition(
-                *[F.col(c) for c in pcols], salt
-            ).localCheckpoint(eager=True)
+            # no pin here: rewrite_layers pins before overwriting
+            merged = df.repartition(*[F.col(c) for c in pcols], salt)
         else:
-            merged = self.read_union(table).coalesce(
-                target_files
-            ).localCheckpoint(eager=True)
+            merged = self.read_union(table).coalesce(target_files)
+        return self.rewrite_layers(
+            merged, table, partition_by=pcols or None, op="compact_layers"
+        )
+
+    def rewrite_layers(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        op: str = "rewrite_layers",
+    ) -> int:
+        """Replace ALL layers of a layered table with ``df`` as ONE new
+        layer, in a single atomic commit (claim → write → one-layer
+        manifest → pointer swap). This is :meth:`compact_layers`'
+        commit step exposed for content-changing rewrites — most
+        importantly LAYOUT MIGRATIONS (rebucketing a legacy flat index
+        into a hive-partitioned one), where the new layer may carry a
+        partitioning (and columns) the old layers didn't. Same
+        single-writer contract as compact_layers: a concurrent
+        append_version racing this rewrite serializes on the claim,
+        but an append whose content was read BEFORE the rewrite began
+        is superseded — run migrations off the hot path. Old layers
+        stay time-travelable until ``vacuum_versions``."""
+        if self.current_version(table) is None:
+            raise FileNotFoundError(f"{table}: no committed versions")
+        pinned = df.localCheckpoint(eager=True)
         nxt = self._claim_next_version(table)
         try:
-            w = merged.write.mode("overwrite")
-            if pcols:
-                w = w.partitionBy(*pcols)
+            w = pinned.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
             w.parquet(self._vdir(table, nxt))
             with open(self._manifest_file(table, nxt), "w") as f:
                 f.write(str(nxt))
@@ -985,5 +1008,5 @@ class Store:
             os.replace(tmp, self._current_file(table))
         finally:
             self._release_claim(table, nxt)
-        self._log(table, f"compact_layers:{nxt}")
+        self._log(table, f"{op}:{nxt}")
         return nxt

@@ -290,3 +290,30 @@ def test_duplicated_spans_planted(spark):
         == (18, 1, 8)
     assert (rows[2]["n_tokens"], rows[2]["n_dup_spans"], rows[2]["dup_tokens"]) \
         == (17, 1, 6)
+
+
+def test_containment_catches_lifted_passage_jaccard_misses(spark):
+    """The asymmetry containment exists for: a small document lifted
+    verbatim into a much larger one has near-1 containment on the
+    small side while Jaccard stays low (the union is huge)."""
+    from efiche_data_pipeline_spark.operators.dedup import containment_pairs
+
+    small = " ".join(f"core{i:02d}" for i in range(12))  # 10 tri-shingles
+    big = (
+        " ".join(f"pad{i:03d}" for i in range(60))
+        + " " + small + " "
+        + " ".join(f"tail{i:03d}" for i in range(60))
+    )
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    got = containment_pairs(docs, "doc_id", "text", n=3, max_freq=20).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # all 10 of the small doc's shingles appear in the big doc
+    assert r["n_shared"] == 10 and r["containment_a"] == 1.0
+    assert r["max_containment"] == 1.0
+    # while the symmetric measures stay small: the big doc's 132
+    # tokens give 130 tri-shingles, so containment_b = 10/130
+    assert r["containment_b"] == round(10 / 130, 4)

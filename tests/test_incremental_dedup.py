@@ -1065,3 +1065,58 @@ def test_passage_search_pruned_equals_full_scan(spark, tmp_path):
         for r in passage_search(docs, short, k=6, store=store).collect()
     )
     assert got_short == [1]
+
+
+def test_rebucket_migrates_legacy_index_to_pruned_path(spark, tmp_path):
+    """A legacy flat introducer index rebuckets in one atomic rewrite:
+    layout flips to ghp, the min-merged content is preserved exactly,
+    subsequent folds take the pruned path, and the call is
+    idempotent."""
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.functions.text import word_shingles
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_novelty,
+        rebucket_introducer_index,
+    )
+
+    store = Store(spark, str(tmp_path / "rebkt"))
+    mk = lambda i: (i, " ".join(f"mig{i:02d}{t:02d}" for t in range(20)))
+    docs0 = _docs(spark, [mk(i) for i in range(4)])
+    legacy = (
+        docs0.select(
+            F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("g")
+        )
+        .select("doc_id", portable_hash60(F.col("g")).alias("gh"))
+        .distinct()
+        .groupBy("gh")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    store.append_version(legacy, "shingle_introducer")
+    store.append_new(
+        docs0.select("doc_id")
+        .withColumn("n_shingles", F.lit(18).cast("long"))
+        .withColumn("n_introduced", F.lit(18).cast("long"))
+        .withColumn("introduced_frac", F.lit(1.0)),
+        "novelty_scores",
+        key="doc_id",
+    )
+    before = sorted(tuple(r) for r in legacy.collect())
+
+    v = rebucket_introducer_index(store)
+    assert store.layer_partitioning("shingle_introducer") == ["ghp"]
+    after = sorted(
+        tuple(r)
+        for r in store.read_union("shingle_introducer")
+        .select("gh", "first_doc")
+        .collect()
+    )
+    assert after == before
+    # idempotent
+    assert rebucket_introducer_index(store) == v
+
+    # the next fold takes the bucketed path: a copy introduces nothing
+    # and the new delta layer is partitioned
+    r = incremental_novelty(_docs(spark, [(10, mk(2)[1])]), store)
+    s = r.scores.collect()[0]
+    assert r.n_new == 1 and s["n_introduced"] == 0
+    assert store.layer_partitioning("shingle_introducer") == ["ghp"]
