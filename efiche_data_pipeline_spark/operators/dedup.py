@@ -1906,3 +1906,81 @@ def rebucket_introducer_index(
     return store.rewrite_layers(
         merged, index_table, partition_by=["ghp"], op="rebucket"
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    bands: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance — the
+    pairing step q27's fingerprints exist for (Charikar/Manku et al.'s
+    web-dedup design): band the ``bits``-bit fingerprint into
+    ``bands`` equal slices and join only documents sharing a slice —
+    by pigeonhole, any pair within ``max_hamming < bands`` bit flips
+    shares at least one untouched band, so the blocking is LOSSLESS
+    for the emitted distance range. Buckets over ``max_bucket`` docs
+    are dropped as uninformative (the shingle_buckets frequency-cap
+    discipline; templated corpora concentrate band values), bounding
+    every bucket's pair fan-out.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b and
+    hamming <= max_hamming. Scale shape: one vote aggregate per doc
+    (the q27 plan), fingerprints pinned once, band memberships
+    generated in-row, ONE equi-join keyed (band, val) against the
+    <= bands·2^(bits/bands)-row bucket whitelist (broadcast), and the
+    Hamming filter is two JVM intrinsics (XOR + bit_count) — raw text
+    never reaches the pairing exchange, only 8-byte fingerprints."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs more bands than tolerated bit flips"
+        )
+    w = bits // bands
+    mask = (1 << w) - 1
+    fps = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=True)
+    memb = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("m"),
+    ).select(F.col(id_col), "simhash", "m.band", "m.val")
+    ok = (
+        memb.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "val")
+    )
+    m = memb.join(F.broadcast(ok), ["band", "val"], "left_semi")
+    a = m.select(
+        "band", "val", F.col(id_col).alias("doc_a"), F.col("simhash").alias("fa")
+    )
+    b = m.select(
+        "band", "val", F.col(id_col).alias("doc_b"), F.col("simhash").alias("fb")
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+        .filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )

@@ -2474,6 +2474,58 @@ JOIN sizes sb ON doc_b = sb.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q175 — SimHash HAMMING near-dup pairs (operators/dedup.py:
+# simhash_hamming_pairs): the pairing step q27's fingerprints exist
+# for — banded pigeonhole blocking (lossless for hamming < bands),
+# over-popular buckets capped like the shingle blocking, XOR +
+# bit_count distance. The oracle replays the identical banding /
+# cap / distance chain over the md5-portable fingerprints.
+# ---------------------------------------------------------------------------
+_SH_BITS, _SH_BANDS, _SH_MAXH, _SH_CAP = 48, 8, 3, 200
+
+
+def q175_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=_SH_BITS,
+        bands=_SH_BANDS,
+        max_hamming=_SH_MAXH,
+        max_bucket=_SH_CAP,
+    )
+
+
+_SH_W = _SH_BITS // _SH_BANDS
+ORACLES["q175_simhash_hamming_pairs"] = f"""
+WITH fp AS ({oracle_simhash_sql("documents", "doc_id", "text", bits=_SH_BITS)}),
+memb AS (
+    SELECT doc_id, simhash, CAST(b AS INT) AS band,
+           (simhash >> (CAST(b AS INT) * {_SH_W})) & {(1 << _SH_W) - 1} AS val
+    FROM fp, UNNEST(range({_SH_BANDS})) AS t(b)
+),
+ok AS (
+    SELECT band, val FROM memb GROUP BY 1, 2 HAVING COUNT(*) <= {_SH_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS fa, b.simhash AS fb
+    FROM memb a
+    JOIN ok USING (band, val)
+    JOIN memb b ON a.band = b.band AND a.val = b.val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {_SH_MAXH}
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -317,3 +317,42 @@ def test_containment_catches_lifted_passage_jaccard_misses(spark):
     # while the symmetric measures stay small: the big doc's 132
     # tokens give 130 tri-shingles, so containment_b = 10/130
     assert r["containment_b"] == round(10 / 130, 4)
+
+
+def test_simhash_hamming_pairs_planted(spark):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "stone bridge while evening light settles on the harbor"
+    )
+    rows = [
+        (1, base),
+        (2, base + " tonight"),  # near-identical: few bit flips
+        (3, "completely different content about distributed shuffle "
+            "exchanges and columnar parquet readers in query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(
+            docs, "doc_id", "text", bits=48, bands=8, max_hamming=3
+        ).collect()
+    }
+    # the near-identical pair is found with the EXACT fingerprint
+    # distance; the unrelated doc pairs with nobody
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "doc_id", "text", bits=48).collect()
+    }
+    want = bin(fps[1] ^ fps[2]).count("1")
+    assert got == {(1, 2): want} and want <= 3
+
+    # pigeonhole guard: tolerating >= bands bit flips loses pairs
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, "doc_id", "text", bands=4, max_hamming=4)
