@@ -1120,3 +1120,55 @@ def test_rebucket_migrates_legacy_index_to_pruned_path(spark, tmp_path):
     s = r.scores.collect()[0]
     assert r.n_new == 1 and s["n_introduced"] == 0
     assert store.layer_partitioning("shingle_introducer") == ["ghp"]
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=30).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    pick=st.integers(min_value=0, max_value=10**6),
+    start=st.integers(min_value=0, max_value=10**6),
+    length=st.integers(min_value=1, max_value=10),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_passage_search_finds_any_token_window(
+    spark, tmp_path_factory, texts, pick, start, length
+):
+    """Property: ANY token window sliced from ANY document is found in
+    that document at the position python computes on the normalized
+    text — through the indexed path (window >= k exercises the prune,
+    shorter windows the fallback)."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+    )
+
+    docs = _docs(spark, list(enumerate(texts)))
+    d = pick % len(texts)
+    toks = texts[d].split()
+    s = start % len(toks)
+    window = toks[s : s + length]
+    needle_text = " ".join(window)
+    store = Store(spark, str(tmp_path_factory.mktemp("ps_hyp")))
+    incremental_duplicated_spans(docs, store, k=3)
+    needle = spark.createDataFrame([(needle_text,)], "passage string")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in passage_search(docs, needle, k=3, store=store).collect()
+    }
+    # python reference on the padded normalized text
+    want = {}
+    for i, t in enumerate(texts):
+        padded = " " + " ".join(t.split()) + " "
+        p = padded.find(" " + needle_text + " ")
+        if p >= 0:
+            want[i] = p + 1  # locate is 1-based
+    assert d in got and got == want
