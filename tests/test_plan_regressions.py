@@ -109,3 +109,52 @@ def test_q130_prefix_sum_is_bucketed_and_pinned(spark):
     assert "hashpartitioning(source" in plan and "_pb" in plan
     assert "BroadcastHashJoin" in plan
     assert "Scan parquet" not in plan
+
+
+def test_q175_hamming_pairs_broadcast_whitelist_no_text_on_wire(spark):
+    """q175's bucket whitelist (<= bands·2^width rows) must broadcast
+    into the membership cut, and the pairing join must run over the
+    pinned 8-byte fingerprints — no re-scan of the text column below
+    the pair exchange (the simhash vote aggregate happens once,
+    behind the localCheckpoint pin)."""
+    plan = _executed("q175_simhash_hamming_pairs", spark)
+    assert "BroadcastHashJoin" in plan
+    # both membership sides read the pinned fingerprint rows; the raw
+    # parquet text scan must not appear under the pairing join
+    assert "Scan parquet" not in plan
+
+
+def test_passage_search_broadcasts_needle_and_prunes(spark, tmp_path):
+    """q174's operator plan (inspected below the registered wrapper's
+    result pin): the candidate cut must BROADCAST the (tiny) needle
+    gram-hash set against the positional index, and the final verify
+    must broadcast the one-row needle — never a sort-merge exchange
+    keyed on the corpus for either needle side."""
+    from pyspark.sql import functions as F
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = Store(spark, str(tmp_path / "psplan"))
+    incremental_duplicated_spans(docs, store, k=6)
+    needle = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 6)
+            ).alias("passage")
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = passage_search(docs, needle, k=6, store=store)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # gram-hash cut + id semi
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row needle cross
+    assert "SortMergeJoin" not in plan
