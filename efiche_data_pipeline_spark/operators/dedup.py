@@ -1984,3 +1984,110 @@ def simhash_hamming_pairs(
         .filter(hamming <= max_hamming)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+def seed_passage_watchlist(
+    store,
+    passages: DataFrame,
+    k: int = 6,
+    needles_table: str = "watch_needles",
+    grams_table: str = "watch_grams",
+) -> int:
+    """Commit a passage WATCHLIST (takedown/contamination list) for
+    intake-time matching: the needle strings snapshot plus their
+    k-gram hashes (the candidate-prune index). Re-seeding is an
+    idempotent overwrite via the versioned store — the q123
+    seed_benchmark_index discipline; watchlists are small and FIXED
+    between releases, which is what makes the per-batch check
+    trivially incremental."""
+    needles = passages.select(
+        F.col("needle_id").cast("long").alias("needle_id"),
+        F.col("passage"),
+    ).localCheckpoint(eager=True)
+    grams = (
+        _gram_positions(
+            needles.select("needle_id", F.col("passage").alias("text")),
+            "needle_id",
+            "text",
+            k,
+        )
+        .filter("pos >= 0")
+        .select(F.col("_id").alias("needle_id"), "h")
+        .distinct()
+    )
+    store.write_version(needles, needles_table)
+    return store.write_version(grams, grams_table)
+
+
+def incremental_passage_flags(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    needles_table: str = "watch_needles",
+    grams_table: str = "watch_grams",
+    flags_table: str = "passage_flags",
+    seen_table: str = "passage_seen",
+) -> int:
+    """Check each arriving batch against the seeded passage watchlist
+    — q174 moved to intake time, the takedown-list production shape
+    (the q123 decontamination pattern: the watchlist is FIXED between
+    releases, so each verdict is a pure per-doc function of (doc,
+    watchlist) and batch-by-batch ≡ global trivially). Per batch: ONE
+    gram pass over the batch text (the only pass, ever), the
+    watchlist gram hashes broadcast into the candidate cut (lossless
+    — a token-aligned hit shares every one of its k-grams), then one
+    `locate` verify per surviving (doc, needle) pair.
+
+    Commit order: flags FIRST (idempotent — keyed on the composite
+    (doc, needle) key, and recomputation is deterministic), the
+    seen-docs watermark LAST, so every crash window replays to
+    convergence. Returns the number of newly checked documents."""
+    if store.current_version(grams_table) is None:
+        raise ValueError(
+            "incremental_passage_flags: no watchlist seeded — run "
+            "seed_passage_watchlist first"
+        )
+    fresh = new_docs.select(id_col, text_col)
+    if store.exists(seen_table):
+        fresh = fresh.join(
+            store.read(seen_table).select(id_col), id_col, "left_anti"
+        )
+    fresh = fresh.localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    watch = store.read_version(grams_table)
+    bgrams = (
+        _gram_positions(fresh, id_col, text_col, k)
+        .filter("pos >= 0")
+        .select(F.col("_id").alias(id_col), "h")
+    )
+    cand = (
+        bgrams.join(F.broadcast(watch), "h")
+        .select(id_col, "needle_id")
+        .distinct()
+    )
+    pad = lambda c: F.concat(F.lit(" "), F.concat_ws(" ", tokens(c)), F.lit(" "))
+    needles = store.read_version(needles_table).select(
+        "needle_id", pad(F.col("passage")).alias("_needle")
+    )
+    flags = (
+        cand.join(fresh, id_col)
+        .join(F.broadcast(needles), "needle_id")
+        .withColumn("_padded", pad(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.col("needle_id"),
+            F.expr("CAST(locate(_needle, _padded) AS BIGINT)").alias("pos"),
+        )
+        .filter(F.col("pos") > 0)
+        .withColumn(
+            "flag_key",
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col("needle_id")),
+        )
+    )
+    store.append_new(flags, flags_table, key="flag_key")
+    store.append_new(fresh.select(id_col), seen_table, key=id_col)
+    return int(n_new)

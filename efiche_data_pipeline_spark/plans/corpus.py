@@ -6493,6 +6493,81 @@ WHERE instr(t, ' ' || p || ' ') > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q176 — INCREMENTAL passage-watchlist flags (operators/dedup.py:
+# seed_passage_watchlist + incremental_passage_flags): q174 moved to
+# intake time — the takedown-list production shape, on the q123
+# fixed-index discipline (each verdict is a pure per-doc function of
+# (doc, watchlist), so batch-by-batch ≡ global trivially; the oracle
+# is the two-needle full-scan). The watchlist here is the first 6
+# tokens of the two smallest doc_ids; flags commit FIRST (composite-
+# keyed, idempotent), the seen-docs watermark LAST.
+# Reference anchor: the fixed-benchmark decontamination pattern
+# (q66/q123); one-shot form q174.
+# ---------------------------------------------------------------------------
+def q176_incremental_passage_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        incremental_passage_flags,
+        seed_passage_watchlist,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = W.orderBy("doc_id")
+    passages = (
+        docs.orderBy("doc_id")
+        .limit(2)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("needle_id"),
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 6)).alias("passage"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_watch_")
+    store = Store(spark, tmp_root)
+    try:
+        seed_passage_watchlist(store, passages)
+        n1 = incremental_passage_flags(
+            docs.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_passage_flags(
+            docs.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must check documents")
+        out = store.read("passage_flags").select("doc_id", "needle_id", "pos")
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q176_incremental_passage_flags"] = """
+WITH needles AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS needle_id,
+           array_to_string(
+               regexp_split_to_array(text, '\\s+')[1:6], ' ') AS p
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 2)
+),
+norm AS (
+    SELECT doc_id,
+           ' ' || array_to_string(
+               regexp_split_to_array(text, '\\s+'), ' ') || ' ' AS t
+    FROM documents
+)
+SELECT doc_id, CAST(needle_id AS BIGINT) AS needle_id,
+       CAST(instr(t, ' ' || p || ' ') AS BIGINT) AS pos
+FROM norm, needles
+WHERE instr(t, ' ' || p || ' ') > 0
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -1172,3 +1172,50 @@ def test_passage_search_finds_any_token_window(
         if p >= 0:
             want[i] = p + 1  # locate is 1-based
     assert d in got and got == want
+
+
+def test_passage_watchlist_folds_equal_global_and_replay_noop(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_passage_flags,
+        passage_search,
+        seed_passage_watchlist,
+    )
+
+    n0 = "alpha beta gamma delta epsilon zeta"
+    n1 = "one two three four five six"
+    rows = [
+        (0, "lead in " + n0 + " and onward"),
+        (1, "nothing to see in this one at all here"),
+        (2, n1 + " opens this document"),
+        (3, "both live here " + n0 + " then " + n1 + " as well"),
+        (4, "z" + n0 + " misaligned so it must not flag"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = Store(spark, str(tmp_path / "watch"))
+    passages = spark.createDataFrame(
+        [(0, n0), (1, n1)], "needle_id long, passage string"
+    )
+    seed_passage_watchlist(store, passages)
+    assert incremental_passage_flags(docs.filter("doc_id <= 2"), store) == 3
+    assert incremental_passage_flags(docs.filter("doc_id > 2"), store) == 2
+    got = sorted(
+        (r["doc_id"], r["needle_id"], r["pos"])
+        for r in store.read("passage_flags").collect()
+    )
+    # global reference: one passage_search per needle
+    want = []
+    for nid, p in ((0, n0), (1, n1)):
+        nd = spark.createDataFrame([(p,)], "passage string")
+        want += [
+            (r["doc_id"], nid, r["pos"])
+            for r in passage_search(docs, nd, k=6).collect()
+        ]
+    assert got == sorted(want)
+    assert {d for d, _, _ in got} == {0, 2, 3}  # doc 4 misaligned, 1 clean
+    assert len([x for x in got if x[0] == 3]) == 2  # both needles hit doc 3
+    # replay: pure no-op
+    assert incremental_passage_flags(docs, store) == 0
+    assert store.read("passage_flags").count() == len(got)
+    # re-seeding is an idempotent overwrite
+    seed_passage_watchlist(store, passages)
+    assert incremental_passage_flags(docs, store) == 0
