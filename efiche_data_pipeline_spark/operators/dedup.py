@@ -33,13 +33,36 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_chunk_hash, portable_hash60, seeded_hash64
 from ..functions.text import tokens, word_shingles
 
-# Hash-prefix bucket count for the layered gh-keyed indexes (novelty
+# Hash-prefix bucket count for the gh-keyed indexes (novelty
 # introducer, positional gram index): each delta layer is laid out
 # hive-partitioned by ghp = gh mod GH_BUCKETS so small-batch folds and
 # point lookups prune the SCAN to the touched prefixes. 64 balances
 # prune granularity against per-layer directory/file counts (a fold
 # writes at most one file per touched bucket).
+#
+# GH_BUCKETS is only the default for NEW indexes. Every bucketed
+# commit stamps the modulus it used into the table's layout sidecar
+# (`Store.write_layout_meta`), and every pruned reader/writer resolves
+# the modulus FROM that sidecar (:func:`_persisted_buckets`) — so
+# changing this constant re-buckets nothing retroactively and cannot
+# desynchronize the prune filter from the stored partition values.
+# Indexes bucketed before the sidecar existed (round 8) were all
+# committed at 64; the first fold after upgrade backfills their
+# sidecar, locking that in.
 GH_BUCKETS = 64
+
+
+def _persisted_buckets(store, table: str) -> int:
+    """The hash-bucket modulus a bucketed index was COMMITTED with:
+    the layout sidecar's value when present, else GH_BUCKETS (the only
+    modulus any pre-sidecar index was ever written at). Readers prune
+    and writers extend a bucketed table with THIS value, never the
+    constant directly — a prune filter computed with a different
+    modulus than the stored partition values would silently read the
+    wrong directories instead of failing."""
+    meta = store.read_layout_meta(table) or {}
+    b = meta.get("buckets")
+    return int(b) if b else GH_BUCKETS
 
 
 def nfc_normalize_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -994,6 +1017,17 @@ def incremental_novelty(
     batch_min = fresh_sh.groupBy("gh").agg(F.min(id_col).alias("first_doc"))
     cur = store.current_version(index_table)
     bucketed = cur is None or store.layer_partitioning(index_table) == ["ghp"]
+    # Resolve the modulus from the table's layout sidecar, never the
+    # constant: prune filters and new partition values must use the
+    # modulus the EXISTING layers were committed with. A pre-sidecar
+    # bucketed index (round 8 — all committed at 64) gets its sidecar
+    # backfilled on this fold, locking the modulus in.
+    buckets = _persisted_buckets(store, index_table) if bucketed else 0
+    if bucketed and cur is not None and store.read_layout_meta(index_table) is None:
+        store.write_layout_meta(
+            index_table,
+            {"bucket_col": "ghp", "hash_col": "gh", "buckets": buckets},
+        )
     if cur is not None:
         # Cut history to the batch's own hashes BEFORE the min-merge
         # groupBy: only batch-present hashes can affect the delta or
@@ -1014,7 +1048,7 @@ def incremental_novelty(
             prefixes = [
                 int(r["p"])
                 for r in fresh_sh.select(
-                    F.pmod(F.col("gh"), F.lit(GH_BUCKETS)).alias("p")
+                    F.pmod(F.col("gh"), F.lit(buckets)).alias("p")
                 )
                 .distinct()
                 .collect()
@@ -1087,8 +1121,13 @@ def incremental_novelty(
         # file per touched ghp directory instead of files-per-task-
         # per-bucket; compact_layers preserves the layout.
         delta = merged.withColumn(
-            "ghp", F.pmod(F.col("gh"), F.lit(GH_BUCKETS)).cast("int")
+            "ghp", F.pmod(F.col("gh"), F.lit(buckets)).cast("int")
         ).repartition("ghp")
+        if cur is None:
+            store.write_layout_meta(
+                index_table,
+                {"bucket_col": "ghp", "hash_col": "gh", "buckets": buckets},
+            )
         version = store.append_version(delta, index_table, partition_by=["ghp"])
     else:
         # legacy unpartitioned index (committed before bucketing):
@@ -1220,6 +1259,7 @@ def incremental_duplicated_spans(
     min_docs: int = 2,
     positions_table: str = "span_positions",
     reports_table: str = "span_reports",
+    seen_table: str = "span_seen_docs",
 ) -> int:
     """Maintain :func:`duplicated_span_report` batch-by-batch — q144's
     suffix-array-shaped substring dedup moved to intake time. After
@@ -1242,32 +1282,89 @@ def incremental_duplicated_spans(
     merge-upserts it. Reports can gain spans but never lose them
     (monotonicity), so replacement-by-key is sufficient.
 
-    Cost per fold — O(batch neighborhood), never O(corpus): batch text
-    is tokenized once (the only text pass ever; history text is never
-    rescanned). The history side is touched through TWO semi-join cuts
-    of the positional index (16-to-32-byte columnar rows): first to
-    the batch's own gram hashes (which grams' counts could change),
-    then to the affected docs' gram hashes (their current dup status).
-    Both exchanges are bounded by the corpus occurrences of the
-    affected documents' grams — the irreducible cost of retroactive
-    span semantics — not by index size.
+    Cost per fold: batch text is tokenized once (the only text pass
+    ever; history text is never rescanned). The replay WATERMARK is
+    the _id-keyed ``seen_table`` — one row per document ever folded —
+    so the watermark read is O(docs-seen), not the O(index) distinct
+    probe of the positional index the pre-r09 protocol ran (one row
+    per token position; docs/PLAN_AUDIT.md named this term). The
+    history side is touched through TWO semi-join cuts of the index
+    (16-to-32-byte columnar rows): first to the batch's own gram
+    hashes (which grams' counts could change — on an hp-bucketed
+    index this scan also PRUNES to the batch's hash prefixes at the
+    directory level), then to the affected docs' gram hashes (their
+    current dup status — _id-keyed, so unprunable by hash prefix: the
+    irreducible cost of retroactive span semantics). All exchanges
+    are bounded by the corpus occurrences of the affected documents'
+    grams, never by index size.
 
-    Crash-safety — reports FIRST, positions LAST: the positional index
-    doubles as the replay watermark (fresh-docs anti-join), and the
-    affected report rows are a pure function of (index ∪ batch), so
-    they are computed on the union VIEW before either commit. A crash
-    after the report upsert but before the positions append makes the
-    whole batch replay; the replay recomputes byte-identical report
-    rows (merge_upsert is idempotent) and then commits the positions.
-    The reverse order would be the exact bug class ADVICE r06 flagged
-    in incremental_novelty: a crash window that silently skips the
-    second commit forever."""
+    Layout: a NEW index is committed hive-partitioned by
+    hp = h mod buckets (modulus stamped in the table's layout sidecar
+    and resolved from it ever after — see GH_BUCKETS), which is what
+    :func:`passage_search` point queries prune their candidate scan
+    by. A pre-r09 flat index keeps folding on the flat path;
+    :func:`rebucket_span_positions` migrates it off the hot path.
+
+    Crash-safety — reports FIRST, positions SECOND, seen-watermark
+    LAST, each commit idempotent, so every crash window replays to
+    convergence:
+
+    - crash before the report upsert: nothing durable, full replay.
+    - crash after reports, before positions: replay recomputes
+      byte-identical report rows (pure function of index ∪ batch;
+      merge_upsert is idempotent) and commits the remaining two.
+    - crash after positions, before seen: the replay's batch grams
+      are now ALSO in the history scan, so the union view holds them
+      twice — every consumer is duplicate-robust by construction
+      (dup/crossed counts use countDistinct; :func:`_span_report`'s
+      running-max-end islands absorb repeated rows), the recomputed
+      reports are again byte-identical, and the re-appended position
+      rows make the index a MULTISET (readers: countDistinct/
+      distinct/semi-joins throughout — duplicates cost storage in
+      this one window, never correctness). Re-running the crossed
+      cut may find nothing left to cross — harmless, because the
+      pre-crash run already upserted those reopened docs' reports
+      before the positions commit.
+    - a partially visible seen append replays the missing suffix of
+      the batch through the same three idempotent commits.
+
+    The seen-watermark commit must be LAST: committing it earlier
+    would open the window where a crash skips the positions commit
+    forever — the bug class ADVICE r06 flagged in
+    incremental_novelty. Upgrade path: a store with a pre-r09 index
+    but no seen table gets the seen table backfilled from the index's
+    distinct ids on the first fold (O(index) ONCE, then O(docs-seen)
+    forever)."""
     pos_cols = ["_id", "pos", "n_toks", "h"]
     have_index = store.exists(positions_table)
-    fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
     if have_index:
-        seen = store.read(positions_table).select("_id").distinct()
-        fresh = fresh.join(seen, "_id", "left_anti")
+        buckets = (
+            _persisted_buckets(store, positions_table)
+            if store.partitioning(positions_table) == ["hp"]
+            else 0
+        )
+    else:
+        buckets = _persisted_buckets(store, positions_table)
+    hp_of = lambda h: F.pmod(F.coalesce(h, F.lit(0)), F.lit(buckets)).cast("int")
+    fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
+    if store.exists(seen_table):
+        fresh = fresh.join(
+            store.read(seen_table).select("_id"), "_id", "left_anti"
+        )
+    elif have_index:
+        # Upgrade path (index predates the seen table): backfill it
+        # once from the index's distinct ids — the exact watermark the
+        # legacy protocol derived per fold — then never scan for it
+        # again. append_new keeps a crash between this backfill and
+        # the fold's own commits harmless (idempotent, keyed).
+        seen0 = (
+            store.read(positions_table)
+            .select("_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        store.append_new(seen0, seen_table, key="_id")
+        fresh = fresh.join(seen0, "_id", "left_anti")
     bpos = (
         _gram_positions(
             new_docs.select(F.col(id_col).alias("_id"), text_col).join(
@@ -1285,11 +1382,30 @@ def incremental_duplicated_spans(
         return 0
     bgrams = bpos.filter("pos >= 0")
     if have_index:
-        hist = store.read(positions_table).filter("pos >= 0")
+        hist = store.read(positions_table).select(*pos_cols).filter("pos >= 0")
         union_view = hist.unionByName(bpos).filter("pos >= 0")
-        # Cut 1 — which counts changed: only batch-present grams.
+        # Cut 1 — which counts changed: only batch-present grams. On a
+        # bucketed index the scan itself prunes to the batch's hash
+        # prefixes (<= buckets values, collected from an O(batch)
+        # aggregate — the incremental_novelty recipe); a saturating
+        # batch touches every prefix and reads what the flat layout
+        # read.
         bg = bgrams.select("h").distinct()
-        hist_b = hist.join(F.broadcast(bg), "h", "left_semi")
+        hist_cut1 = hist
+        if buckets:
+            prefixes = [
+                int(r["p"])
+                for r in bg.select(hp_of(F.col("h")).alias("p"))
+                .distinct()
+                .collect()
+            ]
+            hist_cut1 = (
+                store.read(positions_table)
+                .filter(F.col("hp").isin(prefixes))
+                .select(*pos_cols)
+                .filter("pos >= 0")
+            )
+        hist_b = hist_cut1.join(F.broadcast(bg), "h", "left_semi")
         crossed = (
             hist_b.groupBy("h")
             .agg(F.countDistinct("_id").alias("hc"))
@@ -1327,7 +1443,17 @@ def incremental_duplicated_spans(
         .localCheckpoint(eager=True)
     )
     store.merge_upsert(reports, reports_table, [id_col])
-    store.append_new(bpos, positions_table, key="_id")
+    if buckets:
+        out = bpos.withColumn("hp", hp_of(F.col("h"))).repartition("hp")
+        if not have_index:
+            store.write_layout_meta(
+                positions_table,
+                {"bucket_col": "hp", "hash_col": "h", "buckets": buckets},
+            )
+        store.append(out, positions_table, partition_by=["hp"])
+    else:
+        store.append(bpos, positions_table)
+    store.append_new(fresh.select("_id"), seen_table, key="_id")
     return n_new
 
 
@@ -1819,6 +1945,7 @@ def passage_search(
     k: int = 6,
     store=None,
     positions_table: str = "span_positions",
+    seen_table: str = "span_seen_docs",
 ) -> DataFrame:
     """Token-aligned exact passage lookup — the point query a 100 TB
     corpus store answers for takedown requests and decontamination
@@ -1833,11 +1960,26 @@ def passage_search(
     Scale shape: with a maintained q145 positional index (``store``),
     candidates come from a broadcast semi-join of the passage's own
     k-gram hashes against the index — a scan SLICE of 16-byte hash
-    rows, never the corpus — and the exact verify (one `locate`) runs
-    on the candidate documents only; a token-aligned occurrence
-    implies every one of its k-grams is in the index, so the prune is
-    lossless. Without an index (or a passage shorter than ``k``
-    tokens), the verify degrades to the corpus scan the oracle runs.
+    rows, never the corpus, and on an hp-bucketed index
+    (:func:`incremental_duplicated_spans` commits new indexes that
+    way; :func:`rebucket_span_positions` migrates flat ones) the scan
+    additionally PRUNES at the directory level to the needle's ~dozen
+    hash prefixes — and the exact verify (one `locate`) runs on the
+    candidate documents only; a token-aligned occurrence implies
+    every one of its k-grams is in the index, so the prune is
+    lossless FOR INDEXED DOCUMENTS.
+
+    Coverage guard — the prune's precondition is that every doc in
+    ``docs`` has been folded into the index; for a recall-critical
+    takedown query, silently skipping unindexed docs (a batch racing
+    an incomplete fold, a side-loaded table) would be a false
+    negative. The operator therefore verifies coverage against the
+    fold's seen-docs watermark (or, pre-upgrade, the index's distinct
+    ids) and routes any UNINDEXED doc through the full `locate`
+    verify alongside the index-pruned candidates — recall never
+    depends on index completeness, only speed does. Without an index
+    (or a passage shorter than ``k`` tokens), every doc takes the
+    full-verify path, which is the scan the oracle runs.
     """
     needle_doc = passage.select(
         F.lit(0).cast("long").alias(id_col),
@@ -1856,14 +1998,39 @@ def passage_search(
         and store.exists(positions_table)
         and needle_hashes.limit(1).count() > 0
     ):
+        pos_scan = store.read(positions_table)
+        if store.partitioning(positions_table) == ["hp"]:
+            buckets = _persisted_buckets(store, positions_table)
+            prefixes = [
+                int(r["p"])
+                for r in needle_hashes.select(
+                    F.pmod(F.col("h"), F.lit(buckets)).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            pos_scan = pos_scan.filter(F.col("hp").isin(prefixes))
         cand_ids = (
-            store.read(positions_table)
-            .filter("pos >= 0")
+            pos_scan.filter("pos >= 0")
             .join(F.broadcast(needle_hashes), "h", "left_semi")
             .select(F.col("_id").alias(id_col))
             .distinct()
         )
-        candidates = docs.join(cand_ids, id_col, "left_semi")
+        if store.exists(seen_table):
+            covered = store.read(seen_table).select(F.col("_id").alias(id_col))
+        else:
+            # pre-upgrade store: derive coverage the way the legacy
+            # fold watermarked (one O(index) id-column probe)
+            covered = (
+                store.read(positions_table)
+                .select(F.col("_id").alias(id_col))
+                .distinct()
+            )
+        candidates = (
+            docs.join(covered, id_col, "left_semi")
+            .join(cand_ids, id_col, "left_semi")
+            .unionByName(docs.join(covered, id_col, "left_anti"))
+        )
     pad = lambda c: F.concat(F.lit(" "), F.concat_ws(" ", tokens(c)), F.lit(" "))
     return (
         candidates.crossJoin(
@@ -1895,6 +2062,11 @@ def rebucket_introducer_index(
     if cur is None:
         raise FileNotFoundError(f"{index_table}: no committed versions")
     if store.layer_partitioning(index_table) == ["ghp"]:
+        if store.read_layout_meta(index_table) is None:
+            store.write_layout_meta(
+                index_table,
+                {"bucket_col": "ghp", "hash_col": "gh", "buckets": GH_BUCKETS},
+            )
         return cur
     merged = (
         store.read_union(index_table)
@@ -1903,8 +2075,55 @@ def rebucket_introducer_index(
         .withColumn("ghp", F.pmod(F.col("gh"), F.lit(GH_BUCKETS)).cast("int"))
         .repartition("ghp")
     )
+    store.write_layout_meta(
+        index_table,
+        {"bucket_col": "ghp", "hash_col": "gh", "buckets": GH_BUCKETS},
+    )
     return store.rewrite_layers(
         merged, index_table, partition_by=["ghp"], op="rebucket"
+    )
+
+
+def rebucket_span_positions(
+    store, positions_table: str = "span_positions"
+) -> None:
+    """One-shot migration of a LEGACY flat positional gram index
+    (:func:`incremental_duplicated_spans` pre-r09) to the hp-bucketed
+    layout its point-query readers prune by: add hp = h mod
+    GH_BUCKETS (sentinel rows — short docs, h NULL — land in bucket
+    0; their readers never prune by hp), rewrite hive-partitioned,
+    and stamp the modulus in the layout sidecar so every later fold
+    and prune resolves it from the table, not the constant.
+    Deliberately O(index) — run once, off the hot path, like
+    :func:`rebucket_introducer_index`; every later fold auto-detects
+    the layout. Idempotent: an already-bucketed index only gets a
+    missing sidecar backfilled. The rewrite is a plain-table
+    overwrite (pinned via localCheckpoint) — same atomicity class as
+    merge_upsert, so schedule it like any plain-table rewrite."""
+    if not store.exists(positions_table):
+        raise FileNotFoundError(f"{positions_table}: not committed")
+    if store.partitioning(positions_table) == ["hp"]:
+        if store.read_layout_meta(positions_table) is None:
+            store.write_layout_meta(
+                positions_table,
+                {"bucket_col": "hp", "hash_col": "h", "buckets": GH_BUCKETS},
+            )
+        return
+    pinned = (
+        store.read(positions_table)
+        .withColumn(
+            "hp",
+            F.pmod(F.coalesce(F.col("h"), F.lit(0)), F.lit(GH_BUCKETS)).cast(
+                "int"
+            ),
+        )
+        .repartition("hp")
+        .localCheckpoint(eager=True)
+    )
+    store.overwrite(pinned, positions_table, partition_by=["hp"])
+    store.write_layout_meta(
+        positions_table,
+        {"bucket_col": "hp", "hash_col": "h", "buckets": GH_BUCKETS},
     )
 
 

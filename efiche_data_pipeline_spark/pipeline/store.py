@@ -119,11 +119,63 @@ class Store:
         self._recover_compact(table)
         return self.spark.read.parquet(self.path(table))
 
+    # -- layout metadata ------------------------------------------------
+    # A small JSON sidecar (`<table>/_LAYOUT.json`) recording layout
+    # parameters the directory structure alone cannot carry — above
+    # all the HASH-BUCKET MODULUS of a bucketed index (partition
+    # column `ghp`/`hp` = hash mod N): the partition directories show
+    # the column NAME but not N, and a reader pruning with the wrong
+    # modulus silently reads the wrong slice instead of failing.
+    # Writers stamp it at bucketed-commit time; readers resolve their
+    # prune modulus from it (see operators/dedup.py). `overwrite` and
+    # `compact` preserve it across their directory truncation/swap;
+    # layered/versioned tables keep root files intact by construction.
+    def _layout_file(self, table: str) -> str:
+        return os.path.join(self.path(table), "_LAYOUT.json")
+
+    def write_layout_meta(self, table: str, meta: dict) -> None:
+        import json
+
+        os.makedirs(self.path(table), exist_ok=True)
+        tmp = self._layout_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._layout_file(table))
+
+    def read_layout_meta(self, table: str) -> dict | None:
+        import json
+
+        try:
+            with open(self._layout_file(table)) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def partitioning(self, table: str) -> list[str]:
+        """Hive partition columns of ``table`` regardless of commit
+        style: layered tables report their per-layer layout, plain and
+        snapshot-versioned tables the ``col=value`` directories under
+        their live data root ([] if absent or unpartitioned)."""
+        if self.is_layered(table):
+            return self.layer_partitioning(table)
+        if self.exists(table):
+            return self._partition_columns(table)
+        cur = self.current_version(table)
+        if cur is not None:
+            return self._dir_partition_columns(self._vdir(table, cur))
+        return []
+
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        # Spark's static overwrite truncates the directory — carry the
+        # layout sidecar across (it describes the layout the caller is
+        # re-creating; layout MIGRATIONS re-stamp it explicitly after).
+        meta = self.read_layout_meta(table)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        if meta is not None:
+            self.write_layout_meta(table, meta)
         self._log(table, "overwrite")
 
     def overwrite_partitions(
@@ -265,10 +317,13 @@ class Store:
             )
         else:
             df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        meta = self.read_layout_meta(table)
         old = self.path(f"_precompact_{table}")
         os.rename(final, old)
         os.rename(tmp, final)
         shutil.rmtree(old)
+        if meta is not None:
+            self.write_layout_meta(table, meta)
         self._log(table, "compact")
         return sum(
             1

@@ -49,16 +49,24 @@ from ..operators.lm import (
     GateCalibration,
     calibrate_quality_gate,
     gate_pool_batch,
+    read_calibration,
 )
 from ..pipeline.store import Store
 
 
 @dataclass(frozen=True)
 class GateStreamReport:
-    n_batches: int
-    n_ref_folded: int
-    n_docs_seen: int
-    n_kept_online: int
+    # Field scope (ADVICE r08): every count below is ALL-TIME — derived
+    # from the store sinks, not from this run's fold accumulators — so
+    # a restart run with no new files reports the same numbers as the
+    # run that did the work, matching the "reflects every file seen
+    # across all runs" contract. The ONE exception is n_batches, which
+    # is explicitly THIS RUN's micro-batch count (0 on a no-new-files
+    # restart) — the per-run progress signal.
+    n_batches: int  # this run only
+    n_ref_folded: int  # all-time: reference-slice rows in the ref sink
+    n_docs_seen: int  # all-time: rows in the docs sink
+    n_kept_online: int  # all-time: kept rows in the online scores sink
     calibration: GateCalibration | None
     # version-tagged verdicts made at intake (None before any pool doc)
     online_kept: DataFrame | None
@@ -82,10 +90,16 @@ def run_gate_stream(
     scores_table: str = "gate_scores",
     docs_table: str = "gate_docs",
     max_files_per_trigger: int = 1,
+    max_ref_sample: int | None = None,
 ) -> GateStreamReport:
     """availableNow consumption of parquet document files under
     ``source_dir``; the returned report reflects every file seen
-    across all runs of this checkpoint."""
+    across all runs of this checkpoint (except ``n_batches`` — see
+    :class:`GateStreamReport`). ``max_ref_sample`` caps what each
+    re-calibration re-scores (the maintained bottom-k hash sample of
+    the reference slice — see :func:`calibrate_quality_gate`); leave
+    None for the exact full-slice re-score while the trusted slice
+    stays small."""
     totals = {"batches": 0, "ref": 0, "kept": 0}
 
     def fold(batch: DataFrame, batch_id: int) -> None:
@@ -116,6 +130,7 @@ def run_gate_stream(
                 model_table=model_table,
                 ref_table=ref_table,
                 calib_table=calib_table,
+                max_ref_sample=max_ref_sample,
             )
             totals["ref"] = c.n_ref
         store.append_new(docs, docs_table, id_col)
@@ -143,17 +158,11 @@ def run_gate_stream(
     q.awaitTermination()
     if not store.exists(docs_table):
         return GateStreamReport(totals["batches"], 0, 0, 0, None, None, None)
-    # final re-calibration derives nothing new (no docs passed) but
-    # returns the current state for the report
-    calib = calibrate_quality_gate(
-        store,
-        None,
-        id_col=id_col,
-        text_col=text_col,
-        model_table=model_table,
-        ref_table=ref_table,
-        calib_table=calib_table,
-    )
+    # report path is READ-ONLY (ADVICE r08): every ref-bearing fold
+    # already committed its calibration snapshot, so the stored row IS
+    # the calibration in force — reading it derives nothing, bumps no
+    # version, mutates no state on a pure report/restart run
+    calib = read_calibration(store, calib_table)
     seen = store.read(docs_table)
     pool_seen = seen.filter(F.col(id_col) % ref_mod != 0)
     # re-judge everything under the FINAL calibration: a fresh sink
@@ -170,11 +179,14 @@ def run_gate_stream(
     online = (
         store.read(scores_table) if store.exists(scores_table) else None
     )
+    # all-time counts come from the sinks, not this run's accumulators
+    # (ADVICE r08: a restart run with no new refs used to report
+    # n_ref_folded=0 while n_docs_seen stayed all-time)
     return GateStreamReport(
         n_batches=totals["batches"],
-        n_ref_folded=totals["ref"],
+        n_ref_folded=store.count(ref_table),
         n_docs_seen=seen.count(),
-        n_kept_online=totals["kept"],
+        n_kept_online=online.count() if online is not None else 0,
         calibration=calib,
         online_kept=online,
         report=report,

@@ -817,22 +817,57 @@ def test_incremental_spans_maintained_equals_global(spark, tmp_path):
 class _CrashBeforePositionsCommitStore(Store):
     """Injects ONE crash between the report upsert and the positions
     append — the window where the batch's reports are committed but
-    the watermark is not, so the batch MUST fully replay."""
+    neither the positions nor the seen-docs watermark are, so the
+    batch MUST fully replay."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def append(self, df, table, partition_by=None):
+        if self.armed and table == "span_positions":
+            self.armed = False
+            raise RuntimeError("injected crash before positions commit")
+        return super().append(df, table, partition_by=partition_by)
+
+
+class _CrashBeforeSeenCommitStore(Store):
+    """Injects ONE crash between the positions append and the
+    seen-docs watermark commit — the window the r09 protocol change
+    OPENED: reports and positions are durable, the watermark is not,
+    so the replay folds the batch again with its grams already in the
+    history scan (the positional index becomes a multiset for this
+    batch; every reader must absorb the duplicates)."""
 
     def __init__(self, spark, root):
         super().__init__(spark, root)
         self.armed = False
 
     def append_new(self, df, table, key, partition_by=None):
-        if self.armed and table == "span_positions":
+        if self.armed and table == "span_seen_docs":
             self.armed = False
-            raise RuntimeError("injected crash before positions commit")
+            raise RuntimeError("injected crash before seen commit")
         return super().append_new(df, table, key, partition_by=partition_by)
+
+
+def _expected_span_reports(docs, k=3, min_docs=2):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["dup_frac"],
+        )
+        for r in duplicated_span_report(docs, k=k, min_docs=min_docs).collect()
+    }
 
 
 def test_incremental_spans_crash_before_positions_converges(spark, tmp_path):
     from efiche_data_pipeline_spark.operators.dedup import (
-        duplicated_span_report,
         incremental_duplicated_spans,
     )
 
@@ -848,7 +883,7 @@ def test_incremental_spans_crash_before_positions_converges(spark, tmp_path):
         incremental_duplicated_spans(
             docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
         )
-    # reports landed, watermark did not → the batch replays in full
+    # reports landed, watermark + positions did not → full batch replay
     assert {4, 5} & set(
         r["_id"]
         for r in store.read("span_positions").select("_id").distinct().collect()
@@ -857,18 +892,262 @@ def test_incremental_spans_crash_before_positions_converges(spark, tmp_path):
         docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
     )
     assert n == 2
-    expected = {
-        r["doc_id"]: (
-            r["n_tokens"],
-            r["n_dup_spans"],
-            r["dup_tokens"],
-            r["dup_frac"],
-        )
-        for r in duplicated_span_report(docs, k=3, min_docs=2).collect()
-    }
-    assert _span_reports(store) == expected
+    assert _span_reports(store) == _expected_span_reports(docs)
     # and a further replay is a clean no-op
     assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
+
+
+def test_incremental_spans_crash_before_seen_converges(spark, tmp_path):
+    """The r09 crash window: positions committed, seen watermark not.
+    The replay re-appends the batch's position rows (multiset index),
+    and the final reports must STILL equal the global one-shot — i.e.
+    every index reader (crossed/dup counts, _span_report) absorbs the
+    duplicated rows."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = _CrashBeforeSeenCommitStore(spark, str(tmp_path / "seencrash"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+        )
+    # positions landed, watermark did not → batch replays; the index
+    # now holds the batch's rows twice (tolerated multiset)
+    assert {4, 5} <= {
+        r["_id"]
+        for r in store.read("span_positions").select("_id").distinct().collect()
+    }
+    n = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n == 2
+    dup_rows = (
+        store.read("span_positions").filter("_id = 5 and pos >= 0").count()
+    )
+    assert dup_rows > 0 and dup_rows % 2 == 0  # duplicated, not lost
+    assert _span_reports(store) == _expected_span_reports(docs)
+    # duplicated index rows must not distort the point query either
+    hits = passage_search(
+        docs,
+        spark.createDataFrame([("gamma delta epsilon",)], "passage string"),
+        "doc_id",
+        "text",
+        k=3,
+        store=store,
+    ).collect()
+    assert {r["doc_id"] for r in hits} == {0, 5}
+    # and a further replay is a clean no-op
+    assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
+
+
+def test_incremental_spans_legacy_seen_backfill(spark, tmp_path):
+    """Upgrade path: a store whose positional index predates the
+    seen-docs watermark table gets the table backfilled from the
+    index's distinct ids on the first post-upgrade fold — no doc is
+    re-folded, and the fold then converges exactly as before."""
+    import shutil
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "legacyseen"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    # simulate a pre-r09 store: drop the watermark table
+    shutil.rmtree(store.path("span_seen_docs"))
+    assert not store.exists("span_seen_docs")
+    n = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n == 2  # ids <= 3 were NOT re-folded off the backfill
+    assert {
+        r["_id"] for r in store.read("span_seen_docs").collect()
+    } == {0, 1, 2, 3, 4, 5}
+    assert _span_reports(store) == _expected_span_reports(docs)
+    assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
+
+
+def test_incremental_spans_new_index_is_hp_bucketed(spark, tmp_path):
+    """A NEW positional index commits hive-partitioned by
+    hp = h mod buckets with the modulus stamped in the layout sidecar,
+    and the fold's Cut 1 (batch-present gram counts) prunes its
+    history scan to the batch's prefixes at the directory level."""
+    import os
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        GH_BUCKETS,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "hpbkt"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    assert store.partitioning("span_positions") == ["hp"]
+    assert any(
+        d.startswith("hp=")
+        for d in os.listdir(store.path("span_positions"))
+    )
+    meta = store.read_layout_meta("span_positions")
+    assert meta == {"bucket_col": "hp", "hash_col": "h", "buckets": GH_BUCKETS}
+    # the fold's Cut-1 read shape: an hp prefix filter reaches the
+    # FileScan as a PARTITION filter (directory pruning)
+    pruned = store.read("span_positions").filter(F.col("hp").isin([0, 1, 2]))
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "hp" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+    # retroactive fold over the bucketed layout stays oracle-exact
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert _span_reports(store) == _expected_span_reports(docs)
+
+
+def test_incremental_spans_legacy_flat_index_keeps_working(spark, tmp_path):
+    """A positional index committed before bucketing (flat layout)
+    must keep folding on the flat path — no layout mixing, no prune
+    filter, identical reports — until rebucket_span_positions
+    migrates it."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        _gram_positions,
+        incremental_duplicated_spans,
+        passage_search,
+        rebucket_span_positions,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "flatspan"))
+    # seed a LEGACY index: flat (_id, pos, n_toks, h), as the pre-r09
+    # operator committed it, with no seen table and no sidecar
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    store.append(
+        _gram_positions(
+            b1.select(F.col("doc_id").alias("_id"), "text"), "_id", "text", 3
+        ).select("_id", "pos", "n_toks", "h"),
+        "span_positions",
+    )
+    # fold batch 1 reports the legacy store never wrote: replaying the
+    # SAME batch ids is a no-op (watermark backfilled off the index)
+    assert incremental_duplicated_spans(b1, store, k=3, min_docs=2) == 0
+    # batch 2 folds on the flat path
+    n = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n == 2
+    assert store.partitioning("span_positions") == []
+    # NOTE: the legacy seed above never ran a batch-1 report pass, so
+    # only batch-2-affected docs carry reports; the point query still
+    # answers over the full index
+    hits = passage_search(
+        docs,
+        spark.createDataFrame([("gamma delta epsilon",)], "passage string"),
+        "doc_id",
+        "text",
+        k=3,
+        store=store,
+    ).collect()
+    assert {r["doc_id"] for r in hits} == {0, 5}
+    # migration: one-shot rebucket, then folds and point queries prune
+    rebucket_span_positions(store)
+    assert store.partitioning("span_positions") == ["hp"]
+    assert store.read_layout_meta("span_positions")["buckets"] > 0
+    hits2 = passage_search(
+        docs,
+        spark.createDataFrame([("gamma delta epsilon",)], "passage string"),
+        "doc_id",
+        "text",
+        k=3,
+        store=store,
+    ).collect()
+    assert {r["doc_id"] for r in hits2} == {0, 5}
+    # idempotent
+    rebucket_span_positions(store)
+    assert store.partitioning("span_positions") == ["hp"]
+
+
+def test_passage_search_covers_unindexed_docs(spark, tmp_path):
+    """ADVICE r08 (medium): the index prune must not silently drop
+    docs that were never folded into the positional index — a
+    takedown query's recall cannot depend on index completeness.
+    Unindexed docs route through the full-scan verify."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "coverage"))
+    # index ONLY batch 1 (ids <= 3); doc 5 (a hit) stays unindexed
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    hits = passage_search(
+        docs,
+        spark.createDataFrame([("gamma delta epsilon",)], "passage string"),
+        "doc_id",
+        "text",
+        k=3,
+        store=store,
+    ).collect()
+    assert {r["doc_id"] for r in hits} == {0, 5}  # 5 found WITHOUT index
+
+
+def test_span_index_respects_persisted_modulus(spark, tmp_path):
+    """The bucket modulus is resolved from the table's layout sidecar,
+    never the GH_BUCKETS constant: an index committed at a different
+    modulus keeps pruning correctly (ADVICE r08: a changed constant
+    must not silently prune the wrong directories)."""
+    import os
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "mod8"))
+    # pre-stamp a non-default modulus, as if GH_BUCKETS were 8 when
+    # this index was first committed
+    store.write_layout_meta(
+        "span_positions", {"bucket_col": "hp", "hash_col": "h", "buckets": 8}
+    )
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    buckets_on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store.path("span_positions"))
+        if d.startswith("hp=")
+    }
+    assert buckets_on_disk and all(0 <= b < 8 for b in buckets_on_disk)
+    assert _span_reports(store) == _expected_span_reports(docs)
+    hits = passage_search(
+        docs,
+        spark.createDataFrame([("gamma delta epsilon",)], "passage string"),
+        "doc_id",
+        "text",
+        k=3,
+        store=store,
+    ).collect()
+    assert {r["doc_id"] for r in hits} == {0, 5}
 
 
 # ---------------------------------------------------------------------------

@@ -158,3 +158,12 @@ def test_passage_search_broadcasts_needle_and_prunes(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2  # gram-hash cut + id semi
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row needle cross
     assert "SortMergeJoin" not in plan
+    # the candidate cut's index scan must PRUNE to the needle's hash
+    # prefixes at the directory level (hp-bucketed layout, r09): the
+    # PartitionFilters entry on the span_positions FileScan is the
+    # 100 TB contract — without it every takedown query reads the
+    # whole positional index
+    assert store.partitioning("span_positions") == ["hp"]
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*hp#\d+", plan), plan

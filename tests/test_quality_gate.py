@@ -193,3 +193,85 @@ def test_recalibration_changes_only_future_batches(spark, tmp_path):
     assert {k: after[k] for k in first} == first
     new_rows = {k: v for k, v in after.items() if k not in first}
     assert new_rows and all(v[1] == c2.model_version for v in new_rows.values())
+
+
+def test_sampled_calibration_equals_exact_when_sample_covers(spark, tmp_path):
+    """max_ref_sample >= the reference slice: the maintained bottom-k
+    hash sample IS the slice, so the sampled path reproduces the exact
+    calibration bit-for-bit (the maintained≡global equivalence of
+    VERDICT r08 Next #7)."""
+    store_e = Store(spark, str(tmp_path / "exact"))
+    store_s = Store(spark, str(tmp_path / "sampled"))
+    ref = _docs(spark, _REF)
+    calibrate_quality_gate(store_e, ref.filter("doc_id <= 20"))
+    ce = calibrate_quality_gate(store_e, ref.filter("doc_id > 20"))
+    calibrate_quality_gate(
+        store_s, ref.filter("doc_id <= 20"), max_ref_sample=100
+    )
+    cs = calibrate_quality_gate(
+        store_s, ref.filter("doc_id > 20"), max_ref_sample=100
+    )
+    assert cs == ce
+    # the sample table is committed and bounded
+    assert store_s.read_version("gate_ref_sample").count() == len(_REF)
+
+
+def test_sampled_calibration_bounds_rescore_state(spark, tmp_path):
+    """With a small max_ref_sample the maintained sample stays at k
+    rows regardless of how much reference history accumulates, equals
+    the global bottom-k-by-id-hash draw (the q118 closure), and the
+    threshold is the percentile of exactly that sample's xents."""
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+
+    store = Store(spark, str(tmp_path / "small"))
+    ref = _docs(spark, _REF)
+    calibrate_quality_gate(store, ref.filter("doc_id <= 20"), max_ref_sample=3)
+    c = calibrate_quality_gate(store, ref.filter("doc_id > 20"), max_ref_sample=3)
+    sample = store.read_version("gate_ref_sample")
+    assert sample.count() == 3
+    # maintained ≡ global draw: the 3 smallest id-hashes of the slice
+    want_ids = [
+        r["doc_id"]
+        for r in _docs(spark, _REF)
+        .withColumn("_h", portable_hash60(F.col("doc_id").cast("string")))
+        .orderBy("_h", "doc_id")
+        .limit(3)
+        .collect()
+    ]
+    assert sorted(r["doc_id"] for r in sample.collect()) == sorted(want_ids)
+    # threshold = ceil(0.9*3)=3rd smallest xent of the sampled docs
+    # under the full maintained model
+    from efiche_data_pipeline_spark.operators.lm import lm_model_from_store
+
+    model = lm_model_from_store(store, "gate_lm")
+    xents = sorted(
+        r["xent"]
+        for r in ngram_lm_score(
+            _docs(spark, [t for t in _REF if t[0] in set(want_ids)]),
+            model,
+            "doc_id",
+            "text",
+        ).collect()
+    )
+    assert c.n_ref == 3 and c.threshold == xents[2]
+    # replaying a committed batch leaves the sample untouched
+    c2 = calibrate_quality_gate(store, max_ref_sample=3)
+    assert c2 == c
+    assert store.read_version("gate_ref_sample").count() == 3
+
+
+def test_sampled_calibration_seeds_from_legacy_sink(spark, tmp_path):
+    """Turning sampling ON for a store whose reference sink predates
+    it must seed the sample from the FULL sink (one O(ref) pass), not
+    just from batches folded after the switch — otherwise the sample
+    would not be the global draw."""
+    store = Store(spark, str(tmp_path / "legacy"))
+    ref = _docs(spark, _REF)
+    calibrate_quality_gate(store, ref.filter("doc_id <= 20"))  # exact era
+    c = calibrate_quality_gate(
+        store, ref.filter("doc_id > 20"), max_ref_sample=100
+    )
+    # the sample covers the WHOLE slice, pre-switch batches included
+    assert store.read_version("gate_ref_sample").count() == len(_REF)
+    ce = calibrate_quality_gate(store)  # exact recompute, same state
+    assert c == ce
