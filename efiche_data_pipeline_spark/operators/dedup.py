@@ -1491,6 +1491,11 @@ def forget_documents(
     versioned table is vacuumed to its current version, so the ids
     survive in NO parquet file on disk (the GDPR walk test pins this).
     Returns {table: new version or None} for the tables touched.
+
+    The SPAN family (positional index / span reports / seen watermark
+    / passage flags) needs its own retroactive-shrink semantics and is
+    purged by :func:`forget_span_documents`; compose both calls for a
+    full-estate forget.
     """
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
     touched: dict[str, int | None] = {}
@@ -2125,6 +2130,125 @@ def rebucket_span_positions(
         positions_table,
         {"bucket_col": "hp", "hash_col": "h", "buckets": GH_BUCKETS},
     )
+
+
+def forget_span_documents(
+    store,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_docs: int = 2,
+    positions_table: str = "span_positions",
+    reports_table: str = "span_reports",
+    seen_table: str = "span_seen_docs",
+    flags_table: str = "passage_flags",
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the SPAN family — the q145/q174/q176
+    tables :func:`forget_documents` does not cover: purge the ids from
+    the positional index, the span reports, the seen-docs watermark,
+    and the passage-flag sink, INCLUDING the retroactive shrink span
+    semantics force: removing a document may drop one of its grams
+    below ``min_docs``, so every SURVIVING document sharing a
+    forgotten gram gets its report recomputed against the
+    survivor-only index (reports that lose every span are deleted —
+    the maintained table equals the one-shot
+    :func:`duplicated_span_report` over the survivors, the exact
+    mirror of the fold's retroactive GROWTH). ``k``/``min_docs`` must
+    match the fold's parameters.
+
+    Blind-retry convergent commit order — recompute everything pinned
+    FIRST, then mutate, survivors-upsert before any delete:
+
+    1. pin (forgotten grams, holders, recomputed holder reports) while
+       the positions index still holds the forgotten ids;
+    2. ``merge_upsert`` the recomputed non-empty holder reports
+       (idempotent);
+    3. ``delete_keys`` report rows of (forgotten ids ∪ zero-span
+       holders);
+    4. ``delete_keys`` the positions index (layout-preserving — the
+       hp-bucketed directories survive the rewrite);
+    5. ``delete_keys`` the seen watermark and the flags sink.
+
+    A crash anywhere replays: while step 4 has not run, the retry
+    recomputes identical pinned state from the intact index (steps
+    2-3 idempotent, step 2 restores any holder row a crashed step 3
+    removed); after step 4 the forgotten grams resolve to an empty
+    holder set and the retry degrades to re-running the pure deletes.
+    Deliberately O(index) like every GDPR walk (the q121 class) — the
+    scan cost of proving absence. Returns per-table deleted-row
+    bookkeeping ({table: rows deleted or recomputed}).
+    """
+    ids = (
+        ids.select(F.col(id_col).alias("_id")).distinct().localCheckpoint(eager=True)
+    )
+    out: dict[str, int] = {}
+    pos_cols = ["_id", "pos", "n_toks", "h"]
+    have_index = store.exists(positions_table)
+    if have_index:
+        hist = store.read(positions_table).select(*pos_cols)
+        agrams = (
+            hist.join(ids, "_id", "left_semi")
+            .filter("pos >= 0")
+            .select("h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        kept_view = hist.join(ids, "_id", "left_anti").filter("pos >= 0")
+        holders = (
+            kept_view.join(agrams, "h", "left_semi")
+            .select("_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        apos = kept_view.join(holders, "_id", "left_semi")
+        ag = apos.select("h").distinct()
+        dup = (
+            kept_view.join(ag, "h", "left_semi")
+            .groupBy("h")
+            .agg(F.countDistinct("_id").alias("d"))
+            .filter(F.col("d") >= min_docs)
+            .select("h")
+        )
+        new_reports = (
+            _span_report(apos.join(dup, "h", "left_semi"), k)
+            .withColumnRenamed("_id", id_col)
+            .localCheckpoint(eager=True)
+        )
+        zero = (
+            holders.join(
+                new_reports.select(F.col(id_col).alias("_id")),
+                "_id",
+                "left_anti",
+            )
+            .select(F.col("_id").alias(id_col))
+            .localCheckpoint(eager=True)
+        )
+        if store.exists(reports_table):
+            store.merge_upsert(new_reports, reports_table, [id_col])
+            gone = zero.unionByName(
+                ids.select(F.col("_id").alias(id_col))
+            ).distinct()
+            store.delete_keys(reports_table, gone, id_col)
+            out[reports_table] = new_reports.count()
+        store.delete_keys(positions_table, ids, "_id")
+        out[positions_table] = agrams.count()
+    elif store.exists(reports_table):
+        # no index (already purged / never built): the ids may still
+        # name report rows — delete them; no holder recompute is
+        # possible or needed (their grams are gone from the index)
+        store.delete_keys(
+            reports_table, ids.select(F.col("_id").alias(id_col)), id_col
+        )
+        out[reports_table] = 0
+    if store.exists(seen_table):
+        store.delete_keys(seen_table, ids, "_id")
+        out[seen_table] = 0
+    if store.exists(flags_table):
+        store.delete_keys(
+            flags_table, ids.select(F.col("_id").alias(id_col)), id_col
+        )
+        out[flags_table] = 0
+    return out
 
 
 def simhash_hamming_pairs(

@@ -6568,6 +6568,71 @@ WHERE instr(t, ' ' || p || ' ') > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q177 — span-family FORGET compliance (operators/dedup.py:
+# forget_span_documents): the GDPR walk for the q145/q174/q176 tables,
+# INCLUDING the retroactive SHRINK span semantics force — removing a
+# document may drop a gram below min_docs, so surviving documents
+# sharing a forgotten gram get their reports recomputed against the
+# survivor-only index (zero-span holders disappear), the exact mirror
+# of q145's retroactive growth. The registered shape folds the corpus
+# in two batches, forgets doc_id % 7 == 0, and returns the maintained
+# reports; the oracle is q144's one-shot over the SURVIVORS — if the
+# maintained table kept any forgotten influence (a span held up only
+# by a forgotten doc, a stale report row), the hash would diverge.
+# Reference anchor: none (beyond-reference tier); family forget is
+# operators/dedup.py:forget_documents (q121), fold is q145.
+# ---------------------------------------------------------------------------
+def q177_span_forget_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        _parallelize_scan,
+        forget_span_documents,
+        incremental_duplicated_spans,
+    )
+    from ..pipeline.store import Store
+
+    docs = _parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_spanforget_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            k=_SPAN_K,
+            min_docs=_SPAN_MIN_DOCS,
+        )
+        n2 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            k=_SPAN_K,
+            min_docs=_SPAN_MIN_DOCS,
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must introduce documents")
+        gone = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        _require(gone.limit(1).count() > 0, "the forget set must be non-empty")
+        forget_span_documents(
+            store, gone, k=_SPAN_K, min_docs=_SPAN_MIN_DOCS
+        )
+        return _finish_with_store(store.read("span_reports"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+# the one-shot q144 over the survivors, verbatim
+ORACLES["q177_span_forget_compliance"] = ORACLES[
+    "q144_duplicated_spans"
+].replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")
+assert "WHERE doc_id % 7 <> 0" in ORACLES["q177_span_forget_compliance"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -1498,3 +1498,102 @@ def test_passage_watchlist_folds_equal_global_and_replay_noop(spark, tmp_path):
     # re-seeding is an idempotent overwrite
     seed_passage_watchlist(store, passages)
     assert incremental_passage_flags(docs, store) == 0
+
+
+def test_forget_span_documents_equals_survivor_one_shot(spark, tmp_path):
+    """GDPR for the span family: after forgetting ids, the maintained
+    reports equal the one-shot duplicated_span_report over the
+    SURVIVORS — including the retroactive SHRINK (a surviving doc
+    whose only span partner is forgotten loses its report), the exact
+    mirror of the fold's retroactive growth. Positions/seen/flags no
+    longer name the ids, the hp layout survives the rewrite, and a
+    blind retry is a no-op."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        forget_span_documents,
+        incremental_duplicated_spans,
+        incremental_passage_flags,
+        seed_passage_watchlist,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "spanforget"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    seed_passage_watchlist(
+        store,
+        spark.createDataFrame(
+            [(1, "red green blue")], "needle_id long, passage string"
+        ),
+        k=3,
+    )
+    incremental_passage_flags(docs, store, k=3)
+    assert {
+        r["doc_id"] for r in store.read("passage_flags").collect()
+    } == {1, 2}
+    # forget doc 1: doc 2 loses its only span partner (retroactive
+    # shrink to ZERO spans -> its report row must disappear), doc 0/5
+    # keep theirs
+    gone = spark.createDataFrame([(1,)], "doc_id long")
+    forget_span_documents(store, gone, k=3, min_docs=2)
+    survivors = docs.filter("doc_id != 1")
+    assert _span_reports(store) == _expected_span_reports(survivors)
+    assert 2 not in _span_reports(store)  # the shrink, explicitly
+    assert (
+        store.read("span_positions").filter("_id = 1").count() == 0
+        and store.read("span_seen_docs").filter("_id = 1").count() == 0
+        and store.read("passage_flags").filter("doc_id = 1").count() == 0
+    )
+    # layout preserved through the delete rewrite
+    assert store.partitioning("span_positions") == ["hp"]
+    # blind retry converges to the same state
+    forget_span_documents(store, gone, k=3, min_docs=2)
+    assert _span_reports(store) == _expected_span_reports(survivors)
+    # a later fold keeps working (and may re-introduce the id afresh)
+    assert incremental_duplicated_spans(
+        docs.filter("doc_id = 1"), store, k=3, min_docs=2
+    ) == 1
+    assert _span_reports(store) == _expected_span_reports(docs)
+
+
+class _CrashAfterUpsertStore(Store):
+    """Injects ONE crash between forget_span_documents' holder-report
+    upsert (step 2) and the report delete (step 3)."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def delete_keys(self, table, keys, key_col):
+        if self.armed and table == "span_reports":
+            self.armed = False
+            raise RuntimeError("injected crash before report delete")
+        return super().delete_keys(table, keys, key_col)
+
+
+def test_forget_span_documents_crash_retry_converges(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        forget_span_documents,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = _CrashAfterUpsertStore(spark, str(tmp_path / "sfcrash"))
+    incremental_duplicated_spans(docs, store, k=3, min_docs=2)
+    gone = spark.createDataFrame([(1,)], "doc_id long")
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        forget_span_documents(store, gone, k=3, min_docs=2)
+    # positions intact (step 4 never ran) -> the blind retry
+    # recomputes identical pinned state and completes every step
+    assert store.read("span_positions").filter("_id = 1").count() > 0
+    forget_span_documents(store, gone, k=3, min_docs=2)
+    assert _span_reports(store) == _expected_span_reports(
+        docs.filter("doc_id != 1")
+    )
+    assert store.read("span_positions").filter("_id = 1").count() == 0
