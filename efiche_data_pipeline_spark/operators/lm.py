@@ -350,14 +350,20 @@ def incremental_lm(
 
 
 def lm_model_from_store(store, model_table: str = "lm_model") -> DataFrame:
-    """The current model: sum the layered +deltas. Equal to the
-    one-shot `lm_count_delta` over every folded batch by
-    associativity; callers pin the (vocab-bounded) result before
-    scoring with it."""
+    """The current model: sum the layered ±deltas. Equal to the
+    one-shot `lm_count_delta` over every folded batch MINUS every
+    forgotten one, by associativity (negative layers come from
+    :func:`forget_gate_documents`); callers pin the (vocab-bounded)
+    result before scoring with it. Counts cancelled to zero are
+    DROPPED — a 0-count unigram row would inflate the smoothing
+    vocabulary size versus a survivor-trained model, breaking the
+    forgotten ≡ survivor-trained equivalence (it also filters the
+    freq-0 retry-ledger marker rows, which never reach any sum)."""
     return (
         store.read_union(model_table)
         .groupBy("kind", "w1", "w2")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
     )
 
 
@@ -450,6 +456,11 @@ def _ref_sample_fold(
             .drop("_rn")
         )
     merged = cut.localCheckpoint(eager=True)
+    # stamp the configured k in the table's layout sidecar: a forget's
+    # redraw must use the TRUE k, not the current row count (a slice
+    # smaller than k would otherwise shrink the cap permanently and
+    # break the maintained ≡ global-draw closure for later folds)
+    store.write_layout_meta(sample_table, {"sample_k": int(k)})
     store.write_version(merged, sample_table)
     return merged
 
@@ -615,6 +626,7 @@ def gate_pool_batch(
         store.read_union(model_table, version=int(calib["model_version"]))
         .groupBy("kind", "w1", "w2")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)  # drop forget-cancelled counts/markers
         .localCheckpoint(eager=True)
     )
     kept = (
@@ -630,3 +642,144 @@ def gate_pool_batch(
     if n:
         store.append_new(kept, scores_table, key=id_col)
     return int(n)
+
+
+def forget_gate_documents(
+    store,
+    ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_table: str = "gate_lm",
+    ref_table: str = "gate_ref_docs",
+    calib_table: str = "gate_calibration",
+    scores_table: str = "gate_scores",
+    docs_table: str = "gate_docs",
+    sample_table: str = "gate_ref_sample",
+    pct_num: int = 9,
+    pct_den: int = 10,
+) -> GateCalibration:
+    """Right-to-be-forgotten for the CALIBRATED-GATE family — the
+    count-table twin of forget_vocab_documents composed across every
+    table the gate maintains: the layered n-gram model (forgotten
+    REFERENCE docs' counts subtracted as one atomic negative delta —
+    counts are associative sums, so the model then equals training on
+    the survivors alone), the reference sink, the intake docs sink,
+    the online verdict sink, the bounded re-score sample (re-seeded
+    from the survivor sink — a hole-punched sample would no longer be
+    the global bottom-k draw), and finally a RE-CALIBRATION commit so
+    the stored threshold is a pure function of surviving state only.
+    Already-shipped verdicts for OTHER documents stand (version-tagged
+    at-intake semantics); the forgotten ids' own verdict rows purge.
+
+    Blind-retry safe, the forget_vocab_documents protocol: each
+    forgotten REF id is recorded as a cnt=0 ``(forgotten)`` marker row
+    committed INSIDE the same atomic negative layer (kind never
+    matches 'uni'/'big', and `lm_model_from_store`'s cnt>0 filter
+    drops markers and cancelled counts alike), so a crash anywhere
+    re-runs to deletes-only; every delete is keyed and idempotent,
+    and the sample re-seed + re-calibration are pure recomputes of
+    surviving state. Raises BEFORE any mutation if the forget would
+    eliminate the entire reference slice — a gate with no trusted
+    references cannot stay calibrated; decommission it instead.
+
+    Returns the post-forget calibration."""
+    from ..operators.bpe import FORGOTTEN_MARKER
+
+    wanted = sorted({int(i) for i in ids})
+    if store.current_version(model_table) is None or not store.exists(ref_table):
+        raise ValueError("forget_gate_documents: no calibrated gate exists")
+    survivors = store.read(ref_table).filter(~F.col(id_col).isin(wanted))
+    if survivors.limit(1).count() == 0:
+        raise ValueError(
+            "forget_gate_documents: the forget set covers the entire "
+            "reference slice — the gate cannot stay calibrated; "
+            "decommission it instead of forgetting it empty"
+        )
+    # retry ledger: ids whose negative delta already committed
+    already = {
+        int(r["batch_max_id"])
+        for r in store.read_union(model_table)
+        .filter(
+            (F.col("kind") == FORGOTTEN_MARKER)
+            & F.col("batch_max_id").isin(wanted)
+        )
+        .select("batch_max_id")
+        .distinct()
+        .collect()
+    }
+    pending = [i for i in wanted if i not in already]
+    gone = (
+        store.read(ref_table)
+        .filter(F.col(id_col).isin(pending))
+        .localCheckpoint(eager=True)
+    )
+    gone_ids = sorted(
+        int(r[id_col]) for r in gone.select(id_col).distinct().collect()
+    )
+    if gone_ids:
+        wm = store.read_union(model_table).agg(F.max("batch_max_id")).first()[0]
+        neg = lm_count_delta(gone, id_col, text_col).select(
+            "kind",
+            "w1",
+            "w2",
+            (-F.col("cnt")).alias("cnt"),
+        ).withColumn("batch_max_id", F.lit(int(wm)).cast("long"))
+        markers = gone.sparkSession.createDataFrame(
+            [(FORGOTTEN_MARKER, None, None, 0, i) for i in gone_ids],
+            "kind string, w1 string, w2 string, cnt long, batch_max_id long",
+        )
+        store.append_version(neg.unionByName(markers), model_table)
+    # keyed deletes — each idempotent under blind retry
+    key_frame = store.spark.createDataFrame(
+        [(i,) for i in wanted], f"{id_col} long"
+    )
+    store.delete_keys(ref_table, key_frame, id_col)
+    for t in (docs_table, scores_table):
+        if store.exists(t):
+            store.delete_keys(t, key_frame, id_col)
+    # re-seed the bounded sample from the survivor sink (pure
+    # recompute; write_version is idempotent); then re-calibrate so
+    # the stored snapshot derives from surviving state only
+    sample_k = None
+    if store.current_version(sample_table) is not None:
+        meta = store.read_layout_meta(sample_table) or {}
+        sample_k = int(
+            meta.get("sample_k") or store.read_version(sample_table).count()
+        )
+        # preserve the sample CAP the deployment chose (the sidecar
+        # value, not the current row count — a slice smaller than k
+        # must not shrink the cap permanently); the content redraws
+        # from the survivor sink directly (the stored sample may
+        # contain forgotten ids, so _ref_sample_fold's no-batch fast
+        # path — which trusts the stored sample — cannot be used)
+        from ..functions.hashing import portable_hash60
+        from .ranking import global_row_number
+
+        redraw = (
+            global_row_number(
+                store.read(ref_table)
+                .select(id_col, text_col)
+                .withColumn(
+                    "_h", portable_hash60(F.col(id_col).cast("string"))
+                ),
+                ["_h", id_col],
+                out_col="_rn",
+            )
+            .filter(F.col("_rn") <= sample_k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        store.write_version(redraw, sample_table)
+    return calibrate_quality_gate(
+        store,
+        None,
+        id_col=id_col,
+        text_col=text_col,
+        model_table=model_table,
+        ref_table=ref_table,
+        calib_table=calib_table,
+        pct_num=pct_num,
+        pct_den=pct_den,
+        max_ref_sample=sample_k,
+        sample_table=sample_table,
+    )

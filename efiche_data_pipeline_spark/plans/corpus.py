@@ -6633,6 +6633,90 @@ ORACLES["q177_span_forget_compliance"] = ORACLES[
 assert "WHERE doc_id % 7 <> 0" in ORACLES["q177_span_forget_compliance"]
 
 
+# ---------------------------------------------------------------------------
+# Q178 — gate-family FORGET compliance (operators/lm.py:
+# forget_gate_documents): GDPR for the calibrated gate — forgotten
+# REFERENCE docs' n-gram counts subtract as one atomic negative
+# layer (counts are associative sums, so the maintained model then
+# equals training on the survivors alone — lm_model_from_store drops
+# counts cancelled to zero, which is what keeps the smoothing
+# vocabulary size survivor-exact), the ref/docs/verdict sinks purge,
+# and the calibration re-commits as a pure function of surviving
+# state. The registered shape builds the q170 gate, forgets
+# doc_id % 17 == 0 (refs AND pool), then re-judges the surviving pool
+# under the post-forget calibration; the oracle is q159's one-shot
+# gate over the SURVIVOR corpus — any forgotten influence left in the
+# model, threshold, or verdicts diverges the hash.
+# Reference anchor: none (beyond-reference tier); family forgets are
+# q121 (dedup estate), q177 (span estate), forget_vocab (tokenizer).
+# ---------------------------------------------------------------------------
+def q178_gate_forget_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.lm import (
+        calibrate_quality_gate,
+        forget_gate_documents,
+        gate_pool_batch,
+        lm_model_from_store,
+        ngram_lm_score,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    pool = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
+    lo, hi = train.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_gateforget_")
+    store = Store(spark, tmp_root)
+    try:
+        calibrate_quality_gate(store, train.filter(F.col("doc_id") <= split))
+        calibrate_quality_gate(store, train.filter(F.col("doc_id") > split))
+        gate_pool_batch(pool, store)
+        gone = [
+            int(r["doc_id"])
+            for r in docs.filter(F.col("doc_id") % 17 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        _require(
+            any(i % _LM_TRAIN_MOD == 0 for i in gone)
+            and any(i % _LM_TRAIN_MOD != 0 for i in gone),
+            "the forget set must cover reference AND pool documents",
+        )
+        calib = forget_gate_documents(store, gone)
+        # re-judge the SURVIVING pool under the post-forget state —
+        # the q159 shape the survivor oracle replays
+        model = lm_model_from_store(store, "gate_lm").localCheckpoint(
+            eager=True
+        )
+        out = (
+            ngram_lm_score(
+                pool.filter(F.col("doc_id") % 17 != 0),
+                model,
+                "doc_id",
+                "text",
+            )
+            .filter(F.col("xent") <= F.lit(calib.threshold))
+            .withColumn("threshold", F.lit(calib.threshold))
+            .select(
+                "doc_id", "n_tokens", "n_oov", "n_hit_bigrams", "xent", "threshold"
+            )
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+# the one-shot q159 gate over the survivors, verbatim
+ORACLES["q178_gate_forget_compliance"] = ORACLES[
+    "q159_calibrated_quality_gate"
+].replace("FROM documents", "FROM documents WHERE doc_id % 17 <> 0")
+assert "WHERE doc_id % 17 <> 0" in ORACLES["q178_gate_forget_compliance"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -275,3 +275,110 @@ def test_sampled_calibration_seeds_from_legacy_sink(spark, tmp_path):
     assert store.read_version("gate_ref_sample").count() == len(_REF)
     ce = calibrate_quality_gate(store)  # exact recompute, same state
     assert c == ce
+
+
+def test_forget_gate_documents_equals_survivor_training(spark, tmp_path):
+    """GDPR for the gate family: after forgetting a reference doc and
+    a pool doc, the maintained model equals training on the surviving
+    references alone (negative-delta subtraction + the cnt>0 cancel
+    filter), the re-committed calibration equals a from-scratch gate
+    over the survivors, every sink stops naming the ids, surviving
+    verdicts stand, and a blind retry is a no-op."""
+    from efiche_data_pipeline_spark.operators.lm import (
+        forget_gate_documents,
+        lm_model_from_store,
+    )
+
+    store = Store(spark, str(tmp_path / "gforget"))
+    ref = _docs(spark, _REF)
+    pool = _docs(spark, _POOL)
+    calibrate_quality_gate(store, ref.filter("doc_id <= 20"))
+    calibrate_quality_gate(store, ref.filter("doc_id > 20"))
+    gate_pool_batch(pool, store)
+    kept_before = {
+        r["doc_id"] for r in store.read("gate_scores").collect()
+    }
+    assert 1 in kept_before  # the pool id we will forget was kept
+
+    c = forget_gate_documents(store, [10, 1])
+
+    # model ≡ survivor-trained (fresh store, survivors only)
+    twin = Store(spark, str(tmp_path / "gtwin"))
+    ct = calibrate_quality_gate(twin, ref.filter("doc_id != 10"))
+    got_model = sorted(
+        tuple(r)
+        for r in lm_model_from_store(store, "gate_lm").collect()
+    )
+    want_model = sorted(
+        tuple(r)
+        for r in lm_model_from_store(twin, "gate_lm").collect()
+    )
+    assert got_model == want_model
+    assert (c.n_ref, c.k, c.threshold) == (ct.n_ref, ct.k, ct.threshold)
+    # sinks purged; surviving verdicts stand verbatim
+    assert store.read("gate_ref_docs").filter("doc_id = 10").count() == 0
+    # (gate_docs is the STREAM's intake sink — absent here, and forget
+    # skips missing tables by contract)
+    assert store.read("gate_scores").filter("doc_id = 1").count() == 0
+    assert {
+        r["doc_id"] for r in store.read("gate_scores").collect()
+    } == kept_before - {1}
+    # blind retry converges (negative delta NOT applied twice)
+    c2 = forget_gate_documents(store, [10, 1])
+    assert (c2.n_ref, c2.k, c2.threshold) == (c.n_ref, c.k, c.threshold)
+    assert sorted(
+        tuple(r) for r in lm_model_from_store(store, "gate_lm").collect()
+    ) == want_model
+
+
+def test_forget_gate_documents_reseeds_sample(spark, tmp_path):
+    """Sampled-mode forget: the bounded sample redraws as the global
+    bottom-k over the SURVIVOR sink (a hole-punched sample would no
+    longer be the closure draw), the configured cap survives via the
+    sidecar even when the slice is smaller than k, and the re-committed
+    calibration matches a from-scratch sampled gate over survivors."""
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.operators.lm import forget_gate_documents
+
+    store = Store(spark, str(tmp_path / "sforget"))
+    ref = _docs(spark, _REF)
+    calibrate_quality_gate(store, ref, max_ref_sample=3)
+    in_sample = {
+        r["doc_id"] for r in store.read_version("gate_ref_sample").collect()
+    }
+    victim = sorted(in_sample)[0]
+    c = forget_gate_documents(store, [victim])
+    # redraw equals bottom-3-by-id-hash over the survivors
+    want = {
+        r["doc_id"]
+        for r in ref.filter(F.col("doc_id") != victim)
+        .withColumn("_h", portable_hash60(F.col("doc_id").cast("string")))
+        .orderBy("_h", "doc_id")
+        .limit(3)
+        .collect()
+    }
+    got = {
+        r["doc_id"] for r in store.read_version("gate_ref_sample").collect()
+    }
+    assert got == want and victim not in got
+    assert store.read_layout_meta("gate_ref_sample")["sample_k"] == 3
+    twin = Store(spark, str(tmp_path / "stwin"))
+    ct = calibrate_quality_gate(
+        twin, ref.filter(F.col("doc_id") != victim), max_ref_sample=3
+    )
+    assert (c.n_ref, c.k, c.threshold) == (ct.n_ref, ct.k, ct.threshold)
+
+
+def test_forget_gate_documents_refuses_emptying_the_slice(spark, tmp_path):
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.lm import forget_gate_documents
+
+    store = Store(spark, str(tmp_path / "gempty"))
+    calibrate_quality_gate(store, _docs(spark, _REF))
+    v = store.current_version("gate_lm")
+    with pytest.raises(ValueError, match="entire reference slice"):
+        forget_gate_documents(store, [i for i, _ in _REF])
+    # zero mutation: model version and sink untouched
+    assert store.current_version("gate_lm") == v
+    assert store.read("gate_ref_docs").count() == len(_REF)
