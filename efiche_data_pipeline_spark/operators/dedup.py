@@ -2050,6 +2050,130 @@ def passage_search(
     )
 
 
+def passage_search_many(
+    docs: DataFrame,
+    passages: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    store=None,
+    positions_table: str = "span_positions",
+    seen_table: str = "span_seen_docs",
+) -> DataFrame:
+    """Batch takedown query — :func:`passage_search` for a WHOLE
+    needle list in one pass: ``passages`` is (needle_id, passage);
+    returns (doc_id, needle_id, pos) for every word-aligned
+    occurrence, the same engine-exact normalize-pad-locate semantics.
+    This is the RETRO half of the watchlist pair —
+    :func:`incremental_passage_flags` checks arriving batches against
+    a seeded list; this answers "which already-stored documents
+    contain any of these N passages" without N separate queries.
+
+    Scale shape: ONE gram pass over the needle list (tiny), one
+    index scan PRUNED to the union of all needles' hash prefixes on
+    an hp-bucketed layout, one broadcast join producing candidate
+    (doc, needle) pairs (lossless per needle — a token-aligned hit
+    shares every one of its k-grams), then one `locate` per surviving
+    pair. The same coverage guard as passage_search: docs absent from
+    the fold's seen watermark verify against EVERY needle via the
+    full path, so recall never depends on index completeness.
+    Needles shorter than ``k`` tokens are routed to the full path
+    too (no gram can prune for them)."""
+    needles = passages.select(
+        F.col("needle_id").cast("long").alias("needle_id"),
+        F.col("passage"),
+    ).localCheckpoint(eager=True)
+    ngrams = (
+        _gram_positions(
+            needles.select(
+                F.col("needle_id").alias(id_col),
+                F.col("passage").alias(text_col),
+            ),
+            id_col,
+            text_col,
+            k,
+        )
+        .filter("pos >= 0")
+        .select(F.col("_id").alias("needle_id"), "h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    short_needles = needles.join(ngrams, "needle_id", "left_anti")
+    long_needles = needles.join(ngrams, "needle_id", "left_semi")
+    pad = lambda c: F.concat(F.lit(" "), F.concat_ws(" ", tokens(c)), F.lit(" "))
+    verify = lambda cand_docs, cand_needles: (
+        cand_docs.join(F.broadcast(cand_needles), "needle_id")
+        .select(
+            F.col(id_col),
+            "needle_id",
+            F.expr("CAST(locate(_needle, _padded) AS BIGINT)").alias("pos"),
+        )
+        .filter(F.col("pos") > 0)
+    )
+    padded = lambda d: d.withColumn("_padded", pad(F.col(text_col)))
+    padded_needles = needles.select("needle_id", pad(F.col("passage")).alias("_needle"))
+    if (
+        store is not None
+        and store.exists(positions_table)
+        and ngrams.limit(1).count() > 0
+    ):
+        pos_scan = store.read(positions_table)
+        if store.partitioning(positions_table) == ["hp"]:
+            buckets = _persisted_buckets(store, positions_table)
+            prefixes = [
+                int(r["p"])
+                for r in ngrams.select(
+                    F.pmod(F.col("h"), F.lit(buckets)).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            pos_scan = pos_scan.filter(F.col("hp").isin(prefixes))
+        cand_pairs = (
+            pos_scan.filter("pos >= 0")
+            .join(F.broadcast(ngrams), "h")
+            .select(F.col("_id").alias(id_col), "needle_id")
+            .distinct()
+        )
+        if store.exists(seen_table):
+            covered = store.read(seen_table).select(F.col("_id").alias(id_col))
+        else:
+            covered = (
+                store.read(positions_table)
+                .select(F.col("_id").alias(id_col))
+                .distinct()
+            )
+        covered_docs = padded(docs.join(covered, id_col, "left_semi"))
+        uncovered_docs = padded(docs.join(covered, id_col, "left_anti"))
+        indexed_hits = verify(
+            covered_docs.join(cand_pairs, id_col).select(
+                id_col, "needle_id", "_padded"
+            ),
+            padded_needles,
+        )
+        # uncovered docs verify against EVERY long needle; short
+        # needles verify against EVERY doc (no gram prune exists)
+        uncov_hits = verify(
+            uncovered_docs.crossJoin(
+                F.broadcast(long_needles.select("needle_id"))
+            ).select(id_col, "needle_id", "_padded"),
+            padded_needles,
+        )
+        short_hits = verify(
+            padded(docs).crossJoin(
+                F.broadcast(short_needles.select("needle_id"))
+            ).select(id_col, "needle_id", "_padded"),
+            padded_needles,
+        )
+        return indexed_hits.unionByName(uncov_hits).unionByName(short_hits)
+    return verify(
+        padded(docs)
+        .crossJoin(F.broadcast(needles.select("needle_id")))
+        .select(id_col, "needle_id", "_padded"),
+        padded_needles,
+    )
+
+
 def rebucket_introducer_index(
     store, index_table: str = "shingle_introducer"
 ) -> int:

@@ -6717,6 +6717,67 @@ ORACLES["q178_gate_forget_compliance"] = ORACLES[
 assert "WHERE doc_id % 17 <> 0" in ORACLES["q178_gate_forget_compliance"]
 
 
+# ---------------------------------------------------------------------------
+# Q179 — batch passage search (operators/dedup.py:passage_search_many):
+# the RETRO half of the watchlist pair — q176 checks ARRIVING batches
+# against a seeded list; this answers "which already-stored documents
+# contain any of these N passages" in ONE pass instead of N q174
+# queries: one gram pass over the needle list, one index scan pruned
+# to the union of all needles' hash prefixes (hp-bucketed layout),
+# one broadcast join to candidate (doc, needle) pairs, one locate per
+# surviving pair; the q174 coverage guard routes unindexed docs (and
+# sub-k needles) through the full verify. Needles here are q176's
+# (first 6 tokens of the two smallest doc_ids), so the oracle is
+# q176's two-needle full-scan VERBATIM.
+# Reference anchor: none (beyond-reference tier); intake half q176,
+# single-needle form q174, index maintenance q145.
+# ---------------------------------------------------------------------------
+def q179_passage_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search_many,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = W.orderBy("doc_id")
+    passages = (
+        docs.orderBy("doc_id")
+        .limit(2)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("needle_id"),
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 6)).alias("passage"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_psmany_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must index documents")
+        out = passage_search_many(docs, passages, "doc_id", "text", k=6, store=store)
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+# the two-needle full retro scan — q176's oracle, verbatim
+ORACLES["q179_passage_search_many"] = ORACLES["q176_incremental_passage_flags"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

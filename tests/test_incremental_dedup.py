@@ -1597,3 +1597,64 @@ def test_forget_span_documents_crash_retry_converges(spark, tmp_path):
         docs.filter("doc_id != 1")
     )
     assert store.read("span_positions").filter("_id = 1").count() == 0
+
+
+def test_passage_search_many_matches_per_needle_and_covers(spark, tmp_path):
+    """passage_search_many ≡ the union of per-needle passage_search
+    over the same index; the coverage guard routes unindexed docs to
+    the full verify, and a sub-k needle takes the full path (no gram
+    can prune for it) while the long needles still use the index."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search,
+        passage_search_many,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "psmany"))
+    # index ONLY ids <= 3: doc 5 (a 'gamma delta epsilon' hit) is
+    # unindexed and must still be found via the coverage guard
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    passages = spark.createDataFrame(
+        [
+            (0, "gamma delta epsilon"),  # hits docs 0 and 5
+            (1, "red green blue"),  # hits docs 1 and 2
+            (2, "hi there"),  # 2 tokens < k: full-path needle; hits 3
+            (3, "no such passage here"),  # no hits
+        ],
+        "needle_id long, passage string",
+    )
+    got = {
+        (r["doc_id"], r["needle_id"], r["pos"])
+        for r in passage_search_many(
+            docs, passages, "doc_id", "text", k=3, store=store
+        ).collect()
+    }
+    # per-needle twin over the same store (single-needle operator has
+    # no sub-k index path either — it full-scans those)
+    want = set()
+    for nid, p in [(0, "gamma delta epsilon"), (1, "red green blue"),
+                   (2, "hi there"), (3, "no such passage here")]:
+        for r in passage_search(
+            docs,
+            spark.createDataFrame([(p,)], "passage string"),
+            "doc_id",
+            "text",
+            k=3,
+            store=store,
+        ).collect():
+            want.add((r["doc_id"], nid, r["pos"]))
+    assert got == want
+    assert (5, 0) in {(d, n) for d, n, _ in got}  # unindexed doc found
+    assert (3, 2) in {(d, n) for d, n, _ in got}  # sub-k needle found
+    assert not [t for t in got if t[1] == 3]  # no false positives
+    # storeless fallback ≡ the same result (pure full scan)
+    flat = {
+        (r["doc_id"], r["needle_id"], r["pos"])
+        for r in passage_search_many(
+            docs, passages, "doc_id", "text", k=3
+        ).collect()
+    }
+    assert flat == want
