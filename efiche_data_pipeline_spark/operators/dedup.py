@@ -1035,16 +1035,21 @@ def incremental_novelty(
         # it is O(batch distinct shingles)) keeps the exchange O(batch)
         # while the full index may hold 10^11 rows at corpus scale.
         hist_src = store.read_union(index_table)
-        if bucketed:
+        if bucketed and fresh_sh.count() <= 16 * buckets:
             # The index is laid out hive-partitioned by the hash
-            # prefix ghp = gh mod GH_BUCKETS, so the SCAN itself (not
+            # prefix ghp = gh mod buckets, so the SCAN itself (not
             # just the exchange) prunes to the batch's own prefixes —
-            # O(index/GH_BUCKETS x touched prefixes) bytes read. A
-            # saturating batch touches every prefix (uniform hashes)
-            # and reads everything, exactly as before; a small drop —
-            # the single-document re-fold, the GDPR spot-check — reads
-            # a sliver. The prefix set is <= GH_BUCKETS values
-            # (driver-bounded collect of an O(batch) aggregate).
+            # O(index/buckets x touched prefixes) bytes read. The
+            # prefix set is <= buckets values (driver-bounded collect
+            # of an O(batch) aggregate) — but the collect is only
+            # worth a job when the batch CAN leave prefixes untouched:
+            # with uniform hashes, >> buckets·ln(buckets) distinct
+            # shingles saturate every prefix (coupon collector), so a
+            # large batch skips straight to the full scan it would
+            # have read anyway. The prune pays on the shapes it exists
+            # for — the single-document re-fold, the GDPR spot-check,
+            # the trickle intake — and the shingle count is a cheap
+            # scan of the already-checkpointed batch frame.
             prefixes = [
                 int(r["p"])
                 for r in fresh_sh.select(
@@ -1387,12 +1392,17 @@ def incremental_duplicated_spans(
         # Cut 1 — which counts changed: only batch-present grams. On a
         # bucketed index the scan itself prunes to the batch's hash
         # prefixes (<= buckets values, collected from an O(batch)
-        # aggregate — the incremental_novelty recipe); a saturating
-        # batch touches every prefix and reads what the flat layout
-        # read.
+        # aggregate — the incremental_novelty recipe). The collect is
+        # only worth a job when the batch CAN leave prefixes untouched:
+        # with uniform hashes, >> buckets·ln(buckets) distinct grams
+        # saturate every prefix (coupon collector), so large batches
+        # skip straight to the full scan they would have read anyway —
+        # the prune exists for the single-doc re-fold / GDPR spot-check
+        # / trickle-intake shapes, and the gram count is a cheap scan
+        # of the already-checkpointed batch positions.
         bg = bgrams.select("h").distinct()
         hist_cut1 = hist
-        if buckets:
+        if buckets and bgrams.count() <= 16 * buckets:
             prefixes = [
                 int(r["p"])
                 for r in bg.select(hp_of(F.col("h")).alias("p"))

@@ -13,10 +13,19 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
+import sys
 import time
 
 import duckdb
 import pandas as pd
+
+# `python tools/driver_sim.py` puts tools/ (not the repo root) on
+# sys.path, so the `import __spark_entry__` below would fail without
+# PYTHONPATH=. — make the script location-independent instead.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def value_hash(pdf: pd.DataFrame) -> str:
