@@ -188,3 +188,47 @@ def test_forget_stream_crash_before_ledger_converges(spark, tmp_path):
     forget_gate_documents(twin, [1, 10])
     forget_vocab_documents(twin, [1, 10])
     assert _state(store) == _state(twin)
+
+
+def test_audit_forgotten_proves_the_purge(spark, tmp_path):
+    """The compliance sweep: before the forget, id-bearing columns
+    across the estates name the ids; after the streamed forget, every
+    live count is zero EXCEPT the count-table marker ledgers
+    (batch_max_id rows — the documented retry-ledger exception, cnt/
+    freq=0 rows with no document content)."""
+    from efiche_data_pipeline_spark.pipeline.compliance import (
+        audit_forgotten,
+    )
+
+    store = _seed_estates(spark, str(tmp_path / "audit"))
+    ids = [1, 10]
+    before = {
+        (r["table"], r["column"]): r["n_live_rows"]
+        for r in audit_forgotten(store, ids).collect()
+    }
+    assert sum(before.values()) > 0  # positive control
+    assert before[("span_positions", "_id")] > 0
+    assert before[("dedup_kept_docs", "doc_id")] == 2
+
+    src, ckpt = str(tmp_path / "req"), str(tmp_path / "ckpt")
+    _write_requests(spark, src, ids)
+    run_forget_stream(spark, src, store, ckpt, span_k=3)
+
+    after = audit_forgotten(store, ids).collect()
+    leaks = {
+        (r["table"], r["column"]): r["n_live_rows"]
+        for r in after
+        if r["n_live_rows"] > 0
+    }
+    # the only live matches are the retry-ledger marker rows (the
+    # forget ledger itself names the ids by design, as do the cnt=0
+    # marker rows inside the count tables)
+    allowed = {
+        ("forget_requests", "doc_id"),
+        ("bpe_vocab", "batch_max_id"),
+        ("gate_lm", "batch_max_id"),
+    }
+    assert set(leaks) <= allowed, leaks
+    # and the versioned estates report their retained-version counts,
+    # so a pending physical purge is visible on the sheet
+    assert all(r["n_versions"] >= 1 for r in after)
