@@ -334,3 +334,184 @@ def test_bpe_encoding_is_lossless_segmentation(spark, words):
     for r in enc.collect():
         syms = r["seq"][1:-1].split(")(")
         assert "".join(syms) == r["word"] + END_OF_WORD
+
+
+# ---- round-9 estate properties ---------------------------------------------
+
+_span_corpus = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=8).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=_span_corpus, mask=st.integers(min_value=0, max_value=63))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_forget_span_equals_survivor_one_shot(spark, texts, mask):
+    """For ANY corpus and ANY forget subset: fold everything, forget
+    the subset, and the maintained reports equal the one-shot
+    duplicated_span_report over the survivors — the q177 invariant as
+    an algebraic property (retroactive shrink included, since the
+    tiny alphabet makes shared/unshared grams common)."""
+    import shutil
+    import tempfile
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        duplicated_span_report,
+        forget_span_documents,
+        incremental_duplicated_spans,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    gone_ids = [i for i in range(len(texts)) if (mask >> i) & 1]
+    root = tempfile.mkdtemp(prefix="prop_spanforget_")
+    try:
+        store = Store(spark, root)
+        incremental_duplicated_spans(docs, store, k=2, min_docs=2)
+        forget_span_documents(
+            store,
+            spark.createDataFrame(
+                [(i,) for i in gone_ids] or [(-1,)], "doc_id long"
+            ),
+            k=2,
+            min_docs=2,
+        )
+        survivors = docs.filter(~F.col("doc_id").isin(gone_ids))
+        got = sorted(
+            tuple(r) for r in store.read("span_reports").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in duplicated_span_report(
+                survivors, k=2, min_docs=2
+            ).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    texts=_span_corpus,
+    needle_doc=st.integers(min_value=0, max_value=5),
+    start=st.integers(min_value=0, max_value=6),
+    length=st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_passage_search_many_matches_brute_force(
+    spark, texts, needle_doc, start, length
+):
+    """For ANY corpus and ANY token-slice needle (including sub-k
+    needles, which bypass the index): the indexed multi-needle search
+    equals the padded-locate brute force computed in Python."""
+    import shutil
+    import tempfile
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+        passage_search_many,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = texts[needle_doc % len(texts)].split()
+    needle = " ".join(toks[start % len(toks) :][:length]) or toks[0]
+    passages = spark.createDataFrame(
+        [(0, needle), (1, "zz qq xx")], "needle_id long, passage string"
+    )
+    root = tempfile.mkdtemp(prefix="prop_psmany_")
+    try:
+        store = Store(spark, root)
+        incremental_duplicated_spans(docs, store, k=3, min_docs=2)
+        got = sorted(
+            (r["doc_id"], r["needle_id"], r["pos"])
+            for r in passage_search_many(
+                docs, passages, "doc_id", "text", k=3, store=store
+            ).collect()
+        )
+        want = []
+        for nid, p in ((0, needle), (1, "zz qq xx")):
+            pad_n = " " + " ".join(p.split()) + " "
+            for i, t in enumerate(texts):
+                pad_t = " " + " ".join(t.split()) + " "
+                pos = pad_t.find(pad_n)
+                if pos >= 0:
+                    want.append((i, nid, pos + 1))
+        assert got == sorted(want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    split=st.integers(min_value=0, max_value=19),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ref_sample_fold_is_closed_under_batching(spark, ids, split, k):
+    """The gate's bounded re-score sample: folding ANY batch split
+    yields exactly the global bottom-k-by-id-hash draw (the KMV
+    closure the q170 sampling mode rests on)."""
+    import shutil
+    import tempfile
+
+    from efiche_data_pipeline_spark.functions.hashing import portable_hash60
+    from efiche_data_pipeline_spark.operators.lm import _ref_sample_fold
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    rows = [(i, f"text {i}") for i in sorted(ids)]
+    cut = split % len(rows)
+    b1, b2 = rows[: cut + 1], rows[cut + 1 :]
+    root = tempfile.mkdtemp(prefix="prop_refsample_")
+    try:
+        store = Store(spark, root)
+        for b in (b1, b2):
+            if b:
+                _ref_sample_fold(
+                    store,
+                    spark.createDataFrame(b, "doc_id long, text string"),
+                    "doc_id",
+                    "text",
+                    k,
+                    "gate_ref_docs",
+                    "gate_ref_sample",
+                )
+        got = sorted(
+            r["doc_id"]
+            for r in store.read_version("gate_ref_sample").collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in spark.createDataFrame(rows, "doc_id long, text string")
+            .withColumn("_h", portable_hash60(F.col("doc_id").cast("string")))
+            .orderBy("_h", "doc_id")
+            .limit(k)
+            .collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
