@@ -2496,6 +2496,111 @@ def seed_passage_watchlist(
     return store.write_version(grams, grams_table)
 
 
+def extend_passage_watchlist(
+    store,
+    new_passages: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    needles_table: str = "watch_needles",
+    grams_table: str = "watch_grams",
+    flags_table: str = "passage_flags",
+    positions_table: str = "span_positions",
+) -> int:
+    """Grow a LIVE watchlist — the takedown-list lifecycle step the
+    seed/intake pair alone cannot express: a needle added after docs
+    were ingested would never be checked against them
+    (:func:`incremental_passage_flags` checks each doc ONCE, under the
+    watchlist in force at its arrival). This composes both halves:
+    retro-flag the ALREADY-SEEN corpus against the NEW needles via the
+    batch point query (:func:`passage_search_many` — pruned by the
+    maintained positional index when the store has one), then re-seed
+    the union snapshot so intake covers the new needles from now on.
+    Returns the number of needles added.
+
+    ``seen_docs`` is the caller's (id, text) frame for the corpus
+    already past intake (the store keeps positions/hashes, never
+    text). New needle_ids must not collide with live ones — raises
+    BEFORE any commit otherwise (ids are the flag key's second half).
+
+    Blind-retry convergent, retro FIRST / seed LAST: the retro flags
+    append keyed on the (doc, needle) composite (idempotent) against
+    the NEW needles passed in (not the store, so a crashed half-seed
+    cannot hide them), then the needles and grams snapshots re-commit
+    as idempotent overwrites of the union. A crash anywhere replays
+    to convergence; intake keeps judging under the OLD watchlist
+    until the final grams commit lands (the snapshot is the version
+    boundary, exactly like a benchmark release in q123)."""
+    needles = new_passages.select(
+        F.col("needle_id").cast("long").alias("needle_id"),
+        F.col("passage"),
+    ).localCheckpoint(eager=True)
+    n_new = needles.count()
+    if n_new == 0:
+        return 0
+    have_list = store.current_version(needles_table) is not None
+    if have_list:
+        live = store.read_version(needles_table)
+        # a VERBATIM re-submission (same id, same passage) is a retry,
+        # not a collision — drop it and continue (blind-retry-safe
+        # even after a fully completed extension); a live id carrying
+        # a DIFFERENT passage is a genuine conflict and raises before
+        # any commit (the flag key embeds the id)
+        clash = (
+            needles.alias("n")
+            .join(live.alias("l"), "needle_id")
+            .filter(F.col("n.passage") != F.col("l.passage"))
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"extend_passage_watchlist: {clash} live needle_id(s) "
+                "re-used with a different passage — new needles must "
+                "use fresh ids (the flag key embeds them)"
+            )
+        needles = needles.join(
+            live.select("needle_id"), "needle_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_new = needles.count()
+        if n_new == 0:
+            return 0
+    # retro half: flag the already-seen corpus against the NEW needles
+    hits = passage_search_many(
+        seen_docs,
+        needles,
+        id_col,
+        text_col,
+        k=k,
+        store=store,
+        positions_table=positions_table,
+    ).withColumn(
+        "flag_key",
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("needle_id")),
+    )
+    store.append_new(
+        hits.select(id_col, "needle_id", "pos", "flag_key").localCheckpoint(
+            eager=True
+        ),
+        flags_table,
+        key="flag_key",
+    )
+    # seed half: re-commit the UNION snapshots (idempotent overwrite)
+    all_needles = (
+        store.read_version(needles_table).unionByName(needles)
+        if have_list
+        else needles
+    )
+    seed_passage_watchlist(
+        store,
+        all_needles,
+        k=k,
+        needles_table=needles_table,
+        grams_table=grams_table,
+    )
+    return int(n_new)
+
+
 def incremental_passage_flags(
     new_docs: DataFrame,
     store,

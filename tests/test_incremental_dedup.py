@@ -1658,3 +1658,153 @@ def test_passage_search_many_matches_per_needle_and_covers(spark, tmp_path):
         ).collect()
     }
     assert flat == want
+
+
+def test_extend_passage_watchlist_lifecycle(spark, tmp_path):
+    """Growing a live watchlist: already-ingested docs are
+    retro-flagged against the NEW needles (the q179 batch point query
+    over the maintained index), intake then covers old + new needles,
+    a blind retry is a no-op, and a needle_id collision raises before
+    any commit."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        extend_passage_watchlist,
+        incremental_duplicated_spans,
+        incremental_passage_flags,
+        seed_passage_watchlist,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "extend"))
+    batch1 = docs.filter("doc_id <= 3")
+    incremental_duplicated_spans(batch1, store, k=3, min_docs=2)
+    seed_passage_watchlist(
+        store,
+        spark.createDataFrame(
+            [(0, "red green blue")], "needle_id long, passage string"
+        ),
+        k=3,
+    )
+    incremental_passage_flags(batch1, store, k=3)
+    assert {
+        (r["doc_id"], r["needle_id"])
+        for r in store.read("passage_flags").collect()
+    } == {(1, 0), (2, 0)}
+
+    # extend with a needle that matches ALREADY-SEEN doc 0 — the old
+    # intake can never flag it; the retro half must
+    n = extend_passage_watchlist(
+        store,
+        spark.createDataFrame(
+            [(1, "alpha beta gamma")], "needle_id long, passage string"
+        ),
+        batch1,
+        k=3,
+    )
+    assert n == 1
+    flags = {
+        (r["doc_id"], r["needle_id"])
+        for r in store.read("passage_flags").collect()
+    }
+    assert flags == {(1, 0), (2, 0), (0, 1)}
+    # intake after the extension judges NEW docs under BOTH needles
+    incremental_passage_flags(
+        docs.filter("doc_id > 3").unionByName(
+            spark.createDataFrame(
+                [(6, "more alpha beta gamma text")], "doc_id long, text string"
+            )
+        ),
+        store,
+        k=3,
+    )
+    flags = {
+        (r["doc_id"], r["needle_id"])
+        for r in store.read("passage_flags").collect()
+    }
+    assert (6, 1) in flags
+    # blind retry of the COMPLETED extension (verbatim re-submission):
+    # a pure no-op, returns 0, state unchanged
+    import pytest
+
+    assert (
+        extend_passage_watchlist(
+            store,
+            spark.createDataFrame(
+                [(1, "alpha beta gamma")], "needle_id long, passage string"
+            ),
+            batch1,
+            k=3,
+        )
+        == 0
+    )
+    assert {
+        (r["doc_id"], r["needle_id"])
+        for r in store.read("passage_flags").collect()
+    } == flags
+    assert store.read_version("watch_needles").count() == 2
+    # re-using a LIVE id with a DIFFERENT passage is a genuine
+    # conflict: raises before any commit
+    with pytest.raises(ValueError, match="different passage"):
+        extend_passage_watchlist(
+            store,
+            spark.createDataFrame(
+                [(1, "some other passage")], "needle_id long, passage string"
+            ),
+            batch1,
+            k=3,
+        )
+    assert store.read_version("watch_needles").count() == 2
+
+
+class _CrashBeforeSeedStore(Store):
+    """Injects ONE crash between the retro-flag append and the
+    watchlist re-seed (the write_version of watch_needles)."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def write_version(self, df, table):
+        if self.armed and table == "watch_needles":
+            self.armed = False
+            raise RuntimeError("injected crash before watchlist seed")
+        return super().write_version(df, table)
+
+
+def test_extend_passage_watchlist_crash_converges(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        extend_passage_watchlist,
+        incremental_duplicated_spans,
+        incremental_passage_flags,
+        seed_passage_watchlist,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = _CrashBeforeSeedStore(spark, str(tmp_path / "extcrash"))
+    batch1 = docs.filter("doc_id <= 3")
+    incremental_duplicated_spans(batch1, store, k=3, min_docs=2)
+    seed_passage_watchlist(
+        store,
+        spark.createDataFrame(
+            [(0, "red green blue")], "needle_id long, passage string"
+        ),
+        k=3,
+    )
+    incremental_passage_flags(batch1, store, k=3)
+    new_needle = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "needle_id long, passage string"
+    )
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        extend_passage_watchlist(store, new_needle, batch1, k=3)
+    # retro flags landed, snapshot did not — intake still judges under
+    # the OLD watchlist (the version boundary), and the retry completes
+    assert store.read_version("watch_needles").count() == 1
+    assert (0, 1) in {
+        (r["doc_id"], r["needle_id"])
+        for r in store.read("passage_flags").collect()
+    }
+    assert extend_passage_watchlist(store, new_needle, batch1, k=3) == 1
+    assert store.read_version("watch_needles").count() == 2
+    assert store.read_version("watch_grams").select("needle_id").distinct().count() == 2
