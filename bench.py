@@ -85,6 +85,12 @@ HEADLINE = (
     # broadcast gram-hash prune + locate verify)
     "q170_incremental_quality_gate",
     "q174_passage_search",
+    # round-9 additions: the embedding-similarity decontamination
+    # screen (broadcast benchmark × corpus partial-max) and the
+    # per-epoch shuffled training order (in-task epoch Expand + the
+    # grouped two-level prefix-COUNT)
+    "q180_semantic_decontamination",
+    "q182_epoch_shuffle",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

@@ -228,3 +228,69 @@ def incremental_compression_ratio(
     if n:
         store.append_new(scored, table, key=id_col)
     return int(n)
+
+
+# ---------------------------------------------------------------------------
+# PII detection/redaction as a maintained intake pass. q65 is the
+# one-shot masking query; a production pipeline scans every arriving
+# batch ONCE and keeps the per-doc verdicts (counts + the fingerprint
+# of the redacted text) as a maintained table the release step reads.
+# The regexes are the canonical definitions — plans/extensions.py:q65
+# imports them, so the one-shot query and the maintained pass can
+# never drift apart.
+# ---------------------------------------------------------------------------
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\d{3}-\\d{4}"
+
+
+def pii_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII verdicts: email/phone match counts, a has_pii
+    flag, and the md5 fingerprint of the redacted text (emails then
+    phones masked — the q65 order, so a fingerprint equality proves
+    the redacted release text byte-identical without shipping it).
+    Pure per-doc computation — JVM regex engine, zero shuffle."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    n_em = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("int")
+    n_ph = F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("int")
+    return docs.select(
+        id_col,
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        ((n_em > 0) | (n_ph > 0)).alias("has_pii"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def incremental_pii_flags(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flags_table: str = "pii_flags",
+) -> int:
+    """Maintain :func:`pii_report` batch-by-batch — the masking pass
+    moved to intake. The verdicts are a pure PER-DOCUMENT function of
+    the text, so maintenance is one id-keyed idempotent append: the
+    flags table is its own watermark (fresh = anti-join on
+    ``id_col``), ONE commit per fold, NO crash window — the q128/q146
+    protocol verbatim. Maintained ≡ global is immediate (disjoint
+    union of per-doc rows). Returns the number of new documents
+    folded.
+
+    Cost per fold: batch text regex-scanned once; history is touched
+    only through the flag rows' id column."""
+    fresh = new_docs.select(id_col, text_col)
+    if store.exists(flags_table):
+        fresh = fresh.join(
+            store.read(flags_table).select(id_col), id_col, "left_anti"
+        )
+    rows = pii_report(fresh, id_col, text_col).localCheckpoint(eager=True)
+    n_new = rows.count()
+    if n_new:
+        store.append(rows, flags_table)
+    return n_new

@@ -176,3 +176,65 @@ def incremental_weighted_sample(
     )
     version = store.write_version(sample, table)
     return sample, version
+
+
+# ---------------------------------------------------------------------------
+# Epoch-shuffled training order: the loader-side artifact a
+# pretraining run derives per epoch — a fresh deterministic
+# permutation of the release for every pass over the data, WITHOUT
+# rewriting a byte of it.
+# ---------------------------------------------------------------------------
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_epochs: int,
+    seed: str = "seed42",
+    hash_buckets: int = 64,
+) -> DataFrame:
+    """Assign every row its global position under a seeded per-epoch
+    permutation: ``(epoch, id, position)`` for epoch 1..``n_epochs``,
+    where position is the 1-based rank of the portable order hash
+    ``md5(seed#ep<e>#id)`` within the epoch (ties — cryptographically
+    negligible at 60 bits — break by id). Re-running with the same
+    seed reproduces the order bit-identically on any engine and any
+    partitioning, which is what makes a training run resumable and a
+    data-order ablation reportable.
+
+    Scale shape: the epoch fan-out is an in-task Expand (explode over
+    a literal array — zero shuffle, the q77 unpivot lever), and the
+    per-epoch rank is the grouped two-level prefix-COUNT over the
+    order hash (operators/packing.py:global_prefix_sum with
+    ``group_cols=[epoch]``): rows bucket by hash magnitude, the
+    bounded window runs per (epoch, bucket), so no epoch ever funnels
+    through a single task — the q162 curriculum argument, with epoch
+    playing stage."""
+    from ..functions.hashing import portable_hash60
+    from .packing import global_prefix_sum
+
+    # int literals make the exploded column IntegerType directly — a
+    # generator cannot be nested inside a cast expression
+    epochs = F.array(*[F.lit(e).cast("int") for e in range(1, n_epochs + 1)])
+    fanned = df.select(
+        id_col, F.explode(epochs).alias("epoch")
+    ).withColumn(
+        "_h",
+        portable_hash60(
+            F.concat(
+                F.lit(f"{seed}#ep"),
+                F.col("epoch").cast("string"),
+                F.lit("#"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    )
+    ranked = global_prefix_sum(
+        fanned.withColumn("_one", F.lit(1)),
+        order_col="_h",
+        value_col="_one",
+        out_col="_rk",
+        bucket_size=2**60 // hash_buckets,
+        group_cols=["epoch"],
+    )
+    return ranked.select(
+        "epoch", id_col, (F.col("_rk") + 1).cast("long").alias("position")
+    )

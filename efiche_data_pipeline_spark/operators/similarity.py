@@ -1156,3 +1156,113 @@ def forget_vectors(
         if vacuum:
             store.vacuum_versions(profile_table, keep_last=1)
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-based) benchmark decontamination: the vector
+# member of the decontamination family. q66/q123 catch VERBATIM
+# overlap through n-gram shingles; paraphrased or lightly-rewritten
+# eval material shares no 5-gram but still embeds next to its source,
+# which is why modern pretraining hygiene (e.g. the phi/Llama eval-
+# contamination reports) adds an embedding-similarity screen against
+# the benchmark suite. The held-out set is FIXED between releases, so
+# each vector's verdict is a pure function of (vector, benchmark) —
+# the exact property that made q123 trivially incremental.
+# ---------------------------------------------------------------------------
+def semantic_decontamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+) -> DataFrame:
+    """Flag every corpus vector whose max cosine similarity to ANY
+    benchmark vector reaches ``tau``. Returns
+    ``(id_col, max_bench_sim, contaminated)`` — one row per corpus
+    vector; ``max_bench_sim`` is NULL (and ``contaminated`` false)
+    when the benchmark set is empty.
+
+    Engine-exact: each pair's cosine is rounded to 4 decimals BEFORE
+    the max (the q47 discipline — round-then-compare is the operation
+    DuckDB reproduces bit-identically), and max over a fixed set is
+    order-free.
+
+    Scale shape: eval suites are small (10^3–10^5 vectors), so the
+    benchmark side BROADCASTS and the corpus is read exactly once —
+    the fan-out from the nested-loop join collapses in-task via
+    partial aggregation (each corpus row's candidate group is local),
+    so the only exchange carries one (id, max) row per corpus vector.
+    A benchmark too large to broadcast would reuse the SemDeDup
+    cell-blocking instead (incremental_embedding_dedup's shape) at the
+    cost of approximate recall; this operator keeps the exact
+    semantics the oracle can replay."""
+    b = F.broadcast(bench.select(F.col(vec_col).alias("_bv")))
+    sims = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(b)
+        .groupBy(id_col)
+        .agg(F.max(F.round(cosine(vec_col, "_bv"), 4)).alias("_m"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(sims, id_col, "left")
+        .select(
+            id_col,
+            F.col("_m").alias("max_bench_sim"),
+            F.coalesce(F.col("_m") >= tau, F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def seed_semantic_benchmark(
+    store,
+    bench_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_table: str = "semantic_bench",
+) -> int:
+    """Commit the benchmark suite's embeddings as the semantic
+    decontamination index — run once per benchmark release (the
+    seed_benchmark_index twin for vectors). The index is tiny and
+    re-seeding is an idempotent overwrite via the versioned store;
+    the id rides along for auditability."""
+    return store.write_version(
+        bench_vectors.select(id_col, vec_col), index_table
+    )
+
+
+def incremental_semantic_decontamination(
+    new_vectors: DataFrame,
+    store,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    index_table: str = "semantic_bench",
+    flags_table: str = "semantic_decontam_flags",
+) -> DataFrame:
+    """Score each NEW batch of embeddings against the persisted
+    benchmark index — :func:`semantic_decontamination` moved to where
+    it belongs at 100 TB: intake time, per batch, instead of a global
+    pass after the corpus is assembled (the q123 argument, verbatim:
+    the benchmark is immutable between releases, so each verdict is a
+    pure function of (vector, index) and batch-by-batch ≡ global).
+
+    Replay-safe with a SINGLE commit: the flags sink doubles as the
+    watermark (keyed ``append_new``) — there is no second state table
+    to get out of step with, so there is NO crash window. Returns the
+    batch's flag rows.
+
+    Scale shape: one broadcast of the benchmark index per fold, one
+    pass over the batch, one O(batch) keyed append. History vectors
+    are never touched."""
+    bench = store.read_version(index_table)
+    fresh = new_vectors.select(id_col, vec_col)
+    if store.exists(flags_table):
+        fresh = fresh.join(
+            store.read(flags_table).select(id_col), id_col, "left_anti"
+        )
+    flags = semantic_decontamination(
+        fresh, bench, id_col, vec_col, tau
+    ).localCheckpoint(eager=True)
+    store.append_new(flags, flags_table, key=id_col)
+    return flags

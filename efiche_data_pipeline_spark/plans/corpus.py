@@ -6778,6 +6778,243 @@ def q179_passage_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q179_passage_search_many"] = ORACLES["q176_incremental_passage_flags"]
 
 
+# ---------------------------------------------------------------------------
+# Q180 — SEMANTIC benchmark decontamination (operators/similarity.py:
+# semantic_decontamination): the vector member of the decontamination
+# family.  q66/q123 catch VERBATIM eval overlap through 5-gram
+# shingles; paraphrased or lightly-rewritten benchmark material shares
+# no shingle but still embeds next to its source, so modern
+# pretraining hygiene adds an embedding-similarity screen against the
+# eval suite.  Every 20th vector stands in for the benchmark (the q66
+# convention); a corpus vector is contaminated when its max
+# pair-rounded cosine to ANY benchmark vector reaches tau.  tau=0.35
+# because the fixture embeddings are isotropic (q47's threshold);
+# real screens use ~0.9.  Scale shape: the (small, fixed) benchmark
+# broadcasts, the corpus is read once, the nested-loop fan-out
+# collapses in-task via partial max — one (id, max) row per corpus
+# vector enters the exchange.
+# Reference anchor: the dormant VECTOR(768) column
+# (sql/01_schema.sql:95); n-gram twin q66.
+# ---------------------------------------------------------------------------
+_SEMDECON_TAU = 0.35
+
+
+def q180_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import semantic_decontamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = F.pmod("vec_id", 20) == 0
+    return semantic_decontamination(
+        emb.filter(~is_bench),
+        emb.filter(is_bench),
+        "vec_id",
+        "embedding",
+        tau=_SEMDECON_TAU,
+    )
+
+
+ORACLES["q180_semantic_decontamination"] = f"""
+WITH bench AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS bv
+    FROM embeddings WHERE vec_id % 20 = 0
+),
+corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 20 != 0
+),
+sims AS (
+    SELECT c.vec_id,
+           MAX(ROUND(list_cosine_similarity(c.v, b.bv), 4)) AS m
+    FROM corpus c CROSS JOIN bench b
+    GROUP BY 1
+)
+SELECT c.vec_id,
+       sims.m AS max_bench_sim,
+       COALESCE(sims.m >= {_SEMDECON_TAU}, FALSE) AS contaminated
+FROM corpus c LEFT JOIN sims ON c.vec_id = sims.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q181 — incremental semantic decontamination (operators/similarity.py:
+# incremental_semantic_decontamination): q180 moved to intake time —
+# each embedding batch screened against a PERSISTED benchmark index
+# (seed_semantic_benchmark) the moment it arrives, instead of a
+# global pass after the corpus is assembled.  The benchmark is FIXED
+# between releases, so each verdict is a pure function of (vector,
+# index) and batch-by-batch ≡ global: the oracle is q180's, verbatim.
+# The flags sink doubles as the replay watermark (single keyed
+# commit — no crash window), the q123 protocol for vectors.
+# Reference anchor: none (beyond-reference tier); batch-global form
+# is q180, text twin q123.
+# ---------------------------------------------------------------------------
+def q181_incremental_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        incremental_semantic_decontamination,
+        seed_semantic_benchmark,
+    )
+    from ..pipeline.store import Store
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_bench = F.pmod("vec_id", 20) == 0
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_semdecon_")
+    store = Store(spark, tmp_root)
+    try:
+        seed_semantic_benchmark(store, emb.filter(is_bench))
+        intake = emb.filter(~is_bench)
+        incremental_semantic_decontamination(
+            intake.filter(F.col("vec_id") <= split), store, tau=_SEMDECON_TAU
+        )
+        incremental_semantic_decontamination(
+            intake.filter(F.col("vec_id") > split), store, tau=_SEMDECON_TAU
+        )
+        return _finish_with_store(
+            store.read("semantic_decontam_flags"), tmp_root
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q181_incremental_semantic_decontamination"] = ORACLES[
+    "q180_semantic_decontamination"
+]
+
+
+# ---------------------------------------------------------------------------
+# Q182 — EPOCH-SHUFFLED training order (operators/ranking.py:
+# epoch_shuffle): a fresh deterministic permutation of the release
+# for every training epoch, derived — never materialized — from the
+# portable order hash md5(seed#ep<e>#id).  The loader streams epoch e
+# in position order; the same seed reproduces the order bit-identically
+# on any engine/partitioning, which is what makes a run resumable and
+# a data-order ablation reportable.  q162 orders ONE pass by
+# curriculum stage; this derives the per-epoch reshuffle a multi-epoch
+# run needs.  Scale shape: epoch fan-out is an in-task Expand (zero
+# shuffle) and the per-epoch rank is the grouped two-level
+# prefix-COUNT (no single-task sort, no per-epoch single-partition
+# window).
+# Reference anchor: none (beyond-reference tier); ordering machinery
+# q162/q79, seeded-hash sampling q43.
+# ---------------------------------------------------------------------------
+_N_EPOCHS = 3
+
+
+def q182_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", _N_EPOCHS)
+
+
+ORACLES["q182_epoch_shuffle"] = f"""
+WITH eps AS (SELECT UNNEST(range(1, {_N_EPOCHS + 1})) AS epoch),
+fanned AS (
+    SELECT e.epoch, d.doc_id,
+           {oracle_hash60(
+               "'seed42#ep' || CAST(e.epoch AS VARCHAR) || '#'"
+               " || CAST(d.doc_id AS VARCHAR)"
+           )} AS h
+    FROM documents d CROSS JOIN eps e
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+            AS BIGINT) AS position
+FROM fanned
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q183 — intake-time PII flags (operators/quality.py:
+# incremental_pii_flags): q65's masking pass maintained at intake —
+# every arriving batch regex-scanned ONCE, per-doc verdicts (match
+# counts, has_pii, redacted-text fingerprint) kept as the table the
+# release step reads.  The verdicts are a pure per-doc function, so
+# the fold is one id-keyed idempotent append — the flags table is its
+# own watermark, NO crash window (the q128/q146 protocol).  Maintained
+# ≡ global by disjoint union, so the oracle is the one-shot global
+# scan.  Same deterministic PII injection as q65 (every 5th doc) so
+# both engines see identical input.
+# Reference anchor: none (beyond-reference tier); one-shot form q65.
+# ---------------------------------------------------------------------------
+def q183_incremental_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.quality import incremental_pii_flags
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", 5) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-0100"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_piiflags_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_pii_flags(
+            injected.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_pii_flags(
+            injected.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must flag documents")
+        return _finish_with_store(store.read("pii_flags"), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q183_incremental_pii_flags"] = """
+WITH inj AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 555-0100'
+                ELSE text END AS t
+    FROM documents
+),
+counted AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+           CAST(length(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS INTEGER)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_fp
+    FROM inj
+)
+SELECT doc_id, n_emails, n_phones,
+       (n_emails > 0 OR n_phones > 0) AS has_pii,
+       redacted_fp
+FROM counted
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

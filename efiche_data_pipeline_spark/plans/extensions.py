@@ -35,6 +35,7 @@ from ..functions.text import (
     word_ngrams,
     word_shingles,
 )
+from ..operators.quality import PII_EMAIL_RE, PII_PHONE_RE
 from ..operators.dedup import (
     bow_dedup,
     dedup_components,
@@ -1451,10 +1452,11 @@ FROM p
 # every 5th doc so the oracle sees identical input), regex redaction +
 # match counting — the masking pass of a curation pipeline. Spark
 # regexp_replace is global by default; the DuckDB twin needs the 'g'
-# flag.
+# flag. The regexes are canonical in operators/quality.py so this
+# one-shot query and the maintained intake pass (q183) cannot drift.
 # ---------------------------------------------------------------------------
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "\\d{3}-\\d{4}"
+_EMAIL_RE = PII_EMAIL_RE
+_PHONE_RE = PII_PHONE_RE
 
 
 def q65_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

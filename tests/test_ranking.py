@@ -153,3 +153,58 @@ def test_incremental_weighted_sample_partition_independent(spark, tmp_path):
         return sorted((r["k"], r["w"]) for r in sample.collect())
 
     assert run(1) == run(8) == run(32)
+
+
+# ---------------------------------------------------------------------------
+# Epoch-shuffled training order (epoch_shuffle)
+# ---------------------------------------------------------------------------
+def test_epoch_shuffle_is_per_epoch_permutation(spark):
+    from efiche_data_pipeline_spark.operators.ranking import epoch_shuffle
+
+    docs = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    pdf = epoch_shuffle(docs, "doc_id", 3).toPandas()
+    assert len(pdf) == 97 * 3
+    for e in (1, 2, 3):
+        assert sorted(pdf[pdf.epoch == e].position) == list(range(1, 98))
+    # distinct epochs are genuinely different permutations
+    o1 = pdf[pdf.epoch == 1].sort_values("doc_id").position.tolist()
+    o2 = pdf[pdf.epoch == 2].sort_values("doc_id").position.tolist()
+    assert o1 != o2
+    # the same seed reproduces the order bit-identically
+    again = epoch_shuffle(docs, "doc_id", 3).toPandas()
+    key = ["epoch", "doc_id"]
+    assert (
+        pdf.sort_values(key).reset_index(drop=True).position
+        == again.sort_values(key).reset_index(drop=True).position
+    ).all()
+    # a different seed is a different shuffle
+    other = epoch_shuffle(docs, "doc_id", 3, seed="other").toPandas()
+    assert (
+        pdf.sort_values(key).reset_index(drop=True).position.tolist()
+        != other.sort_values(key).reset_index(drop=True).position.tolist()
+    )
+
+
+def test_epoch_shuffle_matches_first_principles_md5_rank(spark):
+    """Differential against a from-scratch Python replay of the
+    portable order hash (md5(seed#ep<e>#id) → first 15 hex chars),
+    independently of Spark's conv/global_prefix_sum machinery."""
+    import hashlib
+
+    from efiche_data_pipeline_spark.operators.ranking import epoch_shuffle
+
+    n, epochs = 157, 2
+    docs = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    got = {
+        (r["epoch"], r["doc_id"]): r["position"]
+        for r in epoch_shuffle(docs, "doc_id", epochs).collect()
+    }
+
+    def h(e, i):
+        d = hashlib.md5(f"seed42#ep{e}#{i}".encode()).hexdigest()
+        return int(d[:15], 16)
+
+    for e in range(1, epochs + 1):
+        order = sorted(range(n), key=lambda i: (h(e, i), i))
+        for pos, i in enumerate(order, start=1):
+            assert got[(e, i)] == pos

@@ -169,3 +169,69 @@ def test_incremental_compression_ratio_folds_equal_one_shot(spark, tmp_path):
     # replay is a pure no-op
     assert incremental_compression_ratio(docs, store) == 0
     assert sorted(tuple(r) for r in store.read("zlib_scores").collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (operators/quality.py:pii_report,
+# incremental_pii_flags)
+# ---------------------------------------------------------------------------
+def test_pii_report_planted_counts_and_fingerprint(spark):
+    import hashlib
+    import re
+
+    from efiche_data_pipeline_spark.operators.quality import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        pii_report,
+    )
+
+    texts = [
+        "write a@b.co and carol.d+x@e.org or call 555-1234 now",
+        "no personal data here at all",
+        "just a phone 123-4567",
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pii_report(_docs(spark, texts)).collect()
+    }
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["has_pii"]) == (
+        2, 1, True,
+    )
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["has_pii"]) == (
+        0, 0, False,
+    )
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["has_pii"]) == (
+        0, 1, True,
+    )
+    # fingerprint = md5 of the redacted text, emails masked first
+    for i, t in enumerate(texts):
+        red = re.sub(
+            PII_PHONE_RE, "<PHONE>", re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        )
+        assert got[i]["redacted_fp"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_incremental_pii_flags_folds_equal_global(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.quality import (
+        incremental_pii_flags,
+        pii_report,
+    )
+
+    texts = [
+        "mail me x@y.io",
+        "clean text",
+        "call 555-0000",
+        "two a@b.cd c@d.ef and 999-9999",
+    ]
+    docs = _docs(spark, texts)
+    store = Store(spark, str(tmp_path / "pii"))
+    n1 = incremental_pii_flags(docs.filter(F.col("doc_id") <= 1), store)
+    n2 = incremental_pii_flags(docs.filter(F.col("doc_id") > 1), store)
+    assert (n1, n2) == (2, 2)
+    tup = lambda r: tuple(r.asDict()[c] for c in sorted(r.asDict()))
+    got = sorted(map(tup, store.read("pii_flags").collect()))
+    want = sorted(map(tup, pii_report(docs).collect()))
+    assert got == want
+    # replay: pure no-op (the flags table is its own watermark)
+    assert incremental_pii_flags(docs, store) == 0
+    assert sorted(map(tup, store.read("pii_flags").collect())) == want

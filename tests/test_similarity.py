@@ -813,3 +813,80 @@ def test_pq_recall_ladder(spark):
     bi_recall = mean([len(exact[q] & bi[q]) / len(exact[q]) for q in exact])
     assert pq_recall >= 0.1, pq_recall  # far above the ~1% random line
     assert bi_recall >= pq_recall  # more bits, better ranking
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-based) benchmark decontamination
+# ---------------------------------------------------------------------------
+def test_semantic_decontamination_planted(spark):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: (r.max_bench_sim, r.contaminated)
+        for r in semantic_decontamination(corpus, bench, tau=0.9).collect()
+    }
+    assert got[1] == (1.0, True)  # parallel (scale-invariant cosine)
+    assert got[2] == (0.0, False)  # orthogonal
+    assert got[3] == (0.8, False)  # cos 0.8 < 0.9
+    # the threshold is inclusive on the ROUNDED similarity
+    flips = {
+        r.vec_id: r.contaminated
+        for r in semantic_decontamination(corpus, bench, tau=0.8).collect()
+    }
+    assert flips == {1: True, 2: False, 3: True}
+
+
+def test_semantic_decontamination_empty_benchmark(spark):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = semantic_decontamination(corpus, corpus.limit(0)).collect()
+    assert len(rows) == 2
+    assert all(r.max_bench_sim is None and r.contaminated is False for r in rows)
+
+
+def test_incremental_semantic_decontamination_folds_equal_global(
+    spark, tmp_path
+):
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_decontamination,
+        seed_semantic_benchmark,
+        semantic_decontamination,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.pmod("vec_id", 20) == 0)
+    intake = emb.filter(F.pmod("vec_id", 20) != 0)
+    store = Store(spark, str(tmp_path / "semdecon"))
+    seed_semantic_benchmark(store, bench)
+    incremental_semantic_decontamination(
+        intake.filter(F.col("vec_id") <= 250), store
+    )
+    incremental_semantic_decontamination(
+        intake.filter(F.col("vec_id") > 250), store
+    )
+    tup = lambda r: (r["vec_id"], r["max_bench_sim"], r["contaminated"])
+    got = sorted(map(tup, store.read("semantic_decontam_flags").collect()))
+    want = sorted(map(tup, semantic_decontamination(intake, bench).collect()))
+    assert got == want
+    # replay is a pure no-op: the flags sink is its own watermark
+    incremental_semantic_decontamination(intake, store)
+    assert (
+        sorted(map(tup, store.read("semantic_decontam_flags").collect()))
+        == want
+    )
