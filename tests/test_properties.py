@@ -515,3 +515,116 @@ def test_ref_sample_fold_is_closed_under_batching(spark, ids, split, k):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-5, 5).map(float), min_size=3, max_size=3
+        ).filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=1,
+        max_size=18,
+    ),
+    n_bench=st.integers(0, 5),
+    split=st.integers(0, 17),
+)
+@SET
+def test_incremental_semantic_decontamination_closed_under_batching(
+    spark, tmp_path_factory, vecs, n_bench, split
+):
+    """For ANY corpus × ANY benchmark subset × ANY batch split, the
+    maintained flags table equals the one-shot screen — the pure-
+    function-of-(vector, fixed-index) argument q181 rests on."""
+    from hypothesis import assume
+
+    from efiche_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_decontamination,
+        seed_semantic_benchmark,
+        semantic_decontamination,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    assume(len(vecs) > n_bench)  # a non-empty corpus side
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.filter(F.col("vec_id") < n_bench)
+    corpus = df.filter(F.col("vec_id") >= n_bench)
+    store = Store(
+        spark, str(tmp_path_factory.mktemp("semdecon_prop"))
+    )
+    seed_semantic_benchmark(store, bench)
+    b1 = corpus.filter(F.col("vec_id") <= split)
+    b2 = corpus.filter(F.col("vec_id") > split)
+    incremental_semantic_decontamination(b1, store, tau=0.9)
+    incremental_semantic_decontamination(b2, store, tau=0.9)
+    tup = lambda r: (r["vec_id"], r["max_bench_sim"], r["contaminated"])
+    got = sorted(map(tup, store.read("semantic_decontam_flags").collect()))
+    want = sorted(
+        map(tup, semantic_decontamination(corpus, bench, tau=0.9).collect())
+    )
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    n_epochs=st.integers(1, 4),
+)
+@SET
+def test_epoch_shuffle_is_always_a_permutation(spark, ids, n_epochs):
+    """For ANY id set and epoch count: every epoch's positions are
+    exactly 1..n, and the assignment replays the portable md5 rank."""
+    import hashlib
+
+    from efiche_data_pipeline_spark.operators.ranking import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r["epoch"], r["doc_id"]): r["position"]
+        for r in epoch_shuffle(df, "doc_id", n_epochs).collect()
+    }
+    assert len(got) == len(ids) * n_epochs
+
+    def h(e, i):
+        return int(
+            hashlib.md5(f"seed42#ep{e}#{i}".encode()).hexdigest()[:15], 16
+        )
+
+    for e in range(1, n_epochs + 1):
+        order = sorted(ids, key=lambda i: (h(e, i), i))
+        assert [got[(e, i)] for i in order] == list(
+            range(1, len(ids) + 1)
+        )
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab @.-c5", min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(0, 11),
+)
+@SET
+def test_incremental_pii_flags_closed_under_batching(
+    spark, tmp_path_factory, texts, split
+):
+    """For ANY texts (an alphabet dense in regex-triggering chars) and
+    ANY batch split, the maintained flags equal the one-shot report."""
+    from efiche_data_pipeline_spark.operators.quality import (
+        incremental_pii_flags,
+        pii_report,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    store = Store(spark, str(tmp_path_factory.mktemp("pii_prop")))
+    incremental_pii_flags(docs.filter(F.col("doc_id") <= split), store)
+    incremental_pii_flags(docs.filter(F.col("doc_id") > split), store)
+    tup = lambda r: tuple(r.asDict()[c] for c in sorted(r.asDict()))
+    got = sorted(map(tup, store.read("pii_flags").collect()))
+    want = sorted(map(tup, pii_report(docs).collect()))
+    assert got == want
