@@ -2463,6 +2463,197 @@ def simhash_hamming_pairs(
     )
 
 
+def _simhash_band_memberships(
+    fps: DataFrame, id_col: str, bands: int, width: int
+) -> DataFrame:
+    """In-row (band, val) memberships of a (id, simhash) frame —
+    shared by :func:`simhash_hamming_pairs`'s one-shot form and the
+    incremental index fold. NULL fingerprints (token-less docs) carry
+    no membership."""
+    mask = (1 << width) - 1
+    return (
+        fps.filter(F.col("simhash").isNotNull())
+        .select(
+            F.col(id_col),
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("simhash"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("m"),
+        )
+        .select(F.col(id_col), "simhash", "m.band", "m.val")
+    )
+
+
+def incremental_simhash_dedup(
+    new_docs: DataFrame,
+    store,
+    index_table: str = "simhash_fp_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    bands: int = 8,
+    max_hamming: int = 3,
+    commit: bool = True,
+) -> IncrementalDedupResult:
+    """Dedup a NEW batch against the full historical corpus by SimHash
+    Hamming distance — the q175 pairing rule moved to intake, and the
+    missing incremental member of the fuzzy family (MinHash q103,
+    embeddings q110, binary q108). History lives as a fingerprint
+    index of ONE int64 per document ever seen (8 bytes — even lighter
+    than q103's ~16-int64 signatures); raw history text is never
+    rescanned.
+
+    Semantics — the order-free dominated rule in its purest form: a
+    doc is dropped iff SOME smaller-id doc (indexed or earlier in this
+    batch) is within ``max_hamming`` bit flips of its fingerprint.
+    Hamming distance is a pure pair function of the two fingerprints,
+    so batch-by-batch processing is EXACTLY equivalent to one global
+    pass under monotone ids — with no cap caveat at all (q103's band
+    buckets carry a candidate cap; here the banding is pigeonhole-
+    LOSSLESS for max_hamming < bands and is used for candidate
+    generation only, so no population-dependent rule ever enters the
+    verdict; the one-shot q175 keeps its cap because it must emit
+    every PAIR, while domination needs only a witness).
+
+    Flood control without losing exactness: candidate a-sides collapse
+    to DISTINCT (fingerprint, min-id) rows before pairing — domination
+    by any doc of a fingerprint class ≡ domination by the class's
+    smallest id, so a flood of identical docs costs ONE candidate row
+    instead of a quadratic bucket fan-out.
+
+    Scale shape: the index scan is projected in-row to band
+    memberships (no exchange), cut to the batch's hot (band, val) set
+    with a left-semi join BEFORE anything shuffles, and only the
+    O(hits) survivors enter the min-id collapse and the pairing
+    equi-join; within-batch work is the same shape over the batch.
+    The commit is one O(batch) layered delta (store.append_version) —
+    the index is its own replay watermark (already-indexed ids are
+    filtered out up front, so a replayed batch keeps nothing and
+    writes nothing). ``commit=False`` returns the delta instead, the
+    dedup_stream sink-first hook.
+
+    Reference anchor: the incremental-consumption contract
+    (etl_pipeline.py:125-132); one-shot pairing q175, fingerprint q27.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "candidate generation needs more bands than tolerated bit flips"
+        )
+    w = bits // bands
+    new_ids = new_docs.select(id_col).distinct()
+    current = store.current_version(index_table)
+    hist = store.read_union(index_table) if current is not None else None
+    fresh_ids = (
+        new_ids.join(hist.select(id_col), id_col, "left_anti")
+        if hist is not None
+        else new_ids
+    )
+    fp_new = simhash(
+        new_docs.join(fresh_ids, id_col, "left_semi"), id_col, text_col, bits
+    )
+    # Left join, not the fingerprint frame alone: token-less docs have
+    # no fingerprint row but still need an index entry (NULL fp) or a
+    # replay would re-emit them.
+    fresh_fp = fresh_ids.join(fp_new, id_col, "left").localCheckpoint(
+        eager=True
+    )
+    n_new = fresh_fp.count()
+    if n_new == 0:
+        return IncrementalDedupResult(
+            kept=new_docs.limit(0),
+            n_new=0,
+            n_dup_vs_history=0,
+            n_dup_within=0,
+            index_version=current if current is not None else 0,
+        )
+    b_memb = _simhash_band_memberships(fresh_fp, id_col, bands, w)
+    b_side = b_memb.select(
+        "band", "val", F.col(id_col).alias("_id_b"), F.col("simhash").alias("_fb")
+    )
+    # Within-batch a-side: one row per distinct fingerprint, carrying
+    # the class's smallest id (the flood collapse).
+    a_batch = (
+        fresh_fp.filter(F.col("simhash").isNotNull())
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("_id_a"))
+    )
+    a_batch_memb = _simhash_band_memberships(
+        a_batch.select(F.col("_id_a").alias(id_col), "simhash"), id_col, bands, w
+    ).select("band", "val", F.col(id_col).alias("_id_a"), F.col("simhash").alias("_fa"))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    dom_pairs = (
+        a_batch_memb.join(b_side, ["band", "val"])
+        .filter((F.col("_id_a") < F.col("_id_b")) & (ham <= max_hamming))
+        .select("_id_a", "_id_b")
+        .distinct()
+        .withColumn("_h", F.lit(0))
+    )
+    if hist is not None:
+        hot = b_memb.select("band", "val").distinct()
+        hist_memb = _simhash_band_memberships(hist, id_col, bands, w)
+        # Cut history to buckets the batch touches BEFORE any exchange,
+        # then collapse each bucket's fingerprint classes to min-id.
+        a_hist = (
+            hist_memb.join(hot, ["band", "val"], "left_semi")
+            .groupBy("band", "val", "simhash")
+            .agg(F.min(id_col).alias("_id_a"))
+            .select("band", "val", "_id_a", F.col("simhash").alias("_fa"))
+        )
+        dom_pairs = dom_pairs.unionByName(
+            a_hist.join(b_side, ["band", "val"])
+            .filter((F.col("_id_a") < F.col("_id_b")) & (ham <= max_hamming))
+            .select("_id_a", "_id_b")
+            .distinct()
+            .withColumn("_h", F.lit(1))
+        )
+    dropped = (
+        dom_pairs.select(F.col("_id_b").alias(id_col), "_h")
+        .groupBy(id_col)
+        .agg(F.max("_h").alias("_h"))
+        .localCheckpoint(eager=True)
+    )
+    tallies = dropped.agg(
+        F.coalesce(F.sum("_h"), F.lit(0)).alias("nh"),
+        F.count(F.lit(1)).alias("nd"),
+    ).first()
+    n_hist = int(tallies["nh"])
+    n_within = int(tallies["nd"]) - n_hist
+    kept = new_docs.join(fresh_ids, id_col, "left_semi").join(
+        dropped.select(id_col), id_col, "left_anti"
+    )
+    index_delta = fresh_fp.select(id_col, "simhash")
+    if commit:
+        version = store.append_version(index_delta, index_table)
+        return IncrementalDedupResult(
+            kept=kept,
+            n_new=n_new,
+            n_dup_vs_history=n_hist,
+            n_dup_within=n_within,
+            index_version=version,
+        )
+    return IncrementalDedupResult(
+        kept=kept,
+        n_new=n_new,
+        n_dup_vs_history=n_hist,
+        n_dup_within=n_within,
+        index_version=current if current is not None else 0,
+        index_delta=index_delta,
+    )
+
+
 def seed_passage_watchlist(
     store,
     passages: DataFrame,

@@ -67,6 +67,7 @@ from ..operators.quality import (
     REP_DUP3_MAX as _REP_DUP3_MAX,
     REP_TOP2_MAX as _REP_TOP2_MAX,
 )
+from ..operators.dedup import oracle_simhash_sql
 from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources.catalog import load_table
 
@@ -7012,6 +7013,90 @@ SELECT doc_id, n_emails, n_phones,
        (n_emails > 0 OR n_phones > 0) AS has_pii,
        redacted_fp
 FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q184 — incremental SIMHASH dedup (operators/dedup.py:
+# incremental_simhash_dedup): the q175 Hamming pairing rule moved to
+# intake — two "daily" document batches (doc-id midpoint split)
+# deduped against a persisted fingerprint index of ONE int64 per doc
+# ever seen.  Drop rule: a doc is dropped iff SOME smaller-id doc is
+# within max_hamming bit flips of its md5-portable SimHash — a pure
+# pair function, so batch-by-batch ≡ one global pass (the q103
+# argument with NO cap caveat: banding here is pigeonhole-lossless
+# candidate generation only, and flood control is the exact
+# fingerprint-class min-id collapse).  The oracle replays the global
+# rule directly: the portable fingerprints all-pairs XOR/bit_count
+# cut, dropped = any smaller-id partner within distance.  Completes
+# the incremental fuzzy family: MinHash q103, binary q108, embeddings
+# q110, SimHash q184.
+# Reference anchor: the incremental-consumption contract
+# (etl_pipeline.py:125-132); one-shot pairing q175, fingerprint q27.
+# ---------------------------------------------------------------------------
+_ISH_BITS, _ISH_BANDS, _ISH_MAXH = 48, 8, 3
+
+
+def q184_incremental_simhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_simhash_dedup
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_simhashdedup_")
+    store = Store(spark, tmp_root)
+    try:
+        r1 = incremental_simhash_dedup(
+            docs.filter(F.col("doc_id") <= split),
+            store,
+            bits=_ISH_BITS,
+            bands=_ISH_BANDS,
+            max_hamming=_ISH_MAXH,
+        )
+        r2 = incremental_simhash_dedup(
+            docs.filter(F.col("doc_id") > split),
+            store,
+            bits=_ISH_BITS,
+            bands=_ISH_BANDS,
+            max_hamming=_ISH_MAXH,
+        )
+        _require(
+            r2.index_version > r1.index_version, "index version must grow"
+        )
+        return _finish_with_store(
+            r1.kept.select("doc_id", F.lit(1).cast("int").alias("batch"))
+            .unionByName(
+                r2.kept.select("doc_id", F.lit(2).cast("int").alias("batch"))
+            ),
+            tmp_root,
+        )
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q184_incremental_simhash_dedup"] = f"""
+WITH fp AS (
+    {oracle_simhash_sql("documents", "doc_id", "text", bits=_ISH_BITS)}
+),
+dropped AS (
+    SELECT DISTINCT b.doc_id
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= {_ISH_MAXH}
+),
+s AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS split FROM documents)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id <= s.split THEN 1 ELSE 2 END AS INTEGER)
+           AS batch
+FROM documents d CROSS JOIN s
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 

@@ -1808,3 +1808,108 @@ def test_extend_passage_watchlist_crash_converges(spark, tmp_path):
     assert extend_passage_watchlist(store, new_needle, batch1, k=3) == 1
     assert store.read_version("watch_needles").count() == 2
     assert store.read_version("watch_grams").select("needle_id").distinct().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash dedup (incremental_simhash_dedup): the Hamming
+# dominated rule maintained against a 1-int64-per-doc fingerprint
+# index — two-batch ≡ global, replay no-op, token-less docs
+# remembered, and the fingerprint-class min-id collapse is exact.
+# ---------------------------------------------------------------------------
+def _simhash_global_kept(spark, docs, bits=48, maxh=3):
+    """First-principles global dominated rule: dropped iff ANY
+    smaller-id doc is within maxh bit flips — computed via an explicit
+    all-pairs crossJoin over the fingerprints (fixture scale only)."""
+    from efiche_data_pipeline_spark.operators.dedup import simhash
+
+    fps = simhash(docs, "doc_id", "text", bits=bits)
+    a = fps.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("fb"))
+    dropped = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= maxh)
+        )
+        .select(F.col("ib").alias("doc_id"))
+        .distinct()
+    )
+    return sorted(
+        r["doc_id"]
+        for r in docs.select("doc_id").join(dropped, "doc_id", "left_anti").collect()
+    )
+
+
+def test_incremental_simhash_two_batches_equal_global(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    rows = [
+        (0, _BASE),
+        (1, _BASE + " extra"),          # near-dup of 0, within batch 1
+        (2, _OTHER),
+        (3, _BASE),                      # exact dup of 0, cross-batch
+        (4, _THIRD),
+        (5, _THIRD + " trailing bit"),   # near-dup of 4, within batch 2
+        (6, None),                       # token-less: NULL fp, always kept
+    ]
+    docs = _docs(spark, rows)
+    store = Store(spark, str(tmp_path / "ish"))
+    r1 = incremental_simhash_dedup(docs.filter(F.col("doc_id") <= 2), store)
+    r2 = incremental_simhash_dedup(docs.filter(F.col("doc_id") > 2), store)
+    got = sorted(
+        r["doc_id"] for r in r1.kept.unionByName(r2.kept).select("doc_id").collect()
+    )
+    assert got == _simhash_global_kept(spark, docs)
+    # the exact cross-batch copy was dropped AGAINST HISTORY
+    assert 3 not in got and r2.n_dup_vs_history >= 1
+    # token-less doc is kept and indexed (NULL fp row)
+    assert 6 in got
+    idx = {
+        r["doc_id"]: r["simhash"]
+        for r in store.read_union("simhash_fp_index").collect()
+    }
+    assert set(idx) == {0, 1, 2, 3, 4, 5, 6} and idx[6] is None
+    # replay: keeps nothing, writes nothing, version unchanged
+    r3 = incremental_simhash_dedup(docs, store)
+    assert r3.n_new == 0 and r3.kept.count() == 0
+    assert r3.index_version == r2.index_version
+
+
+def test_incremental_simhash_flood_collapses_to_one_survivor(
+    spark, tmp_path
+):
+    """A flood of identical docs — the case the fingerprint-class
+    min-id collapse exists for — keeps exactly the smallest id, in
+    whichever batch it arrived."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    rows = [(i, _BASE) for i in range(30)] + [(30, _OTHER)]
+    docs = _docs(spark, rows)
+    store = Store(spark, str(tmp_path / "ishflood"))
+    r1 = incremental_simhash_dedup(docs.filter(F.col("doc_id") < 10), store)
+    r2 = incremental_simhash_dedup(docs.filter(F.col("doc_id") >= 10), store)
+    kept = sorted(
+        r["doc_id"] for r in r1.kept.unionByName(r2.kept).select("doc_id").collect()
+    )
+    assert kept == [0, 30]
+    assert r1.n_dup_within == 9
+    assert r2.n_dup_vs_history == 20
+
+
+def test_incremental_simhash_guards(spark, tmp_path):
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    docs = _docs(spark, [(0, _BASE)])
+    store = Store(spark, str(tmp_path / "ishg"))
+    with pytest.raises(ValueError, match="not divisible"):
+        incremental_simhash_dedup(docs, store, bits=48, bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_simhash_dedup(docs, store, max_hamming=8, bands=8)
