@@ -1477,17 +1477,19 @@ def forget_documents(
     introducer_table: str = "shingle_introducer",
     labels_table: str = "neardup_labels",
     chunk_table: str = "chunk_index",
+    simhash_table: str = "simhash_fp_index",
+    pii_table: str = "pii_flags",
     vacuum: bool = True,
 ) -> dict[str, int | None]:
     """Purge a set of document ids from EVERY table the dedup family
     maintains about them — the composed GDPR operation a corpus store
     actually needs ("forget these users' documents" touches the kept
     sink, the MinHash signature index, the novelty scores, the
-    component labels, the chunk decomposition index, AND the
-    introducer index's first_doc credits; forgetting from one table
-    while the others still name the id is not forgetting). Tables
-    that don't exist are skipped, so one call serves any subset of
-    the family.
+    component labels, the chunk decomposition index, the SimHash
+    fingerprint index, the intake PII flags, AND the introducer
+    index's first_doc credits; forgetting from one table while the
+    others still name the id is not forgetting). Tables that don't
+    exist are skipped, so one call serves any subset of the family.
 
     Per table this is :meth:`Store.delete_keys` — affected-layer
     surgery on layered tables, partition-preserving rewrite on plain
@@ -1496,6 +1498,11 @@ def forget_documents(
     row deliberately makes the affected shingles creditable to a LATER
     introducer (novelty semantics shift for future batches); that is
     the compliant choice — retaining the minima would retain the id.
+    The SimHash fingerprint index shares the MinHash posture exactly:
+    purged ids fall out of the anti-join watermark, so a replayed
+    batch naming a forgotten id re-processes it against the SURVIVOR
+    index — convergent, and the only compliant option (retaining the
+    fingerprint would retain an 8-byte digest of the text).
 
     With ``vacuum=True`` the purge completes physically: every
     versioned table is vacuumed to its current version, so the ids
@@ -1515,6 +1522,8 @@ def forget_documents(
         (scores_table, id_col),
         (labels_table, id_col),
         (chunk_table, id_col),
+        (simhash_table, id_col),
+        (pii_table, id_col),
         (introducer_table, "first_doc"),
     ):
         # plain tables carry a root _SUCCESS; versioned/layered ones

@@ -1111,6 +1111,7 @@ def forget_vectors(
     index_table: str = "ivf_cells",
     kept_table: str = "embdedup_kept_vecs",
     semdedup_table: str = "semdedup_cells",
+    semantic_flags_table: str = "semantic_decontam_flags",
     profile_table: str = "ivf_cell_profile",
     vacuum: bool = True,
 ) -> dict[str, int | None]:
@@ -1118,7 +1119,12 @@ def forget_vectors(
     :func:`~..operators.dedup.forget_documents` for embeddings
     ("forget this user's embeddings" is THE delete use-case for a
     vector store): one call purges a vec-id set from the streaming
-    kept sink, the IVF cell index, and the SemDeDup cell index, then
+    kept sink, the IVF cell index, the SemDeDup cell index, and the
+    semantic-decontamination flags sink (whose rows carry the vec id
+    AND its nearest-benchmark score — derived data the id's owner is
+    entitled to have erased; the benchmark index itself is NOT corpus
+    data and is untouched — forgetting corpus vectors never rewrites
+    the release's benchmark snapshot), then
     re-baselines the maintain gate's reference profile to the
     post-delete histogram so the next intake fold is judged against
     the corpus that actually remains (without it, a large deletion
@@ -1134,7 +1140,7 @@ def forget_vectors(
     """
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
     touched: dict[str, int | None] = {}
-    for table in (kept_table, index_table, semdedup_table):
+    for table in (kept_table, index_table, semdedup_table, semantic_flags_table):
         if not (
             store.exists(table) or store.current_version(table) is not None
         ):

@@ -6,8 +6,9 @@ Each request file carries doc ids; each micro-batch composes the
 family forgets for whichever estates exist in the store:
 
 - **dedup estate** (`forget_documents`): kept sink, MinHash signature
-  index, novelty scores + introducer credits, component labels, chunk
-  index — affected-layer surgery + vacuum (the q121 walk).
+  index, SimHash fingerprint index, intake PII flags, novelty scores
+  + introducer credits, component labels, chunk index —
+  affected-layer surgery + vacuum (the q121 walk).
 - **span estate** (`forget_span_documents`): positional gram index,
   span reports WITH the retroactive shrink, seen watermark, passage
   flags (the q177 walk).

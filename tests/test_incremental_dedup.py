@@ -633,6 +633,10 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
         forget_documents,
         incremental_chunk_index,
         incremental_novelty,
+        incremental_simhash_dedup,
+    )
+    from efiche_data_pipeline_spark.operators.quality import (
+        incremental_pii_flags,
     )
 
     rows = [
@@ -652,6 +656,8 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
         store,
         spark.createDataFrame([(0, 1), (2, 4)], "doc_a long, doc_b long"),
     )
+    incremental_simhash_dedup(docs, store)
+    incremental_pii_flags(docs, store)
     # doc 1 and doc 4 must be forgotten — both appear as kept docs,
     # signature rows, novelty scores, label rows, and (doc 4 at least
     # plausibly) introducer credits
@@ -662,6 +668,7 @@ def test_forget_documents_purges_whole_family(spark, tmp_path):
     assert set(touched) >= {
         "dedup_kept_docs", "minhash_sig_index", "novelty_scores",
         "neardup_labels", "chunk_index", "shingle_introducer",
+        "simhash_fp_index", "pii_flags",
     }
     con = duckdb.connect()
     hits = []

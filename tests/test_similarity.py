@@ -698,7 +698,9 @@ def test_forget_vectors_purges_and_rebaselines(clustered, tmp_path):
 
     from efiche_data_pipeline_spark.operators.similarity import (
         forget_vectors,
+        incremental_semantic_decontamination,
         ivf_index_query,
+        seed_semantic_benchmark,
     )
     from efiche_data_pipeline_spark.pipeline.store import Store
 
@@ -707,6 +709,10 @@ def test_forget_vectors_purges_and_rebaselines(clustered, tmp_path):
     store = Store(spark, str(tmp_path / "fv"))
     maintain(folds["seed"], store, centroids=cents_a)
     maintain(folds["calm"], store)
+    # semantic-decontamination estate: seed a benchmark, flag the
+    # corpus — the flags sink names every vec id and must be purged too
+    seed_semantic_benchmark(store, clustered.filter(F.col("vec_id") < 3))
+    incremental_semantic_decontamination(clustered, store)
     # forget every vector of cluster 3 that is indexed so far
     gone = {
         r["vec_id"]
@@ -716,13 +722,17 @@ def test_forget_vectors_purges_and_rebaselines(clustered, tmp_path):
         store, spark.createDataFrame([(i,) for i in gone], "vec_id long")
     )
     assert "ivf_cells" in touched and "ivf_cell_profile" in touched
+    assert "semantic_decontam_flags" in touched
     root = store.path("ivf_cells")
     parts = [d for d in os.listdir(root) if d.startswith("cell_id=")]
     assert parts  # layout preserved
     con = duckdb.connect()
     for walk_root, _, names in os.walk(store.path("")):
         for n in names:
-            if n.endswith(".parquet") and "ivf_cells" in walk_root:
+            if n.endswith(".parquet") and (
+                "ivf_cells" in walk_root
+                or "semantic_decontam_flags" in walk_root
+            ):
                 f = os.path.join(walk_root, n)
                 found = {
                     r[0]
