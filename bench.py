@@ -91,6 +91,7 @@ HEADLINE = (
     # grouped two-level prefix-COUNT)
     "q180_semantic_decontamination",
     "q182_epoch_shuffle",
+    "q185_heavy_hitter_ngrams",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

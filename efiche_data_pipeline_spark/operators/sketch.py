@@ -1190,3 +1190,169 @@ def dedup_savings_result(
             4,
         ).alias("tokens_saved_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter n-grams — the frequent-items member of the sketch
+# family. The exact "which n-grams dominate the corpus" question
+# (stopword-phrase lists, boilerplate discovery, contamination
+# watchlists) is a groupBy over EVERY gram — at 100 TB that shuffle
+# carries the full gram vocabulary (billions of keys). The classic
+# two-pass answer keeps the result EXACT while bounding the exchange:
+#
+#   Pass 1 (candidates): a per-partition Misra-Gries summary of k
+#     counters, merged by union. The mergeable-summaries guarantee
+#     (Agarwal/Cormode/Huang/Phillips/Wei/Yi, PODS'12): an item absent
+#     from every partition summary has true count <= N/(k+1), so with
+#     k >= den every gram reaching the N/den threshold IS in the
+#     union. The exchange carries <= partitions x k candidate rows.
+#   Pass 2 (exact recount): broadcast the candidate set, semi-join the
+#     gram stream map-side, and exactly count ONLY candidates — the
+#     shuffle carries O(partitions x |candidates|) partial sums
+#     instead of the vocabulary.
+#
+# The OUTPUT is partition-independent (pass 2 is exact and the
+# candidate union is a superset for ANY partitioning), which is what
+# makes an approximate-internals operator hold an exact DuckDB oracle
+# (the KMV trick again). Reference analogue: none (the reference
+# would GROUP BY in PostgreSQL); this is the 100 TB path.
+# ---------------------------------------------------------------------------
+def _mg_summaries(gram_col: str, k: int):
+    """mapInPandas body: one Misra-Gries summary per PARTITION via
+    the merge form (add a value_counts batch, then subtract the
+    (k+1)-th largest count and truncate — each subtraction of m
+    removes >= (k+1)*m total mass, preserving the N_p/(k+1)
+    undercount bound). Emits (gram, est) counter rows plus ONE
+    (NULL, n_p) row carrying the partition's exact gram count, so
+    the caller gets exact N without a third pass over the stream."""
+
+    def fn(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        n_p = 0
+        for pdf in batches:
+            col = pdf[gram_col]
+            n_p += len(col)
+            for g, c in col.value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[k]
+                counters = {g: c - m for g, c in counters.items() if c > m}
+        out = pd.DataFrame(
+            {
+                "gram": list(counters.keys()) + [None],
+                "est": list(counters.values()) + [n_p],
+            }
+        )
+        yield out.astype({"est": "int64"})
+
+    return fn
+
+
+def heavy_hitter_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    den: int = 1000,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT occurrence counts of every word n-gram appearing at least
+    N/den times across the corpus (N = total gram occurrences),
+    computed with the bounded two-pass Misra-Gries plan above.
+    Returns (gram, n_occurrences), most frequent first.
+
+    ``k`` (candidate summary size, default ``2*den``) must be >= den
+    or the no-false-negative guarantee breaks — enforced."""
+    from ..functions.text import word_ngrams
+
+    if k is None:
+        k = 2 * den
+    if k < den:
+        raise ValueError(
+            f"k={k} < den={den}: a Misra-Gries summary of k counters "
+            f"only guarantees items above N/(k+1) survive — the N/{den} "
+            "threshold needs k >= den"
+        )
+    grams = df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+    summ = grams.mapInPandas(
+        _mg_summaries("gram", k), "gram string, est long"
+    ).localCheckpoint(eager=True)
+    n_total = int(
+        summ.filter(F.col("gram").isNull()).agg(F.sum("est")).first()[0] or 0
+    )
+    cands = summ.filter(F.col("gram").isNotNull()).select("gram").distinct()
+    counts = (
+        grams.join(F.broadcast(cands), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return counts.filter(
+        F.col("n_occurrences") * den >= F.lit(n_total)
+    ).orderBy(F.desc("n_occurrences"), "gram")
+
+
+def incremental_ngram_counts(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    counts_table: str = "ngram_counts",
+) -> int:
+    """Maintain the exact (gram, cnt) table batch-by-batch — the
+    maintained twin of :func:`heavy_hitter_ngrams` for intake-time
+    watchlists, where the corpus arrives incrementally and the HH
+    question is asked repeatedly. Gram counts are associative sums,
+    so the fold is the ``incremental_vocab`` protocol verbatim
+    (operators/bpe.py): ONE atomic ``append_version`` per fold with
+    the replay watermark (``batch_max_id``) INSIDE the delta layer —
+    no crash window. Batch contract: ``id_col`` monotone across
+    batches. State is O(distinct grams) — the price of EXACT counts
+    (bounded-state alternatives trade exactness away; that trade
+    lives in :func:`heavy_hitter_ngrams`'s pass 1, not here).
+    Returns the number of documents folded."""
+    from ..functions.text import word_ngrams
+
+    wm = None
+    if store.current_version(counts_table) is not None:
+        wm = (
+            store.read_union(counts_table).agg(F.max("batch_max_id")).first()[0]
+        )
+    fresh = new_docs.filter(F.col(id_col) > wm) if wm is not None else new_docs
+    batch = fresh.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("mx")
+    ).first()
+    if batch["n"] == 0:
+        return 0
+    delta = (
+        fresh.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("batch_max_id", F.lit(int(batch["mx"])).cast("long"))
+    )
+    store.append_version(delta, counts_table)
+    return int(batch["n"])
+
+
+def ngram_heavy_hitters(
+    store,
+    den: int = 1000,
+    counts_table: str = "ngram_counts",
+) -> DataFrame:
+    """The heavy-hitter read over the maintained count table: sum the
+    delta layers per gram, threshold at N/den. Maintained ≡ global is
+    immediate (sums are associative; every gram occurrence is counted
+    in exactly one layer), so this hash-matches
+    :func:`heavy_hitter_ngrams` over the same corpus. One O(state)
+    scan + one bounded-key exchange; history TEXT is never re-read."""
+    per_gram = (
+        store.read_union(counts_table)
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+    n_total = int(per_gram.agg(F.sum("n_occurrences")).first()[0] or 0)
+    return per_gram.filter(
+        F.col("n_occurrences") * den >= F.lit(n_total)
+    ).orderBy(F.desc("n_occurrences"), "gram")

@@ -7100,6 +7100,82 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q185 — HEAVY-HITTER n-grams: EXACT counts of every bigram at >=
+# N/den of all bigram occurrences, via the bounded two-pass
+# Misra-Gries plan (operators/sketch.py:heavy_hitter_ngrams — pass 1
+# per-partition MG summaries cap the exchange at partitions x k
+# candidate rows, pass 2 exactly recounts ONLY candidates). The
+# output is partition-independent (the candidate union is a
+# guaranteed superset for any partitioning; the recount is exact), so
+# the oracle is the plain GROUP BY ... HAVING the operator exists to
+# avoid running over the full gram vocabulary at 100 TB.
+# ---------------------------------------------------------------------------
+_HH_DEN = 1000
+
+
+def q185_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitter_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return heavy_hitter_ngrams(docs, "text", n=2, den=_HH_DEN)
+
+
+_HH_ORACLE = f"""
+WITH toks AS (
+    SELECT regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT t[i] || ' ' || t[i+1] AS gram
+    FROM toks, UNNEST(range(1, greatest(length(t), 1))) AS u(i)
+),
+tot AS (SELECT COUNT(*) AS n FROM g)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g, tot
+GROUP BY gram, tot.n
+HAVING COUNT(*) * {_HH_DEN} >= tot.n
+ORDER BY n_occurrences DESC, gram
+"""
+
+ORACLES["q185_heavy_hitter_ngrams"] = _HH_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Q186 — the MAINTAINED heavy-hitter twin: gram counts folded
+# batch-by-batch into a layered delta table (the incremental_vocab
+# single-commit protocol — watermark inside the layer, no crash
+# window), then the HH read sums layers and thresholds. Maintained ≡
+# global exactly (associative sums), so the oracle is q185's.
+# ---------------------------------------------------------------------------
+def q186_incremental_ngram_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import incremental_ngram_counts, ngram_heavy_hitters
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    s1 = int(lo) + (int(hi) - int(lo)) // 3
+    s2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    tmp_root = tempfile.mkdtemp(prefix="efiche_ngramhh_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_ngram_counts(docs.filter(F.col("doc_id") <= s1), store)
+        incremental_ngram_counts(
+            docs.filter((F.col("doc_id") > s1) & (F.col("doc_id") <= s2)), store
+        )
+        incremental_ngram_counts(docs.filter(F.col("doc_id") > s2), store)
+        _require(n1 > 0, "first fold must see documents")
+        return _finish_with_store(ngram_heavy_hitters(store, den=_HH_DEN), tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q186_incremental_ngram_hh"] = _HH_ORACLE
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -748,3 +748,87 @@ def test_incremental_retention_equals_global_and_replays(spark, tmp_path):
     out2 = incremental_retention(ev, store)  # full replay
     assert store.read("retention_user_weeks").count() == n
     assert snap(out2) == want
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter n-grams (q185/q186): the MG candidate pass must EVICT
+# under pressure (k far below the distinct-gram count) and the
+# two-pass output must still be exactly the true heavy hitters, for
+# any partitioning — the no-false-negative guarantee the operator is
+# built on. The driver fixture never stresses eviction (916 distinct
+# bigrams < k), so these tests do.
+# ---------------------------------------------------------------------------
+def _hh_docs(spark, n_tail=400):
+    # 2 hot bigrams ("hot pepper" via repeats, "cold stone") buried in
+    # a long unique tail: each tail doc contributes 2 distinct grams
+    # seen nowhere else.
+    rows = [(0, " ".join(["hot pepper"] * 60)), (1, " ".join(["cold stone"] * 40))]
+    rows += [(2 + i, f"tail{i}a tail{i}b tail{i}c") for i in range(n_tail)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    from efiche_data_pipeline_spark.functions.text import word_ngrams
+    from efiche_data_pipeline_spark.operators.sketch import heavy_hitter_ngrams
+
+    docs = _hh_docs(spark)
+    den, k = 20, 25  # threshold N/20; 25 counters vs ~800 distinct grams
+    truth = {
+        (r["gram"], r["n_occurrences"])
+        for r in (
+            docs.select(F.explode(word_ngrams("text", 2)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .collect()
+        )
+    }
+    n_total = sum(c for _, c in truth)
+    want = {(g, c) for g, c in truth if c * den >= n_total}
+    assert 1 <= len(want) <= 4  # the fixture's hot grams, not the tail
+    for parts in (1, 7):
+        got = {
+            (r["gram"], r["n_occurrences"])
+            for r in heavy_hitter_ngrams(
+                docs.repartition(parts), "text", n=2, den=den, k=k
+            ).collect()
+        }
+        assert got == want, (parts, got, want)
+
+
+def test_heavy_hitters_k_guard(spark):
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.sketch import heavy_hitter_ngrams
+
+    with pytest.raises(ValueError, match="k=10 < den=20"):
+        heavy_hitter_ngrams(_hh_docs(spark, 2), "text", den=20, k=10)
+
+
+def test_incremental_ngram_hh_equals_oneshot_and_replays(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.sketch import (
+        heavy_hitter_ngrams,
+        incremental_ngram_counts,
+        ngram_heavy_hitters,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = _hh_docs(spark, n_tail=60)
+    store = Store(spark, str(tmp_path / "hh"))
+    b1 = docs.filter(F.col("doc_id") < 30)
+    b2 = docs.filter(F.col("doc_id") >= 30)
+    assert incremental_ngram_counts(b1, store) == 30
+    assert incremental_ngram_counts(b2, store) == 32
+    den = 20
+    want = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitter_ngrams(docs, "text", den=den).collect()
+    }
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in ngram_heavy_hitters(store, den=den).collect()
+    }
+    assert got == want and want
+    # blind replay of batch 1: watermark absorbs it, state unchanged
+    layers = store.read_union("ngram_counts").count()
+    assert incremental_ngram_counts(b1, store) == 0
+    assert store.read_union("ngram_counts").count() == layers
