@@ -7176,6 +7176,111 @@ def q186_incremental_ngram_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q186_incremental_ngram_hh"] = _HH_ORACLE
 
 
+# ---------------------------------------------------------------------------
+# Q187 — IVF-PQ with exact rerank (operators/similarity.py:
+# ivf_pq_topk): the production ANN composition assembled from the
+# ladder's audited rungs — IVF cell probing (q116's assign) bounds
+# which vectors are touched, PQ codes (q138's reconstruction) bound
+# the bytes per probed cell, exact rerank of the top-``shortlist`` PQ
+# candidates recovers the recall. The oracle replays the full chain:
+# assign → probe → per-subspace nearest code → reconstruct → PQ-sim
+# shortlist cut → exact-cosine rerank, all ties to the lower id/code.
+# ---------------------------------------------------------------------------
+def q187_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+    codebook = emb.filter(F.col("vec_id") < 16)
+    return ivf_pq_topk(
+        emb, queries, centroids, codebook, m=8, k=5, nprobe=8, shortlist=20
+    )
+
+
+ORACLES["q187_ivf_pq_topk"] = """
+WITH cent AS (
+    SELECT vec_id + 1 AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+cb AS (
+    SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id < 16
+),
+corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus c, cent ct
+    ) WHERE rn = 1
+),
+qprobe AS (
+    SELECT vec_id AS query_id, cell_id FROM (
+        SELECT q.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell_id)
+                   AS rn
+        FROM corpus q, cent ct WHERE q.vec_id < 10
+    ) WHERE rn <= 8
+),
+sub AS (
+    SELECT c.vec_id, s.s, cb.code,
+           list_sum(list_transform(range(1, 9),
+               i -> (v[s.s * 8 + i] - cv[s.s * 8 + i])
+                  * (v[s.s * 8 + i] - cv[s.s * 8 + i]))) AS d
+    FROM corpus c, (SELECT UNNEST(range(0, 8)) AS s) s, cb
+),
+best AS (
+    SELECT vec_id, s, code
+    FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM sub
+    )
+    WHERE rn = 1
+),
+recon AS (
+    SELECT b.vec_id,
+           flatten(list(list_slice(cb.cv, b.s * 8 + 1, b.s * 8 + 8)
+                        ORDER BY b.s)) AS rv
+    FROM best b JOIN cb ON cb.code = b.code
+    GROUP BY b.vec_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qp.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qp.query_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, r.rv), 4) DESC,
+                            a.vec_id) AS srn
+        FROM qprobe qp
+        JOIN assign a USING (cell_id)
+        JOIN corpus q ON q.vec_id = qp.query_id
+        JOIN recon r ON r.vec_id = a.vec_id
+        WHERE a.vec_id <> qp.query_id
+    ) WHERE srn <= 20
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_cosine_similarity(q.v, n.v), 4) AS sim
+    FROM shortlist s
+    JOIN corpus q ON q.vec_id = s.query_id
+    JOIN corpus n ON n.vec_id = s.neighbor_id
+)
+QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

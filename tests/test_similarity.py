@@ -825,6 +825,54 @@ def test_pq_recall_ladder(spark):
     assert bi_recall >= pq_recall  # more bits, better ranking
 
 
+def test_ivf_pq_rerank_recovers_recall(spark):
+    """IVF-PQ with exact rerank (q187) must beat raw flat PQ on
+    recall@5 — the shortlist rerank recovers what the 4-byte codes
+    give up — and its reranked sims must be EXACT cosines (every
+    returned (query, neighbor) sim equals the brute-force value).
+    nprobe=16 of 16 cells isolates the rerank effect from cell
+    pruning; the registered q187 runs nprobe=8 of 16."""
+    from efiche_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codebook = emb.filter(F.col("vec_id") < 16)
+    centroids = codebook.select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+
+    def topsets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    exact_df = brute_force_topk(emb, queries, k=5)
+    exact = topsets(exact_df)
+    pq = topsets(pq_topk(emb, queries, codebook, k=5))
+    ivfpq_df = ivf_pq_topk(
+        emb, queries, centroids, codebook, k=5, nprobe=16, shortlist=50
+    )
+    ivfpq = topsets(ivfpq_df)
+    pq_recall = mean([len(exact[q] & pq[q]) / len(exact[q]) for q in exact])
+    rr_recall = mean([len(exact[q] & ivfpq[q]) / len(exact[q]) for q in exact])
+    assert rr_recall > pq_recall, (rr_recall, pq_recall)
+    assert rr_recall >= 0.5, rr_recall
+    # reranked sims are exact cosines: cross-check against brute force
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact_df.collect()
+    }
+    for r in ivfpq_df.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key], (key, r["sim"], exact_sims[key])
+
+
 # ---------------------------------------------------------------------------
 # Semantic (embedding-based) benchmark decontamination
 # ---------------------------------------------------------------------------
