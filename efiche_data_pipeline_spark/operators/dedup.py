@@ -2069,6 +2069,96 @@ def passage_search(
     )
 
 
+def containment_search(
+    store,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    max_freq: int = 20,
+    min_shared: int = 2,
+    positions_table: str = "span_positions",
+) -> DataFrame:
+    """Whole-document containment attribution against the maintained
+    span index — "which indexed documents share a large fraction of
+    THIS document's k-grams" (plagiarism/attribution/licensing
+    triage: :func:`passage_search` answers it for one short passage,
+    this answers it for a whole probe document, q173's one-sided
+    containment measure computed from the index instead of a corpus
+    self-join).
+
+    Semantics are POINT-IN-TIME — a pure function of (probes, index
+    state at call time), which is what makes an exact oracle possible
+    where a *maintained* containment fold would not be (the rare-gram
+    cap depends on global frequencies that later batches change):
+    containment(probe, doc) = |shared rare k-grams| / |probe's
+    distinct k-grams|, where "rare" means the gram's current index
+    doc-frequency is <= ``max_freq`` (ubiquitous grams are boilerplate
+    and would otherwise fan a probe out to the whole corpus — q173's
+    cap, applied on the read side). Returns (probe_id, doc_id,
+    n_shared, containment) for pairs sharing >= ``min_shared`` rare
+    grams, probe self-matches excluded.
+
+    Scale shape (the q174 read recipe): one gram pass over the probe
+    batch, one index scan PRUNED to the probes' hash prefixes on an
+    hp-bucketed layout (skipped past the coupon-collector saturation
+    bound), postings cut to the probes' gram set with a broadcast
+    semi-join BEFORE the distinct, frequencies counted on that slice
+    only, and the pair exchange carries (probe, doc) hash hits — the
+    corpus text is never read."""
+    ph = (
+        _gram_positions(probes, id_col, text_col, k)
+        .filter("pos >= 0")
+        .select(F.col("_id").alias("probe_id"), "h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = ph.groupBy("probe_id").agg(F.count(F.lit(1)).alias("_np"))
+    hot = ph.select("h").distinct()
+    pos_scan = store.read(positions_table)
+    if store.partitioning(positions_table) == ["hp"]:
+        buckets = _persisted_buckets(store, positions_table)
+        if hot.count() <= 16 * buckets:
+            prefixes = [
+                int(r["p"])
+                for r in hot.select(
+                    F.pmod(F.col("h"), F.lit(buckets)).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            pos_scan = pos_scan.filter(F.col("hp").isin(prefixes))
+    postings = (
+        pos_scan.filter("pos >= 0")
+        .join(F.broadcast(hot), "h", "left_semi")
+        .select("h", "_id")
+        .distinct()
+    )
+    rare = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") <= max_freq)
+        .select("h")
+    )
+    return (
+        ph.join(postings.join(rare, "h", "left_semi"), "h")
+        .filter(F.col("probe_id") != F.col("_id"))
+        .select("probe_id", F.col("_id").alias(id_col))
+        .groupBy("probe_id", id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .join(sizes, "probe_id")
+        .select(
+            "probe_id",
+            id_col,
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("_np"), 4).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def passage_search_many(
     docs: DataFrame,
     passages: DataFrame,

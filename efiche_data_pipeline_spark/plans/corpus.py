@@ -7281,6 +7281,73 @@ QUALIFY rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Q188 — whole-document CONTAINMENT SEARCH against the maintained
+# span index (operators/dedup.py:containment_search): q173's
+# one-sided containment measure answered from the index instead of a
+# corpus self-join — the attribution/licensing triage read. The
+# semantics are point-in-time (rare-gram cap at CURRENT index
+# frequency), so after folding the whole corpus the result equals the
+# global SQL below exactly. The q174 read recipe: hp-pruned index
+# scan, broadcast gram cut, pair exchange on hashes only.
+# ---------------------------------------------------------------------------
+_CSEARCH_MOD = 5
+_CSEARCH_MAXF = 20
+
+
+def q188_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import containment_search, incremental_duplicated_spans
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp_root = tempfile.mkdtemp(prefix="efiche_csearch_")
+    store = Store(spark, tmp_root)
+    try:
+        n = incremental_duplicated_spans(docs, store, k=_SPAN_K)
+        _require(n > 0, "the fold must index documents")
+        probes = docs.filter(F.col("doc_id") % _CSEARCH_MOD == 0)
+        out = containment_search(
+            store, probes, k=_SPAN_K, max_freq=_CSEARCH_MAXF, min_shared=2
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q188_containment_search"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id,
+           {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SPAN_K))}
+               AS gram
+    FROM toks, UNNEST(range(1, greatest(length(t) - {_SPAN_K - 2}, 1))) AS u(i)
+),
+freq AS (SELECT gram, COUNT(*) AS f FROM g GROUP BY 1),
+probes AS (
+    SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % {_CSEARCH_MOD} = 0
+),
+np AS (SELECT probe_id, COUNT(*) AS n FROM probes GROUP BY 1),
+pairs AS (
+    SELECT p.probe_id, c.doc_id, COUNT(*) AS n_shared
+    FROM probes p
+    JOIN freq f ON f.gram = p.gram AND f.f <= {_CSEARCH_MAXF}
+    JOIN g c ON c.gram = p.gram AND c.doc_id <> p.probe_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT probe_id, pairs.doc_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / np.n, 4) AS containment
+FROM pairs JOIN np USING (probe_id)
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -1920,3 +1920,41 @@ def test_incremental_simhash_guards(spark, tmp_path):
         incremental_simhash_dedup(docs, store, bits=48, bands=7)
     with pytest.raises(ValueError, match="pigeonhole"):
         incremental_simhash_dedup(docs, store, max_hamming=8, bands=8)
+
+
+def test_containment_search_planted(spark, tmp_path):
+    """Planted containment on the maintained span index: a probe that
+    lifts half of doc 1's text verbatim scores containment vs doc 1
+    only; a gram shared by MORE than max_freq docs contributes
+    nothing (the boilerplate cap); probe self-matches are excluded."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        containment_search,
+        incremental_duplicated_spans,
+    )
+
+    plate = "one two three four five six"  # a 6-gram everybody shares
+    body1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, f"{body1} {plate}")]
+    rows += [(10 + i, f"noise{i}a noise{i}b {plate}") for i in range(4)]
+    docs = _docs(spark, rows)
+    store = Store(spark, str(tmp_path / "cs"))
+    assert incremental_duplicated_spans(docs, store, k=6) == 5
+    # probe = first 8 words of doc 1 (3 distinct 6-grams, all rare)
+    # plus the boilerplate plate (1 ubiquitous 6-gram, capped out)
+    probe = _docs(
+        spark, [(99, "alpha beta gamma delta epsilon zeta eta theta " + plate)]
+    )
+    got = containment_search(
+        store, probe, k=6, max_freq=3, min_shared=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # probe has 9 distinct 6-grams; 3 rare ones shared with doc 1;
+    # the plate gram is in 5 docs > max_freq=3 so it never pairs
+    assert (r["probe_id"], r["doc_id"], r["n_shared"]) == (99, 1, 3)
+    assert r["containment"] == round(3 / 9, 4)
+    # self-exclusion: probing an INDEXED doc never reports itself
+    self_probe = containment_search(
+        store, docs.filter(F.col("doc_id") == 1), k=6, max_freq=10
+    ).collect()
+    assert all(row["doc_id"] != 1 for row in self_probe)

@@ -167,3 +167,31 @@ def test_passage_search_broadcasts_needle_and_prunes(spark, tmp_path):
     import re
 
     assert re.search(r"PartitionFilters: \[[^\]]*hp#\d+", plan), plan
+
+
+def test_containment_search_prunes_and_broadcasts(spark, tmp_path):
+    """q188's read plan: the postings cut must BROADCAST the probe
+    gram-hash set (never sort-merge on the corpus side) and the index
+    scan must PRUNE to the probes' hash prefixes at the directory
+    level — the same 100 TB contract as the passage-search point
+    query, for the whole-document containment read."""
+    import re
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        containment_search,
+        incremental_duplicated_spans,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = Store(spark, str(tmp_path / "csplan"))
+    incremental_duplicated_spans(docs, store, k=6)
+    from pyspark.sql import functions as F
+
+    out = containment_search(store, docs.filter(F.col("doc_id") % 97 == 0))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert store.partitioning("span_positions") == ["hp"]
+    assert re.search(r"PartitionFilters: \[[^\]]*hp#\d+", plan), plan
