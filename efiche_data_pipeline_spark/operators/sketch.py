@@ -1347,12 +1347,99 @@ def ngram_heavy_hitters(
     in exactly one layer), so this hash-matches
     :func:`heavy_hitter_ngrams` over the same corpus. One O(state)
     scan + one bounded-key exchange; history TEXT is never re-read."""
+    from .bpe import FORGOTTEN_MARKER
+
     per_gram = (
         store.read_union(counts_table)
+        .filter(F.col("gram") != FORGOTTEN_MARKER)
         .groupBy("gram")
         .agg(F.sum("cnt").alias("n_occurrences"))
+        # grams fully cancelled by forget_ngram_documents' negative
+        # layers sum to 0 — a 0-occurrence gram is never a heavy
+        # hitter (and must not appear when N itself is 0)
+        .filter(F.col("n_occurrences") > 0)
     )
     n_total = int(per_gram.agg(F.sum("n_occurrences")).first()[0] or 0)
     return per_gram.filter(
         F.col("n_occurrences") * den >= F.lit(n_total)
     ).orderBy(F.desc("n_occurrences"), "gram")
+
+
+def forget_ngram_documents(
+    store,
+    gone_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    counts_table: str = "ngram_counts",
+) -> int:
+    """Right-to-be-forgotten for the maintained n-gram count estate —
+    the ``forget_vocab_documents`` protocol (operators/bpe.py:210)
+    applied to :func:`incremental_ngram_counts`' table: counts are
+    associative sums, so the deletion is ONE more +delta layer with
+    NEGATED gram counts, after which :func:`ngram_heavy_hitters` (and
+    any other read of the table) equals the fold over the surviving
+    corpus alone. Blind-retry safe the same way: each forgotten id is
+    recorded as a cnt=0 ``FORGOTTEN_MARKER`` row committed INSIDE the
+    same atomic ``append_version`` as its negative counts, and a
+    retry anti-joins the requested ids against that ledger — no
+    double-subtraction window.
+
+    Unlike the vocab estate, this fold keeps NO text sink (the gram
+    table is the only state), so the caller supplies the forgotten
+    documents' text — ``gone_docs`` must be rows OF THE FOLDED CORPUS
+    (the store's kept sink or retained corpus slice is the canonical
+    source). Ids above the fold watermark were never counted;
+    subtracting them would corrupt the sums, so they raise. Returns
+    the number of documents newly subtracted (0 on a pure retry)."""
+    from .bpe import FORGOTTEN_MARKER
+
+    if store.current_version(counts_table) is None:
+        return 0
+    union = store.read_union(counts_table)
+    wanted = sorted(
+        int(r[id_col])
+        for r in gone_docs.select(id_col).distinct().collect()
+    )
+    wm = int(
+        union.filter(F.col("gram") != FORGOTTEN_MARKER)
+        .agg(F.max("batch_max_id"))
+        .first()[0]
+    )
+    over = [i for i in wanted if i > wm]
+    if over:
+        raise ValueError(
+            f"ids {over[:5]} exceed the fold watermark {wm}: never "
+            "counted, nothing to forget — a subtraction would corrupt "
+            "the sums"
+        )
+    already = {
+        int(r["batch_max_id"])
+        for r in union.filter(
+            (F.col("gram") == FORGOTTEN_MARKER)
+            & F.col("batch_max_id").isin(wanted)
+        )
+        .select("batch_max_id")
+        .distinct()
+        .collect()
+    }
+    pending = [i for i in wanted if i not in already]
+    if not pending:
+        return 0
+    gone = gone_docs.filter(F.col(id_col).isin(pending)).localCheckpoint(
+        eager=True
+    )
+    from ..functions.text import word_ngrams
+
+    neg = (
+        gone.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg((-F.count(F.lit(1))).alias("cnt"))
+        .withColumn("batch_max_id", F.lit(wm).cast("long"))
+    )
+    markers = gone.sparkSession.createDataFrame(
+        [(FORGOTTEN_MARKER, 0, i) for i in pending],
+        "gram string, cnt long, batch_max_id long",
+    )
+    store.append_version(neg.unionByName(markers), counts_table)
+    return len(pending)

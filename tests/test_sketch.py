@@ -832,3 +832,52 @@ def test_incremental_ngram_hh_equals_oneshot_and_replays(spark, tmp_path):
     layers = store.read_union("ngram_counts").count()
     assert incremental_ngram_counts(b1, store) == 0
     assert store.read_union("ngram_counts").count() == layers
+
+
+def test_forget_ngram_documents_survivor_exact(spark, tmp_path):
+    """Forgetting docs from the ngram count estate equals never having
+    folded them: HH read matches the survivor one-shot exactly; a
+    blind retry subtracts nothing (marker ledger); an id above the
+    fold watermark raises before any mutation."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.sketch import (
+        forget_ngram_documents,
+        heavy_hitter_ngrams,
+        incremental_ngram_counts,
+        ngram_heavy_hitters,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = _hh_docs(spark, n_tail=40)
+    store = Store(spark, str(tmp_path / "fng"))
+    incremental_ngram_counts(docs.filter(F.col("doc_id") < 20), store)
+    incremental_ngram_counts(docs.filter(F.col("doc_id") >= 20), store)
+    # forget doc 0 (the dominant "hot pepper" doc) and one tail doc
+    gone = docs.filter(F.col("doc_id").isin([0, 5]))
+    assert forget_ngram_documents(store, gone) == 2
+    den = 20
+    survivors = docs.filter(~F.col("doc_id").isin([0, 5]))
+    want = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitter_ngrams(survivors, "text", den=den).collect()
+    }
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in ngram_heavy_hitters(store, den=den).collect()
+    }
+    assert got == want and want
+    # survivor semantics flipped the heavy-hitter set: "hot pepper"
+    # (119 of doc 0's occurrences) is gone from it
+    assert not any(g == "hot pepper" for g, _ in got)
+    # blind retry: ledger absorbs it, no new layer, result unchanged
+    layers = store.read_union("ngram_counts").count()
+    assert forget_ngram_documents(store, gone) == 0
+    assert store.read_union("ngram_counts").count() == layers
+    # never-folded id: refuse before mutation
+    ghost = spark.createDataFrame(
+        [(10_000, "ghost words here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="exceed the fold watermark"):
+        forget_ngram_documents(store, ghost)
+    assert store.read_union("ngram_counts").count() == layers
