@@ -1443,3 +1443,103 @@ def forget_ngram_documents(
     )
     store.append_version(neg.unionByName(markers), counts_table)
     return len(pending)
+
+
+def _mg_grouped_summaries(group_col: str, gram_col: str, k: int):
+    """Grouped mapInPandas body: one INDEPENDENT Misra-Gries summary
+    per (partition, group) — the per-group undercount bound is
+    N_pg/(k+1), so the union is a per-group candidate superset for
+    k >= den exactly as in the ungrouped proof. Emits (grp, gram,
+    est) counter rows plus one (grp, NULL, n_pg) exact-total row per
+    group seen in the partition."""
+
+    def fn(batches):
+        import pandas as pd
+
+        counters: dict[str, dict[str, int]] = {}
+        totals: dict[str, int] = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby(group_col, sort=False):
+                c = counters.setdefault(grp, {})
+                totals[grp] = totals.get(grp, 0) + len(sub)
+                for g, n in sub[gram_col].value_counts().items():
+                    c[g] = c.get(g, 0) + int(n)
+                if len(c) > k:
+                    vals = sorted(c.values(), reverse=True)
+                    m = vals[k]
+                    counters[grp] = {g: n - m for g, n in c.items() if n > m}
+        grps, grams, ests = [], [], []
+        for grp, c in counters.items():
+            for g, n in c.items():
+                grps.append(grp)
+                grams.append(g)
+                ests.append(n)
+        for grp, n in totals.items():
+            grps.append(grp)
+            grams.append(None)
+            ests.append(n)
+        yield pd.DataFrame({"grp": grps, "gram": grams, "est": ests}).astype(
+            {"est": "int64"}
+        )
+
+    return fn
+
+
+def heavy_hitter_ngrams_by(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    den: int = 500,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact heavy-hitter n-grams — "which phrases dominate
+    each source/domain", the grouped form of
+    :func:`heavy_hitter_ngrams` (per-domain boilerplate discovery is
+    where HH earns its keep in web-corpus curation: a phrase at 0.2%
+    of ONE domain is invisible globally). Same two-pass plan with the
+    MG summary kept per (partition, group); thresholds are per-group
+    (count >= N_group/den). Intended for bounded group cardinality
+    (sources, domains, language buckets) — the candidate exchange is
+    <= partitions x groups x k rows. Returns (group_col, gram,
+    n_occurrences), per-group most-frequent first."""
+    from ..functions.text import word_ngrams
+
+    if k is None:
+        k = 2 * den
+    if k < den:
+        raise ValueError(
+            f"k={k} < den={den}: the per-group Misra-Gries bound needs "
+            "k >= den"
+        )
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    summ = grams.mapInPandas(
+        _mg_grouped_summaries("grp", "gram", k),
+        "grp string, gram string, est long",
+    ).localCheckpoint(eager=True)
+    totals = (
+        summ.filter(F.col("gram").isNull())
+        .groupBy("grp")
+        .agg(F.sum("est").alias("_n"))
+    )
+    cands = (
+        summ.filter(F.col("gram").isNotNull()).select("grp", "gram").distinct()
+    )
+    counts = (
+        grams.join(F.broadcast(cands), ["grp", "gram"], "left_semi")
+        .groupBy("grp", "gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.join(F.broadcast(totals), "grp")
+        .filter(F.col("n_occurrences") * den >= F.col("_n"))
+        .select(
+            F.col("grp").alias(group_col),
+            "gram",
+            "n_occurrences",
+        )
+        .orderBy(group_col, F.desc("n_occurrences"), "gram")
+    )

@@ -7348,6 +7348,42 @@ FROM pairs JOIN np USING (probe_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q189 — PER-SOURCE heavy-hitter n-grams (operators/sketch.py:
+# heavy_hitter_ngrams_by): q185's two-pass Misra-Gries plan with the
+# summary kept per (partition, source) and per-group thresholds —
+# per-domain boilerplate discovery, where a phrase at 0.2% of one
+# domain is invisible in the global count. Same exactness story: the
+# per-group candidate union is a guaranteed superset (k >= den), the
+# recount is exact, so the oracle is the grouped GROUP BY ... HAVING.
+# ---------------------------------------------------------------------------
+_HHB_DEN = 500
+
+
+def q189_source_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitter_ngrams_by
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return heavy_hitter_ngrams_by(docs, "source", "text", n=2, den=_HHB_DEN)
+
+
+ORACLES["q189_source_heavy_hitters"] = f"""
+WITH toks AS (
+    SELECT source, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT source, t[i] || ' ' || t[i+1] AS gram
+    FROM toks, UNNEST(range(1, greatest(length(t), 1))) AS u(i)
+),
+tot AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1)
+SELECT g.source, gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g JOIN tot ON tot.source = g.source
+GROUP BY g.source, gram, tot.n
+HAVING COUNT(*) * {_HHB_DEN} >= tot.n
+ORDER BY g.source, n_occurrences DESC, gram
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

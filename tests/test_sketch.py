@@ -881,3 +881,42 @@ def test_forget_ngram_documents_survivor_exact(spark, tmp_path):
     with pytest.raises(ValueError, match="exceed the fold watermark"):
         forget_ngram_documents(store, ghost)
     assert store.read_union("ngram_counts").count() == layers
+
+
+def test_grouped_heavy_hitters_exact_under_eviction(spark):
+    """Per-group MG must hold the per-group guarantee under eviction:
+    each group's hot grams survive, no cross-group leakage, grams
+    heavy in one source but absent in another stay per-source. Truth
+    from a plain grouped count; output partition-independent."""
+    from efiche_data_pipeline_spark.functions.text import word_ngrams
+    from efiche_data_pipeline_spark.operators.sketch import (
+        heavy_hitter_ngrams_by,
+    )
+
+    rows = [(0, "a", " ".join(["hot pepper"] * 50))]
+    rows += [(1, "b", " ".join(["cold stone"] * 50))]
+    rows += [(2 + i, "a", f"atail{i}x atail{i}y atail{i}z") for i in range(150)]
+    rows += [(200 + i, "b", f"btail{i}x btail{i}y btail{i}z") for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    den, k = 20, 25
+    truth = {}
+    for r in (
+        docs.select("source", F.explode(word_ngrams("text", 2)).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        truth[(r["source"], r["gram"])] = r["c"]
+    tot = {}
+    for (s, _), c in truth.items():
+        tot[s] = tot.get(s, 0) + c
+    want = {(s, g, c) for (s, g), c in truth.items() if c * den >= tot[s]}
+    assert {s for s, _, _ in want} == {"a", "b"}
+    for parts in (1, 5):
+        got = {
+            (r["source"], r["gram"], r["n_occurrences"])
+            for r in heavy_hitter_ngrams_by(
+                docs.repartition(parts), "source", den=den, k=k
+            ).collect()
+        }
+        assert got == want, (parts, got ^ want)
