@@ -1331,7 +1331,14 @@ def incremental_ngram_counts(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("batch_max_id", F.lit(int(batch["mx"])).cast("long"))
+        .localCheckpoint(eager=True)
     )
+    # a batch whose documents carry NO n-grams (all texts shorter
+    # than n tokens) has nothing to commit — an empty layer would
+    # erase the watermark column from the union read, and replaying
+    # the batch is harmless precisely because it contributes nothing
+    if delta.limit(1).count() == 0:
+        return int(batch["n"])
     store.append_version(delta, counts_table)
     return int(batch["n"])
 
@@ -1501,7 +1508,9 @@ def heavy_hitter_ngrams_by(
     MG summary kept per (partition, group); thresholds are per-group
     (count >= N_group/den). Intended for bounded group cardinality
     (sources, domains, language buckets) — the candidate exchange is
-    <= partitions x groups x k rows. Returns (group_col, gram,
+    <= partitions x groups x k rows. Group values must be NON-NULL
+    (pandas groupby drops null keys, so a null group would silently
+    vanish rather than fail). Returns (group_col, gram,
     n_occurrences), per-group most-frequent first."""
     from ..functions.text import word_ngrams
 

@@ -628,3 +628,96 @@ def test_incremental_pii_flags_closed_under_batching(
     got = sorted(map(tup, store.read("pii_flags").collect()))
     want = sorted(map(tup, pii_report(docs).collect()))
     assert got == want
+
+
+_HH_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["hot", "cold", "pepper", "stone", "x", "y", "z"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(
+    texts=_HH_TEXTS,
+    den=st.integers(2, 12),
+    parts=st.integers(1, 5),
+)
+@SET
+def test_heavy_hitters_match_exact_counts_at_tight_k(
+    spark, texts, den, parts
+):
+    """For ANY corpus over a tiny (collision-heavy) vocabulary, ANY
+    threshold and ANY partitioning, the two-pass Misra-Gries plan at
+    the TIGHTEST admissible summary size (k = den — the worst margin
+    the guarantee allows) equals the exact GROUP BY ... HAVING."""
+    from efiche_data_pipeline_spark.functions.text import word_ngrams
+    from efiche_data_pipeline_spark.operators.sketch import (
+        heavy_hitter_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(parts)
+    truth = {
+        (r["gram"], r["c"])
+        for r in docs.select(
+            F.explode(word_ngrams("text", 2)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(c for _, c in truth)
+    want = {(g, c) for g, c in truth if c * den >= n}
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitter_ngrams(docs, "text", den=den, k=den).collect()
+    }
+    assert got == want
+
+
+@given(
+    texts=_HH_TEXTS,
+    split=st.integers(0, 13),
+    mask=st.integers(0, 63),
+)
+@SET
+def test_forget_ngram_equals_survivor_one_shot(
+    spark, tmp_path_factory, texts, split, mask
+):
+    """For ANY corpus, ANY batch split and ANY forget subset, the
+    maintained gram counts after forget_ngram_documents equal the
+    fold over the survivors alone (read through the HH threshold at
+    den=1, i.e. the full surviving count table)."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        forget_ngram_documents,
+        incremental_ngram_counts,
+        ngram_heavy_hitters,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    store = Store(spark, str(tmp_path_factory.mktemp("fng_prop")))
+    incremental_ngram_counts(docs.filter(F.col("doc_id") <= split), store)
+    incremental_ngram_counts(docs.filter(F.col("doc_id") > split), store)
+    gone_ids = [i for i in range(len(texts)) if mask & (1 << (i % 6))]
+    gone = docs.filter(F.col("doc_id").isin(gone_ids or [-1]))
+    forget_ngram_documents(store, gone)
+    survivors = docs.filter(~F.col("doc_id").isin(gone_ids or [-1]))
+    twin = Store(spark, str(tmp_path_factory.mktemp("fng_twin")))
+    incremental_ngram_counts(survivors, twin)
+    read = lambda s: (
+        {
+            (r["gram"], r["n_occurrences"])
+            for r in ngram_heavy_hitters(s, den=1).collect()
+        }
+        if s.current_version("ngram_counts") is not None
+        else set()
+    )
+    assert read(store) == read(twin)
