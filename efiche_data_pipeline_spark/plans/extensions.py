@@ -2528,6 +2528,126 @@ WHERE bit_count(xor(fa, fb)) <= {_SH_MAXH}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q190 — the composed RELEASE HYGIENE REPORT: the per-document audit
+# row a curation pipeline emits before a release, joining the three
+# independent screens this engine maintains — verbatim benchmark
+# contamination (q66's shingle overlap), PII (q65/q183's canonical
+# regexes, over the q183-injected fixture so the dimension is
+# exercised — the raw synthetic corpus is PII-free), and model-free
+# quality (q32's score) — into one frame with the composed release_ok
+# verdict. Each screen is the already-audited operator; the
+# composition is three id-keyed joins over per-doc rows (one exchange
+# each, no new scan shapes). Reference analogue: run_analytics.py's
+# report assembly; the screens themselves are beyond-reference.
+# ---------------------------------------------------------------------------
+_HYG_QUAL_MIN = 0.15
+
+
+def q190_release_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import pii_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.pmod("doc_id", 20) == 0
+    corpus = docs.filter(~is_bench)
+    verbatim = q66_benchmark_decontamination(spark, sf_dir)
+    injected = corpus.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", 5) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0100"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pii = pii_report(injected).drop("redacted_fp")
+    qual = corpus.select(
+        "doc_id", F.round(quality_score_raw("text"), 4).alias("quality_score")
+    )
+    return verbatim.join(pii, "doc_id").join(qual, "doc_id").select(
+        "doc_id",
+        "n_overlap_ngrams",
+        "contaminated",
+        "n_emails",
+        "n_phones",
+        "has_pii",
+        "quality_score",
+        (
+            ~F.col("contaminated")
+            & ~F.col("has_pii")
+            & (F.col("quality_score") >= _HYG_QUAL_MIN)
+        ).alias("release_ok"),
+    )
+
+
+ORACLES["q190_release_hygiene_report"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(t, i, i + {_DECON_N - 1}), ' ') AS g
+    FROM toks, UNNEST(range(1, greatest(length(t) - {_DECON_N - 1}, 0) + 1)) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+ov AS (
+    SELECT doc_id, COUNT(*) AS n
+    FROM sh JOIN bench USING (g)
+    WHERE doc_id % 20 != 0
+    GROUP BY 1
+),
+inj AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 555-0100'
+                ELSE text END AS t
+    FROM documents WHERE doc_id % 20 != 0
+),
+pii AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER)
+               AS n_emails,
+           CAST(length(regexp_extract_all(t, '\\d{{3}}-\\d{{4}}')) AS INTEGER)
+               AS n_phones
+    FROM inj
+),
+qual AS (
+    SELECT doc_id,
+           ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0), 4)
+               AS quality_score
+    FROM (
+        SELECT doc_id,
+               length(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+               length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x IN ({_EN_STOP_SQL}))) AS n_stop
+        FROM documents WHERE doc_id % 20 != 0
+    )
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ov.n, 0) AS INTEGER) AS n_overlap_ngrams,
+       COALESCE(ov.n, 0) > 0 AS contaminated,
+       pii.n_emails, pii.n_phones,
+       (pii.n_emails > 0 OR pii.n_phones > 0) AS has_pii,
+       qual.quality_score,
+       (NOT (COALESCE(ov.n, 0) > 0)
+        AND NOT (pii.n_emails > 0 OR pii.n_phones > 0)
+        AND qual.quality_score >= {_HYG_QUAL_MIN}) AS release_ok
+FROM documents d
+JOIN pii ON pii.doc_id = d.doc_id
+JOIN qual ON qual.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE d.doc_id % 20 != 0
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
