@@ -2529,6 +2529,56 @@ WHERE bit_count(xor(fa, fb)) <= {_SH_MAXH}
 
 
 # ---------------------------------------------------------------------------
+# Q191 — the TPC-H Q17 decorrelation shape: "small-quantity order
+# revenue" — lineitems whose quantity is below 20% of the PER-PART
+# average quantity (a correlated scalar aggregate subquery). Spark
+# expresses it as the decorrelated form directly — compute the
+# per-part averages ONCE (one aggregate over the probe side's key
+# set), broadcast-join them back, filter — which is exactly the plan
+# Catalyst's decorrelation would produce from the subquery form: no
+# per-row re-aggregation, one pass over lineitem, the tiny per-part
+# aggregate broadcast. The threshold qty < 0.2 * AVG(qty) is compared
+# DIVISION-FREE (5 * qty * n < sum — exact integer/decimal
+# arithmetic, n > 0 by construction), so no engine's AVG rounding
+# convention can flip a boundary row.
+# Reference anchor: sql/04_analytics.sql's correlated-count family
+# (q12); this adds the aggregate-in-subquery member.
+# ---------------------------------------------------------------------------
+def q191_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    small = li.join(F.broadcast(per_part), "l_partkey").filter(
+        F.lit(5).cast("decimal(38,6)")
+        * F.col("l_quantity").cast("decimal(38,6)")
+        * F.col("_n")
+        < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum("l_extendedprice").alias("total_price"),
+    )
+
+
+ORACLES["q191_small_quantity_revenue"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {oracle_money_sum('l_extendedprice')} AS total_price
+FROM lineitem l
+WHERE 5 * CAST(l_quantity AS DECIMAL(38,6)) * (
+        SELECT COUNT(*) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey
+      )
+      < (
+        SELECT SUM(CAST(l_quantity AS DECIMAL(38,6)))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q190 — the composed RELEASE HYGIENE REPORT: the per-document audit
 # row a curation pipeline emits before a release, joining the three
 # independent screens this engine maintains — verbatim benchmark
