@@ -243,6 +243,13 @@ _ROTATED_OUT = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
+    # R10 ROTATION NOTE: the round-9 additions q177-q191 (forgets,
+    # semantic decontamination, epoch shuffle, PII flags, incremental
+    # SimHash, heavy hitters, IVF-PQ, containment search, hygiene
+    # report, Q17 decorrelation) registered past the filled window —
+    # all driver-sim PASS + pytest-oracle-green, but no driver row
+    # yet. They should FRONT the r10 window, with the then-stalest
+    # green block behind them.
     # r06-green remainder (still differentially oracle-checked every
     # pytest run; fronts the r10 rotation):
     "q51_curation_pipeline",
