@@ -920,3 +920,38 @@ def test_grouped_heavy_hitters_exact_under_eviction(spark):
             ).collect()
         }
         assert got == want, (parts, got ^ want)
+
+
+def test_ngram_estate_survives_compaction(spark, tmp_path):
+    """compact_layers on the ngram count table preserves every read
+    the estate exposes: the HH result, the fold watermark (a new
+    batch folds exactly once afterwards), and the forget ledger (a
+    retry after compaction is still a no-op)."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        forget_ngram_documents,
+        incremental_ngram_counts,
+        ngram_heavy_hitters,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    docs = _hh_docs(spark, n_tail=30)
+    store = Store(spark, str(tmp_path / "cmp"))
+    incremental_ngram_counts(docs.filter(F.col("doc_id") < 16), store)
+    incremental_ngram_counts(
+        docs.filter((F.col("doc_id") >= 16) & (F.col("doc_id") < 28)), store
+    )
+    gone = docs.filter(F.col("doc_id") == 0)
+    assert forget_ngram_documents(store, gone) == 1
+    before = sorted(
+        tuple(r) for r in ngram_heavy_hitters(store, den=1).collect()
+    )
+    store.compact_layers("ngram_counts")
+    store.vacuum_versions("ngram_counts", keep_last=1)
+    assert (
+        sorted(tuple(r) for r in ngram_heavy_hitters(store, den=1).collect())
+        == before
+    )
+    # forget retry is still ledgered (markers survive compaction)
+    assert forget_ngram_documents(store, gone) == 0
+    # the watermark survived: only the genuinely-new docs fold
+    assert incremental_ngram_counts(docs.filter(F.col("doc_id") < 32), store) == 4
