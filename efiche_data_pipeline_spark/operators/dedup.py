@@ -2099,6 +2099,15 @@ def containment_search(
     n_shared, containment) for pairs sharing >= ``min_shared`` rare
     grams, probe self-matches excluded.
 
+    RECALL PRECONDITION — results cover INDEXED documents only: a
+    corpus doc not yet folded into ``positions_table`` cannot appear
+    as a match (the same exposure passage_search's coverage guard
+    closes — but that guard's fallback is a full-text verify, and
+    this operator NEVER reads corpus text, so no fallback exists).
+    Callers needing completeness against a racing fold must check
+    coverage themselves (``span_seen_docs`` vs the corpus id set)
+    and re-query after the fold commits.
+
     Scale shape (the q174 read recipe): one gram pass over the probe
     batch, one index scan PRUNED to the probes' hash prefixes on an
     hp-bucketed layout (skipped past the coupon-collector saturation
