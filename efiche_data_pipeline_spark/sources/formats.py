@@ -23,6 +23,7 @@ formats here, not storage.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -79,3 +80,55 @@ def read_table(
     elif schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSONL ingest with a QUARANTINE lane — the
+    production posture for third-party feeds, where one malformed
+    line must neither kill the job (FAILFAST) nor silently vanish
+    (DROPMALFORMED): returns ``(good, quarantine)`` where ``good``
+    carries every line that parses as a JSON object under ``schema``
+    and ``quarantine`` carries the RAW text of every line that does
+    not, ready for a dead-letter sink and replay after the producer
+    is fixed.
+
+    Contract: a syntactically-malformed line (or a JSON scalar/array
+    — not an object) quarantines; a VALID object missing fields
+    parses with nulls and stays in the good lane (downstream default
+    coercion — the P1 rule — owns those). Implemented as
+    ``spark.read.text`` + ``from_json`` with a corrupt-record field
+    appended to the schema — NOT the top-level reader's PERMISSIVE
+    ``columnNameOfCorruptRecord`` mode, which cannot be filtered
+    without caching the whole frame (the documented Spark quirk);
+    this form is one pass, no cache, and the split predicate is a
+    column expression the optimizer can push. (A bare
+    ``from_json(...).isNotNull()`` split is NOT enough: PERMISSIVE
+    from_json returns an all-null STRUCT, not a null, for non-object
+    JSON — the corrupt field is the reliable verdict.)
+
+    Reference anchor: etl_pipeline.py:57-63 rolls back the whole
+    transaction on any bad row — this keeps the good 99.99% flowing
+    and isolates the bad rows instead."""
+    _CORRUPT = "_quarantine_corrupt_rec"
+    if isinstance(schema, str):
+        fields = T._parse_datatype_string(schema)
+    else:
+        fields = schema
+    if _CORRUPT in fields.fieldNames():
+        raise ValueError(f"schema must not define {_CORRUPT!r}")
+    widened = fields.add(_CORRUPT, T.StringType())
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            "value", widened, {"columnNameOfCorruptRecord": _CORRUPT}
+        ).alias("_p"),
+    )
+    bad_pred = F.col(f"_p.{_CORRUPT}").isNotNull() | F.col("_p").isNull()
+    good = parsed.filter(~bad_pred).select("_p.*").drop(_CORRUPT)
+    quarantine = parsed.filter(bad_pred).select(F.col("value").alias("raw"))
+    return good, quarantine

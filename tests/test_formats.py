@@ -60,3 +60,33 @@ def test_text_read_requires_schema(spark, tmp_path):
     write_table(src, path, "csv")
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, path, "csv")
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Malformed lines (and non-object JSON) land raw in the
+    quarantine lane; valid objects — including ones with missing
+    fields — parse into the good lane. Nothing is dropped: the two
+    lanes partition the input exactly."""
+    from efiche_data_pipeline_spark.sources.formats import (
+        read_jsonl_quarantine,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2}',  # missing field -> good lane, null text
+        '{"doc_id": 3, "text": "gamma"',  # truncated -> quarantine
+        "not json at all",  # quarantine
+        "[1, 2, 3]",  # JSON but not an object -> quarantine
+        '{"doc_id": 4, "text": "delta", "extra": true}',  # extra ok
+    ]
+    path = str(tmp_path / "feed.jsonl")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    good, bad = read_jsonl_quarantine(
+        spark, path, "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["text"]) for r in good.collect()}
+    assert got == {(1, "alpha"), (2, None), (4, "delta")}
+    raws = {r["raw"] for r in bad.collect()}
+    assert raws == {lines[2], lines[3], lines[4]}
+    assert good.count() + bad.count() == len(lines)
