@@ -195,3 +195,25 @@ def test_containment_search_prunes_and_broadcasts(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert store.partitioning("span_positions") == ["hp"]
     assert re.search(r"PartitionFilters: \[[^\]]*hp#\d+", plan), plan
+
+
+def test_heavy_hitter_recount_broadcasts_candidates(spark):
+    """q185/q189's pass-2 contract: the exact recount must reach the
+    gram stream through a BROADCAST semi-join on the bounded
+    candidate set — a sort-merge join there would shuffle the full
+    gram stream, the exact thing the two-pass plan exists to avoid."""
+    from efiche_data_pipeline_spark.operators.sketch import (
+        heavy_hitter_ngrams,
+        heavy_hitter_ngrams_by,
+    )
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        heavy_hitter_ngrams(docs.select("text"), den=1000),
+        heavy_hitter_ngrams_by(docs.select("source", "text"), "source"),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, plan
