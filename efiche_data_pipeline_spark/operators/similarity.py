@@ -762,6 +762,179 @@ def ivf_pq_topk(
     )
 
 
+def _pq_codes(entries: list[list[float]], m: int, vec: str):
+    """In-row PQ ENCODER: the array of per-subspace nearest-code
+    indices (1-based, ties to the lower code) — the 4-bit-per-subspace
+    payload a codes-only index stores instead of the float vector."""
+    dim = len(entries[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    idxs = []
+    for s in range(m):
+        cb_s = F.array(
+            *[
+                F.array(*[F.lit(v) for v in e[s * d : (s + 1) * d]])
+                for e in entries
+            ]
+        )
+        sub = F.slice(vec, s * d + 1, d)
+        dists = F.transform(
+            cb_s,
+            lambda code: F.aggregate(
+                F.zip_with(sub, code, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+        idxs.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.array(*idxs)
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    store,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    index_table: str = "ivfpq_cells",
+    centroid_table: str = "ivfpq_centroids",
+    codebook_table: str = "ivfpq_codebook",
+) -> int:
+    """Materialize the codes-only IVF-PQ index: every vector stored as
+    (cell_id, vec_id, codes) — ``m`` small ints instead of the float
+    array, hive-partitioned by cell so the query path prunes at the
+    directory level. Centroids AND codebook commit as versioned
+    tables next to it (the pinned-vectors discipline: the codes are
+    meaningless under any other codebook, so the index and its
+    codebook version travel together). Idempotent on replay via the
+    keyed ``append_new``. Returns the number of vectors indexed.
+
+    This is the 100 TB layout :func:`ivf_pq_topk` computes on the
+    fly: at scale the encode happens ONCE at ingest and queries read
+    4 bytes/vector-eighth from the probed cells only."""
+    entries = _codebook_entries(codebook, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    assigned = assign_cells(c, centroids, id_col, vec_col)
+    coded = assigned.select(
+        id_col, "cell_id", _pq_codes(entries, m, vec_col).alias("codes")
+    ).localCheckpoint(eager=True)
+    store.write_version(
+        centroids.select(
+            F.col("cell_id"), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        centroid_table,
+    )
+    store.write_version(
+        codebook.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        codebook_table,
+    )
+    n = coded.count()
+    store.append_new(coded, index_table, key=id_col, partition_by=["cell_id"])
+    return n
+
+
+def ivf_pq_index_query(
+    store,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 20,
+    index_table: str = "ivfpq_cells",
+    centroid_table: str = "ivfpq_centroids",
+    codebook_table: str = "ivfpq_codebook",
+) -> DataFrame:
+    """:func:`ivf_pq_topk` answered from the PERSISTED codes-only
+    index — result-identical to the on-the-fly operator under the
+    same parameters (same assignment, same codes, same ADC score,
+    same shortlist cut, same exact rerank), which is what lets the
+    q192 oracle be q187's SQL verbatim.
+
+    Read shape: probed cells resolve to a LITERAL ``cell_id IN``
+    filter (directory-level pruning on the hive layout — the
+    ivf_index_query contract, plan-pinned); ADC reconstruction is an
+    in-row ``element_at`` walk over the broadcast-literal codebook;
+    only the per-query ``shortlist`` survivors join back to
+    ``corpus`` for full-precision rerank — ONE broadcast-keyed pass
+    over the corpus frame, never a corpus shuffle."""
+    cents = store.read_version(centroid_table)
+    entries = _codebook_entries(store.read_version(codebook_table), id_col, vec_col)
+    K = len(entries)
+    dim = len(entries[0])
+    d = dim // m
+    # flat literal: slice for (subspace s, code c) at position s*K + c
+    flat = F.array(
+        *[
+            F.array(*[F.lit(v) for v in entries[c][s * d : (s + 1) * d]])
+            for s in range(m)
+            for c in range(K)
+        ]
+    )
+    q_cells = assign_cells(
+        queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        cents,
+        id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
+    )
+    probed = sorted(
+        {r["cell_id"] for r in q_cells.select("cell_id").distinct().collect()}
+    )
+    cells = store.read(index_table).filter(F.col("cell_id").isin(probed))
+    recon = F.flatten(
+        F.transform(
+            "codes",
+            lambda c, i: F.element_at(flat, (i * K + c).cast("int")),
+        )
+    )
+    pq_sims = (
+        cells.select(
+            F.col(id_col).alias("neighbor_id"), recon.alias("_rv"), "cell_id"
+        )
+        .join(F.broadcast(q_cells), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            F.round(cosine("q_vec", "_rv"), 4).alias("_pq_sim"),
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("_pq_sim"), F.asc("neighbor_id"))
+    short = pq_sims.withColumn("_srn", F.row_number().over(ws)).filter(
+        F.col("_srn") <= shortlist
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    rerank = full.join(F.broadcast(short), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("q_vec", "_v"), 4).alias("sim"),
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental EMBEDDING near-dup dedup (the SemDeDup shape): drop a
 # new vector if a smaller-id vector already in the corpus — or earlier

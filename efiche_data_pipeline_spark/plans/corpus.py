@@ -7384,6 +7384,46 @@ ORDER BY g.source, n_occurrences DESC, gram
 """
 
 
+# ---------------------------------------------------------------------------
+# Q192 — the PERSISTED IVF-PQ index (operators/similarity.py:
+# build_ivf_pq_index / ivf_pq_index_query): q187's exact semantics
+# answered from the codes-only cell store — 4-bit-per-subspace codes
+# hive-partitioned by cell (directory pruning plan-pinned), centroids
+# + codebook versioned alongside, full vectors touched only for the
+# per-query shortlist rerank. Result-identical to the on-the-fly
+# operator under the same parameters, so the oracle is q187's SQL
+# verbatim.
+# ---------------------------------------------------------------------------
+def q192_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import build_ivf_pq_index, ivf_pq_index_query
+    from ..pipeline.store import Store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+    codebook = emb.filter(F.col("vec_id") < 16)
+    tmp_root = tempfile.mkdtemp(prefix="efiche_ivfpq_")
+    store = Store(spark, tmp_root)
+    try:
+        n = build_ivf_pq_index(emb, store, centroids, codebook, m=8)
+        _require(n > 0, "the build must index vectors")
+        out = ivf_pq_index_query(
+            store, queries, emb, m=8, k=5, nprobe=8, shortlist=20
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q192_ivf_pq_index"] = ORACLES["q187_ivf_pq_topk"]
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -8,7 +8,7 @@ compression ratio computed in an Arrow ``mapInPandas`` pass, which
 DuckDB cannot reproduce; they are instead pinned by a
 determinism pytest pair (tests/test_quality.py) that replays the
 same computation twice and cross-checks against Python's zlib on
-collected rows. Every other query (189 of 191) is differentially
+collected rows. Every other query (190 of 192) is differentially
 DuckDB-oracled. (MinHash-LSH and IVF search, the historical
 no-oracle pair, have had portable pinned-seed/pinned-centroid
 oracles since round 4.)
@@ -243,10 +243,10 @@ _ROTATED_OUT = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
-    # R10 ROTATION NOTE: the round-9 additions q177-q191 (forgets,
+    # R10 ROTATION NOTE: the round-9 additions q177-q192 (forgets,
     # semantic decontamination, epoch shuffle, PII flags, incremental
     # SimHash, heavy hitters, IVF-PQ, containment search, hygiene
-    # report, Q17 decorrelation) registered past the filled window —
+    # report, Q17 decorrelation, persisted IVF-PQ index) registered past the filled window —
     # all driver-sim PASS + pytest-oracle-green, but no driver row
     # yet. They should FRONT the r10 window, with the then-stalest
     # green block behind them.

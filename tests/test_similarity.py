@@ -948,3 +948,48 @@ def test_incremental_semantic_decontamination_folds_equal_global(
         sorted(map(tup, store.read("semantic_decontam_flags").collect()))
         == want
     )
+
+
+def test_ivf_pq_index_matches_oneshot_and_prunes(spark, tmp_path):
+    """The persisted codes-only IVF-PQ index answers queries
+    RESULT-IDENTICALLY to the on-the-fly ivf_pq_topk under the same
+    parameters (same assignment/codes/ADC/shortlist/rerank), and the
+    probed-cell read prunes the cell store at the directory level
+    (PartitionFilters on the hive layout — the 1/K-of-corpus promise
+    on disk). Replayed builds are keyed no-ops."""
+    import re
+
+    from efiche_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_query,
+        ivf_pq_topk,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codebook = emb.filter(F.col("vec_id") < 16)
+    centroids = codebook.select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+    store = Store(spark, str(tmp_path / "ivfpq"))
+    n = build_ivf_pq_index(emb, store, centroids, codebook, m=8)
+    assert n == emb.count()
+    got_df = ivf_pq_index_query(
+        store, queries, emb, m=8, k=5, nprobe=8, shortlist=20
+    )
+    got_df.collect()
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    want = rows(
+        ivf_pq_topk(
+            emb, queries, centroids, codebook, k=5, nprobe=8, shortlist=20
+        )
+    )
+    assert rows(got_df) == want and want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_id#\d+ IN", plan), plan
+    assert "SortMergeJoin" not in plan
+    # replayed build: keyed append_new absorbs every row
+    before = store.read("ivfpq_cells").count()
+    build_ivf_pq_index(emb, store, centroids, codebook, m=8)
+    assert store.read("ivfpq_cells").count() == before
