@@ -794,8 +794,8 @@ def _pq_codes(entries: list[list[float]], m: int, vec: str):
 def build_ivf_pq_index(
     corpus: DataFrame,
     store,
-    centroids: DataFrame,
-    codebook: DataFrame,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
@@ -803,38 +803,59 @@ def build_ivf_pq_index(
     centroid_table: str = "ivfpq_centroids",
     codebook_table: str = "ivfpq_codebook",
 ) -> int:
-    """Materialize the codes-only IVF-PQ index: every vector stored as
-    (cell_id, vec_id, codes) — ``m`` small ints instead of the float
-    array, hive-partitioned by cell so the query path prunes at the
-    directory level. Centroids AND codebook commit as versioned
-    tables next to it (the pinned-vectors discipline: the codes are
-    meaningless under any other codebook, so the index and its
-    codebook version travel together). Idempotent on replay via the
-    keyed ``append_new``. Returns the number of vectors indexed.
+    """Materialize (or append to) the codes-only IVF-PQ index: every
+    vector stored as (cell_id, vec_id, codes) — ``m`` small ints
+    instead of the float array, hive-partitioned by cell so the query
+    path prunes at the directory level. Centroids AND codebook are
+    PINNED: the first build commits them as versioned tables next to
+    the index (codes are meaningless under any other codebook, so
+    they travel together); later appends must pass ``None`` and
+    encode against the pinned versions — passing new ones against a
+    live index raises rather than silently desynchronizing the stored
+    codes (re-quantization is a rebuild, the q120 retrain discipline).
+    Idempotent on replay via the keyed ``append_new``; a pure replay
+    bumps NO versions. Returns the number of vectors encoded.
 
     This is the 100 TB layout :func:`ivf_pq_topk` computes on the
     fly: at scale the encode happens ONCE at ingest and queries read
     4 bytes/vector-eighth from the probed cells only."""
-    entries = _codebook_entries(codebook, id_col, vec_col)
+    pinned = store.current_version(codebook_table) is not None
+    if pinned and (centroids is not None or codebook is not None):
+        raise ValueError(
+            "ivf_pq index already pinned its centroids/codebook — append "
+            "with centroids=None/codebook=None, or rebuild under a new "
+            "table name to re-quantize"
+        )
+    if not pinned:
+        if centroids is None or codebook is None:
+            raise ValueError(
+                "first build must supply centroids AND codebook"
+            )
+        store.write_version(
+            centroids.select(
+                F.col("cell_id"),
+                F.col(vec_col).cast("array<double>").alias(vec_col),
+            ),
+            centroid_table,
+        )
+        store.write_version(
+            codebook.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias(vec_col),
+            ),
+            codebook_table,
+        )
+    cents = store.read_version(centroid_table)
+    entries = _codebook_entries(
+        store.read_version(codebook_table), id_col, vec_col
+    )
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    assigned = assign_cells(c, centroids, id_col, vec_col)
+    assigned = assign_cells(c, cents, id_col, vec_col)
     coded = assigned.select(
         id_col, "cell_id", _pq_codes(entries, m, vec_col).alias("codes")
     ).localCheckpoint(eager=True)
-    store.write_version(
-        centroids.select(
-            F.col("cell_id"), F.col(vec_col).cast("array<double>").alias(vec_col)
-        ),
-        centroid_table,
-    )
-    store.write_version(
-        codebook.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-        ),
-        codebook_table,
-    )
     n = coded.count()
     store.append_new(coded, index_table, key=id_col, partition_by=["cell_id"])
     return n
@@ -1388,6 +1409,7 @@ def forget_vectors(
     kept_table: str = "embdedup_kept_vecs",
     semdedup_table: str = "semdedup_cells",
     semantic_flags_table: str = "semantic_decontam_flags",
+    ivfpq_table: str = "ivfpq_cells",
     profile_table: str = "ivf_cell_profile",
     vacuum: bool = True,
 ) -> dict[str, int | None]:
@@ -1396,7 +1418,7 @@ def forget_vectors(
     ("forget this user's embeddings" is THE delete use-case for a
     vector store): one call purges a vec-id set from the streaming
     kept sink, the IVF cell index, the SemDeDup cell index, and the
-    semantic-decontamination flags sink (whose rows carry the vec id
+    semantic-decontamination flags sink and the IVF-PQ codes index (whose rows carry the vec id
     AND its nearest-benchmark score — derived data the id's owner is
     entitled to have erased; the benchmark index itself is NOT corpus
     data and is untouched — forgetting corpus vectors never rewrites
@@ -1416,7 +1438,13 @@ def forget_vectors(
     """
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
     touched: dict[str, int | None] = {}
-    for table in (kept_table, index_table, semdedup_table, semantic_flags_table):
+    for table in (
+        kept_table,
+        index_table,
+        semdedup_table,
+        semantic_flags_table,
+        ivfpq_table,
+    ):
         if not (
             store.exists(table) or store.current_version(table) is not None
         ):

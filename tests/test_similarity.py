@@ -989,7 +989,17 @@ def test_ivf_pq_index_matches_oneshot_and_prunes(spark, tmp_path):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell_id#\d+ IN", plan), plan
     assert "SortMergeJoin" not in plan
-    # replayed build: keyed append_new absorbs every row
+    # replayed append: keyed append_new absorbs every row, and the
+    # pinned codebook/centroid versions do NOT move on a pure replay
     before = store.read("ivfpq_cells").count()
-    build_ivf_pq_index(emb, store, centroids, codebook, m=8)
+    cb_v = store.current_version("ivfpq_codebook")
+    build_ivf_pq_index(emb, store, m=8)
     assert store.read("ivfpq_cells").count() == before
+    assert store.current_version("ivfpq_codebook") == cb_v
+    # passing NEW centroids/codebook against a live index refuses —
+    # silently re-encoding under a different codebook would desync
+    # the stored codes
+    import pytest
+
+    with pytest.raises(ValueError, match="already pinned"):
+        build_ivf_pq_index(emb, store, centroids, codebook, m=8)
