@@ -42,6 +42,10 @@ DEFAULT_ID_COLUMNS = (
     "doc_b",
     "node",
     "batch_max_id",
+    # the vector estates (IVF cells, SemDeDup cells, semantic flags,
+    # IVF-PQ codes) key on vec_id — without it the auditor's sweep
+    # would report those tables clean while rows survive
+    "vec_id",
 )
 
 

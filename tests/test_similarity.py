@@ -741,6 +741,17 @@ def test_forget_vectors_purges_and_rebaselines(clustered, tmp_path):
                     ).fetchall()
                 }
                 assert not (found & gone), (f, sorted(found & gone))
+    # the compliance sweep SEES the vector estates (vec_id is an
+    # audited id column) and reports them clean post-forget
+    from efiche_data_pipeline_spark.pipeline.compliance import audit_forgotten
+
+    audit = {
+        (r["table"], r["column"]): r["n_live_rows"]
+        for r in audit_forgotten(store, sorted(gone)).collect()
+    }
+    assert ("ivf_cells", "vec_id") in audit
+    assert ("semantic_decontam_flags", "vec_id") in audit
+    assert all(n == 0 for n in audit.values()), audit
     # the query path still prunes partitions post-delete
     q = clustered.filter(F.col("vec_id") % 25 == 1).limit(3)
     res = ivf_index_query(store, q, k=3)
