@@ -76,6 +76,10 @@ def run_incremental_dedup_stream(
     bands: int = 4,
     compact_every: int | None = None,
     canonicalize: bool = False,
+    method: str = "minhash",
+    simhash_bits: int = 48,
+    simhash_bands: int = 8,
+    max_hamming: int = 3,
 ) -> StreamDedupReport:
     """availableNow consumption of parquet document files under
     ``source_dir``: each micro-batch is deduped against the index and
@@ -94,7 +98,19 @@ def run_incremental_dedup_stream(
     lower/strip/collapse) on each micro-batch before signing, so
     case/punct/spacing/accent variants dedup across the stream — the
     production-crawl configuration. Canonicalization is per-doc pure,
-    so every crash/replay property above is unchanged."""
+    so every crash/replay property above is unchanged.
+
+    ``method="simhash"`` swaps the per-batch operator for
+    :func:`~..operators.dedup.incremental_simhash_dedup` (q184 — the
+    Hamming-distance rule on one int64 fingerprint per doc, batch ≡
+    global with NO cap caveat) under the IDENTICAL two-commit
+    protocol: both operators expose the same ``commit=False`` result
+    shape (kept + index_delta + replay-absorbing freshness), so the
+    sink-first/index-last crash reasoning above applies verbatim.
+    Pass ``index_table="simhash_fp_index"`` (or keep separate sinks)
+    when running both methods against one store."""
+    if method not in ("minhash", "simhash"):
+        raise ValueError(f"unknown dedup method {method!r}")
     totals = {"batches": 0, "new": 0, "dropped": 0}
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
@@ -114,15 +130,28 @@ def run_incremental_dedup_stream(
                 # pass instead of one per consumer
                 .localCheckpoint(eager=True)
             )
-        res = incremental_minhash_dedup(
-            docs,
-            store,
-            index_table=index_table,
-            threshold=threshold,
-            n_hashes=n_hashes,
-            bands=bands,
-            commit=False,
-        )
+        if method == "simhash":
+            from ..operators.dedup import incremental_simhash_dedup
+
+            res = incremental_simhash_dedup(
+                docs,
+                store,
+                index_table=index_table,
+                bits=simhash_bits,
+                bands=simhash_bands,
+                max_hamming=max_hamming,
+                commit=False,
+            )
+        else:
+            res = incremental_minhash_dedup(
+                docs,
+                store,
+                index_table=index_table,
+                threshold=threshold,
+                n_hashes=n_hashes,
+                bands=bands,
+                commit=False,
+            )
         if res.n_new == 0:
             return  # replayed batch: sink and index already converged
         # Sink BEFORE index commit (see module docstring); the kept

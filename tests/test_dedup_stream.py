@@ -209,3 +209,71 @@ def test_stream_dedup_canonicalize_catches_variant_docs(spark, tmp_path):
     assert kept == expected
     assert 2 not in kept  # the shouting variant deduped against doc 0
     assert canon.n_dropped >= 1
+
+
+def test_stream_dedup_simhash_method_equals_global(spark, tmp_path):
+    """method="simhash" runs q184's Hamming rule per micro-batch under
+    the identical sink-first/index-last protocol: the kept sink equals
+    the one-shot global dominated rule over every file seen, a restart
+    consumes only new files, and a rerun is a no-op."""
+    import pytest
+
+    from efiche_data_pipeline_spark.functions.hashing import (  # noqa: F401
+        portable_hash60,
+    )
+    from efiche_data_pipeline_spark.operators.dedup import simhash
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = Store(spark, str(tmp_path / "store"))
+    f1 = [(0, _BASE), (1, _BASE + " x"), (2, _OTHER)]
+    f2 = [(3, _BASE + " y"), (4, _THIRD), (5, _OTHER)]
+    _write_file(spark, src, f1)
+    _write_file(spark, src, f2)
+    r = run_incremental_dedup_stream(
+        spark,
+        src,
+        store,
+        ckpt,
+        index_table="simhash_fp_index",
+        method="simhash",
+        simhash_bits=48,
+        simhash_bands=8,
+        max_hamming=3,
+    )
+    assert r.n_batches >= 2 and r.n_new == 6
+    kept = {row["doc_id"] for row in store.read("dedup_kept_docs").collect()}
+    # global oracle: the all-pairs XOR/bit_count dominated rule
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in f1 + f2], "doc_id long, text string"
+    )
+    fp = simhash(docs, "doc_id", "text", 48)
+    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"))
+    dropped = {
+        row["b"]
+        for row in a.crossJoin(b)
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= 3)
+        )
+        .collect()
+    }
+    assert kept == {i for i, _ in f1 + f2} - dropped
+    # restart: one new file folds against the FULL fingerprint history
+    _write_file(spark, src, [(6, _BASE + " x")])  # near-dup of doc 1
+    r2 = run_incremental_dedup_stream(
+        spark,
+        src,
+        store,
+        ckpt,
+        index_table="simhash_fp_index",
+        method="simhash",
+    )
+    kept2 = {row["doc_id"] for row in store.read("dedup_kept_docs").collect()}
+    assert 6 not in kept2 and kept2 == kept
+    assert r2.n_dropped == 1
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        run_incremental_dedup_stream(
+            spark, src, store, ckpt, method="phash"
+        )
