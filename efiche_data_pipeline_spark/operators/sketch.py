@@ -1396,55 +1396,61 @@ def forget_ngram_documents(
     table is the only state), so the caller supplies the forgotten
     documents' text — ``gone_docs`` must be rows OF THE FOLDED CORPUS
     (the store's kept sink or retained corpus slice is the canonical
-    source). Ids above the fold watermark were never counted;
-    subtracting them would corrupt the sums, so they raise. Returns
-    the number of documents newly subtracted (0 on a pure retry)."""
+    source). A GRAMS-BEARING id above the fold watermark was provably
+    never counted (a grams-bearing doc forces its batch to commit,
+    which advances the watermark past its id under the monotone
+    contract), so subtracting it would corrupt the sums — it raises.
+    A GRAM-LESS doc is a natural no-op wherever its id sits: folds
+    skip empty deltas, so gram-less ids legitimately live above the
+    watermark, and forgetting them subtracts nothing (no marker is
+    written — without a subtraction there is nothing a retry could
+    double-apply). Returns the number of grams-bearing documents
+    newly subtracted (0 on a pure retry)."""
+    from ..functions.text import word_ngrams
     from .bpe import FORGOTTEN_MARKER
 
     if store.current_version(counts_table) is None:
         return 0
     union = store.read_union(counts_table)
-    wanted = sorted(
+    gone_grams = gone_docs.select(
+        id_col, F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).localCheckpoint(eager=True)
+    counted = sorted(
         int(r[id_col])
-        for r in gone_docs.select(id_col).distinct().collect()
+        for r in gone_grams.select(id_col).distinct().collect()
     )
     wm = int(
         union.filter(F.col("gram") != FORGOTTEN_MARKER)
         .agg(F.max("batch_max_id"))
         .first()[0]
     )
-    over = [i for i in wanted if i > wm]
+    over = [i for i in counted if i > wm]
     if over:
         raise ValueError(
-            f"ids {over[:5]} exceed the fold watermark {wm}: never "
-            "counted, nothing to forget — a subtraction would corrupt "
-            "the sums"
+            f"ids {over[:5]} exceed the fold watermark {wm} while "
+            "carrying grams: never counted, nothing to forget — a "
+            "subtraction would corrupt the sums"
         )
     already = {
         int(r["batch_max_id"])
         for r in union.filter(
             (F.col("gram") == FORGOTTEN_MARKER)
-            & F.col("batch_max_id").isin(wanted)
+            & F.col("batch_max_id").isin(counted)
         )
         .select("batch_max_id")
         .distinct()
         .collect()
     }
-    pending = [i for i in wanted if i not in already]
+    pending = [i for i in counted if i not in already]
     if not pending:
         return 0
-    gone = gone_docs.filter(F.col(id_col).isin(pending)).localCheckpoint(
-        eager=True
-    )
-    from ..functions.text import word_ngrams
-
     neg = (
-        gone.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        gone_grams.filter(F.col(id_col).isin(pending))
         .groupBy("gram")
         .agg((-F.count(F.lit(1))).alias("cnt"))
         .withColumn("batch_max_id", F.lit(wm).cast("long"))
     )
-    markers = gone.sparkSession.createDataFrame(
+    markers = gone_docs.sparkSession.createDataFrame(
         [(FORGOTTEN_MARKER, 0, i) for i in pending],
         "gram string, cnt long, batch_max_id long",
     )
