@@ -54,18 +54,19 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# ROUND 9 rotation (executes VERDICT r08 Next #1). Front of the
-# window, in order of need:
-#   1. q170/q173-q176 — registered in round 8 AFTER the window
-#      filled, so they have never had a driver row (all 5 PASS the
-#      judge's driver_sim against their DuckDB oracles and are
+# ROUND 10 rotation (executes VERDICT r09 Next #1 / the registry's
+# own R10 ROTATION NOTE). Front of the window, in order of need:
+#   1. q177-q192 — registered in round 9 AFTER the window filled, so
+#      they have never had a driver row (all 16 PASS the judge's
+#      driver_sim against their DuckDB oracles and are
 #      pytest-oracle-green at HEAD);
-#   2. the 19 r05-green rows that are now 4 rounds stale
-#      (q20/q21/q23/q25, q52-q63, q65-q67 — last driver-green in
-#      CORRECTNESS_r05.json);
-#   3. the oldest r06-green rows (3 rounds stale), incremental tier
-#      first, to fill the 50-slot window: q110-q119, then
-#      q31-q35/q39/q40/q42-q50.
+#   2. the 24 r06-green rows that are now 4 rounds stale
+#      (q28/q30/q41/q51/q64/q68-q86 — last driver-green in
+#      CORRECTNESS_r06.json);
+#   3. 10 r07-green rows (3 rounds stale) to fill the 50-slot
+#      window — q144/q145 first because the round-10 Cut-2 prune
+#      (the _id-bucketed span_positions projection) changes their
+#      fold implementation, then the LM/drift tier in listed order.
 # DELIBERATELY KEPT JUST PAST THE WINDOW: q171/q172 (the Spark-only
 # zlib compression-ratio pair) have no DuckDB oracle — the judge's
 # driver_sim records them `err: no_oracle`, and the real driver's
@@ -78,13 +79,74 @@ ORACLES: dict[str, str] = {
 # Past that: everything else; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
-    # never driver-checked (landed past round 8's filled window):
+    # never driver-checked (landed past round 9's filled window):
+    "q177_span_forget_compliance",
+    "q178_gate_forget_compliance",
+    "q179_passage_search_many",
+    "q180_semantic_decontamination",
+    "q181_incremental_semantic_decontamination",
+    "q182_epoch_shuffle",
+    "q183_incremental_pii_flags",
+    "q184_incremental_simhash_dedup",
+    "q185_heavy_hitter_ngrams",
+    "q186_incremental_ngram_hh",
+    "q187_ivf_pq_topk",
+    "q188_containment_search",
+    "q189_source_heavy_hitters",
+    "q190_release_hygiene_report",
+    "q191_small_quantity_revenue",
+    "q192_ivf_pq_index",
+    # r06-stale refresh (last green r06 — 4 rounds):
+    "q28_minhash_lsh_pairs",
+    "q30_knn_ivf",
+    "q41_image_features",
+    "q51_curation_pipeline",
+    "q64_sequence_packing",
+    "q68_source_quality_rollup",
+    "q69_kmv_distinct_customers",
+    "q70_label_embedding_centroids",
+    "q71_split_leakage",
+    "q72_ngram_novelty",
+    "q73_weekly_retention",
+    "q74_funnel_conversion",
+    "q75_gap_filled_daily_revenue",
+    "q76_revenue_pivot",
+    "q77_revenue_unpivot",
+    "q78_setops_urgent_low",
+    "q79_revenue_percentile_positions",
+    "q80_price_histogram",
+    "q81_fuzzy_part_names",
+    "q82_events_sliding_window",
+    "q83_winnowing_fingerprints",
+    "q84_weighted_order_sample",
+    "q85_part_pagerank",
+    "q86_zorder_orders",
+    # r07-stale refresh (last green r07 — 3 rounds); the span pair
+    # first because round 10's Cut-2 prune changes their fold path:
+    "q144_duplicated_spans",
+    "q145_incremental_duplicated_spans",
+    "q139_ngram_lm_score",
+    "q140_incremental_lm",
+    "q141_dsir_selection",
+    "q142_incremental_dsir",
+    "q143_quality_drift",
+    "q146_repetition_metrics",
+    "q147_source_overlap_matrix",
+    "q148_bpe_merges",
+    # ---- 50-slot window boundary ----
+    # Spark-only pair, parked at 51-52 until the driver's
+    # missing-oracle behavior is confirmed (see block comment):
+    "q171_compression_ratio",
+    "q172_incremental_compression_ratio",
+]
+_ROTATED_OUT = [
+    # r09-green block (50/50 in CORRECTNESS_r09.json; still
+    # differentially oracle-checked every pytest run):
     "q170_incremental_quality_gate",
     "q173_containment_pairs",
     "q174_passage_search",
     "q175_simhash_hamming_pairs",
     "q176_incremental_passage_flags",
-    # r05-stale refresh (last green r05 — 4 rounds):
     "q20_acctbal_buckets",
     "q21_weekend_orders",
     "q23_segment_priority_mv",
@@ -104,8 +166,6 @@ _DRIVER_PRIORITY = [
     "q65_pii_redaction",
     "q66_benchmark_decontamination",
     "q67_repetition_metrics",
-    # r06-stale refresh (last green r06 — 3 rounds), incremental
-    # tier first:
     "q110_incremental_embedding_dedup",
     "q111_canonical_exact_dedup",
     "q112_canonical_neardup_pairs",
@@ -132,13 +192,6 @@ _DRIVER_PRIORITY = [
     "q48_session_detail",
     "q49_cube_lineitem_status",
     "q50_order_price_percentiles",
-    # ---- 50-slot window boundary ----
-    # Spark-only pair, parked at 51-52 until the driver's
-    # missing-oracle behavior is confirmed (see block comment):
-    "q171_compression_ratio",
-    "q172_incremental_compression_ratio",
-]
-_ROTATED_OUT = [
     # r08-green block (50/50 in CORRECTNESS_r08.json; still
     # differentially oracle-checked every pytest run):
     "q151_incremental_repetition",
@@ -191,20 +244,11 @@ _ROTATED_OUT = [
     "q17_union_all_counts",
     "q18_topk_orders",
     "q19_global_ratio_agg",
-    # r07-green block (50/50 in CORRECTNESS_r07.json; still
-    # differentially oracle-checked every pytest run):
-    "q145_incremental_duplicated_spans",
-    "q146_repetition_metrics",
-    "q147_source_overlap_matrix",
-    "q148_bpe_merges",
+    # r07-green remainder (still differentially oracle-checked every
+    # pytest run; q139-q148's span/LM tier rotated INTO the r10
+    # window above):
     "q149_bpe_token_counts",
     "q150_incremental_vocab",
-    "q139_ngram_lm_score",
-    "q140_incremental_lm",
-    "q141_dsir_selection",
-    "q142_incremental_dsir",
-    "q143_quality_drift",
-    "q144_duplicated_spans",
     "q120_ivf_lifecycle_histogram",
     "q121_forget_compliance",
     "q122_incremental_tfidf",
@@ -243,39 +287,10 @@ _ROTATED_OUT = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
-    # R10 ROTATION NOTE: the round-9 additions q177-q192 (forgets,
-    # semantic decontamination, epoch shuffle, PII flags, incremental
-    # SimHash, heavy hitters, IVF-PQ, containment search, hygiene
-    # report, Q17 decorrelation, persisted IVF-PQ index) registered past the filled window —
-    # all driver-sim PASS + pytest-oracle-green, but no driver row
-    # yet. They should FRONT the r10 window, with the then-stalest
-    # green block behind them.
-    # r06-green remainder (still differentially oracle-checked every
-    # pytest run; fronts the r10 rotation):
-    "q51_curation_pipeline",
-    "q64_sequence_packing",
-    "q28_minhash_lsh_pairs",
-    "q30_knn_ivf",
-    "q41_image_features",
-    "q68_source_quality_rollup",
-    "q69_kmv_distinct_customers",
-    "q70_label_embedding_centroids",
-    "q71_split_leakage",
-    "q72_ngram_novelty",
-    "q73_weekly_retention",
-    "q74_funnel_conversion",
-    "q75_gap_filled_daily_revenue",
-    "q76_revenue_pivot",
-    "q77_revenue_unpivot",
-    "q78_setops_urgent_low",
-    "q79_revenue_percentile_positions",
-    "q80_price_histogram",
-    "q81_fuzzy_part_names",
-    "q82_events_sliding_window",
-    "q83_winnowing_fingerprints",
-    "q84_weighted_order_sample",
-    "q85_part_pagerank",
-    "q86_zorder_orders",
+    # R11 ROTATION NOTE: any round-10 additions registered past the
+    # filled window (q193+) should FRONT the r11 window, followed by
+    # the then-stalest green block (the r08-green rows above become
+    # 3 rounds stale at r11).
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT
