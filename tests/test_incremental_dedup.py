@@ -1958,3 +1958,293 @@ def test_containment_search_planted(spark, tmp_path):
         store, docs.filter(F.col("doc_id") == 1), k=6, max_freq=10
     ).collect()
     assert all(row["doc_id"] != 1 for row in self_probe)
+
+
+# ---- r10: the byid secondary projection (VERDICT r09 Next #2) ------
+
+
+def test_incremental_spans_byid_projection_and_prune(spark, tmp_path):
+    """Every fold dual-writes the _id-bucketed byid SECONDARY
+    projection (sidecar-stamped), the projection always holds the
+    same rows as the primary, and the fold's Cut-2 affected-doc
+    fetch (_affected_positions — the exact helper the fold calls)
+    PRUNES its scan to the affected ids' prefixes at the directory
+    level: the plan pin for the one per-fold O(index) scan VERDICT
+    r09 named."""
+    import os
+    import re
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        GH_BUCKETS,
+        _affected_positions,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "byid"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    meta = store.read_layout_meta("span_positions_byid")
+    assert meta == {
+        "bucket_col": "ip",
+        "hash_col": "_id",
+        "buckets": GH_BUCKETS,
+    }
+    assert any(
+        d.startswith("ip=")
+        for d in os.listdir(store.path("span_positions_byid"))
+    )
+    # projection ≡ primary: the same multiset of position rows
+    cols = ["_id", "pos", "n_toks", "h"]
+    prim = sorted(map(tuple, store.read("span_positions").select(*cols).collect()))
+    proj = sorted(
+        map(tuple, store.read("span_positions_byid").select(*cols).collect())
+    )
+    assert prim == proj
+    # Cut-2 read shape: a 1-doc affected set reaches the FileScan as
+    # a PARTITION filter (directory pruning), and returns exactly the
+    # doc's committed grams
+    affected = spark.createDataFrame([(0,)], "_id long")
+    apos = _affected_positions(
+        store, "span_positions_byid", GH_BUCKETS, affected, 1, cols
+    )
+    rows = apos.collect()
+    assert {r["_id"] for r in rows} == {0}
+    assert len(rows) == 5  # 7 tokens -> 5 tri-gram positions
+    plan = apos._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*ip#\d+", plan), plan
+
+
+class _CrashBeforeByidCommitStore(Store):
+    """Injects ONE crash between the report upsert and the byid
+    projection append — the first mutation window of the r10
+    four-commit protocol: reports durable, neither projection nor
+    the watermark."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def append(self, df, table, partition_by=None):
+        if self.armed and table == "span_positions_byid":
+            self.armed = False
+            raise RuntimeError("injected crash before byid commit")
+        return super().append(df, table, partition_by=partition_by)
+
+
+def test_incremental_spans_crash_before_byid_converges(spark, tmp_path):
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = _CrashBeforeByidCommitStore(spark, str(tmp_path / "byidcrash"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+        )
+    # reports landed; neither projection nor the watermark did
+    for t in ("span_positions", "span_positions_byid"):
+        assert {4, 5} & {
+            r["_id"] for r in store.read(t).select("_id").distinct().collect()
+        } == set()
+    n = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n == 2
+    assert _span_reports(store) == _expected_span_reports(docs)
+    assert incremental_duplicated_spans(docs, store, k=3, min_docs=2) == 0
+
+
+def test_incremental_spans_crash_between_byid_and_primary(spark, tmp_path):
+    """The NEW r10 crash window: byid committed, primary not. The
+    orphaned byid rows must stay UNREACHABLE — a fold of a different
+    batch cannot reopen the crashed batch's docs (reopened derives
+    from the primary), so its reports never under-count — and the
+    crashed batch's replay converges with byid a tolerated
+    multiset. This is the window that makes the commit ORDER
+    (byid before primary) load-bearing."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    # crash on the PRIMARY append -> byid is already durable
+    store = _CrashBeforePositionsCommitStore(spark, str(tmp_path / "midcrash"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    store.armed = True
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+        )
+    byid_ids = {
+        r["_id"]
+        for r in store.read("span_positions_byid")
+        .select("_id")
+        .distinct()
+        .collect()
+    }
+    prim_ids = {
+        r["_id"]
+        for r in store.read("span_positions").select("_id").distinct().collect()
+    }
+    assert {4, 5} <= byid_ids and {4, 5} & prim_ids == set()
+    # a DIFFERENT batch folds before the replay: doc 6 re-uses doc
+    # 0's 'gamma delta epsilon' (so doc 0 reopens off the PRIMARY),
+    # while crashed docs 4/5 must not surface
+    doc6 = _docs(spark, [(6, "zz yy gamma delta epsilon xx ww")])
+    assert incremental_duplicated_spans(doc6, store, k=3, min_docs=2) == 1
+    got = _span_reports(store)
+    # docs 0 and 6 both report the shared span; doc 5's row (upserted
+    # by the crashed batch BEFORE its crash) carries the same global
+    # values, so the table equals the global one-shot over all docs
+    all_docs = docs.unionByName(doc6)
+    assert got == _expected_span_reports(all_docs)
+    # the crashed batch replays to convergence (byid -> multiset)
+    assert (
+        incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+        )
+        == 2
+    )
+    dup_rows = (
+        store.read("span_positions_byid").filter("_id = 5 and pos >= 0").count()
+    )
+    assert dup_rows > 0 and dup_rows % 2 == 0  # duplicated, not lost
+    assert _span_reports(store) == _expected_span_reports(all_docs)
+    assert (
+        incremental_duplicated_spans(all_docs, store, k=3, min_docs=2) == 0
+    )
+
+
+def test_incremental_spans_byid_backfill_and_incomplete_build(
+    spark, tmp_path
+):
+    """Upgrade path: a store whose primary predates the projection
+    (r09) gets byid backfilled ONCE on the next fold — O(index) once,
+    pruned forever — and a byid directory WITHOUT its sidecar (a
+    crashed backfill) is treated as unfinished and rebuilt."""
+    import os
+    import shutil
+
+    from efiche_data_pipeline_spark.operators.dedup import (
+        build_span_positions_byid,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "byidup"))
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 3), store, k=3, min_docs=2
+    )
+    # simulate an r09 store: drop the projection entirely
+    shutil.rmtree(store.path("span_positions_byid"))
+    n = incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") > 3), store, k=3, min_docs=2
+    )
+    assert n == 2
+    cols = ["_id", "pos", "n_toks", "h"]
+    prim = sorted(map(tuple, store.read("span_positions").select(*cols).collect()))
+    proj = sorted(
+        map(tuple, store.read("span_positions_byid").select(*cols).collect())
+    )
+    assert prim == proj  # backfill covered batch 1, fold added batch 2
+    assert _span_reports(store) == _expected_span_reports(docs)
+    # a crashed backfill (data, no sidecar) is unfinished -> rebuilt
+    os.remove(os.path.join(store.path("span_positions_byid"), "_LAYOUT.json"))
+    build_span_positions_byid(store)
+    assert store.read_layout_meta("span_positions_byid") is not None
+    proj2 = sorted(
+        map(tuple, store.read("span_positions_byid").select(*cols).collect())
+    )
+    assert proj2 == prim
+
+
+def test_forget_span_documents_purges_byid(spark, tmp_path):
+    """GDPR: forgetting a doc purges its rows from BOTH projections
+    of the positional index, and a blind retry that crashed between
+    the two deletes still completes the byid purge."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        forget_span_documents,
+        incremental_duplicated_spans,
+    )
+
+    docs = _docs(spark, _SPAN_DOCS)
+    store = Store(spark, str(tmp_path / "byidforget"))
+    incremental_duplicated_spans(docs, store, k=3, min_docs=2)
+    gone = spark.createDataFrame([(1,)], "doc_id long")
+    forget_span_documents(store, gone, k=3, min_docs=2)
+    for t in ("span_positions", "span_positions_byid"):
+        assert store.read(t).filter("_id = 1").count() == 0
+    assert _span_reports(store) == _expected_span_reports(
+        docs.filter("doc_id != 1")
+    )
+    # retry-after-primary-delete shape: primary already clean, byid
+    # still dirty -> the blind retry's pure-delete path must cover it
+    store.append(
+        store.read("span_positions_byid").filter("_id = 2").limit(0),
+        "span_positions_byid",
+        partition_by=["ip"],
+    )  # no-op append keeps layout; now delete doc 2 normally
+    gone2 = spark.createDataFrame([(2,)], "doc_id long")
+    forget_span_documents(store, gone2, k=3, min_docs=2)
+    assert store.read("span_positions_byid").filter("_id = 2").count() == 0
+
+
+def test_span_fold_dual_write_stays_o_batch_measured(
+    spark, tmp_path, monkeypatch
+):
+    """The r10 dual write appends the SAME checkpointed batch rows to
+    both projections: measured across folds of identical batch shape,
+    the rows fed to EACH append stay flat while the index grows ~4x —
+    the measured-cost pin that the secondary projection keeps the
+    fold O(batch)."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+    from efiche_data_pipeline_spark.pipeline import store as _store_mod
+
+    store = Store(spark, str(tmp_path / "byidcost"))
+    appended: dict[str, list[int]] = {}
+    orig = _store_mod.Store.append
+
+    def spy(self, df, table, partition_by=None):
+        if table.startswith("span_positions"):
+            appended.setdefault(table, []).append(df.count())
+        return orig(self, df, table, partition_by=partition_by)
+
+    monkeypatch.setattr(_store_mod.Store, "append", spy)
+    for fold in range(4):
+        docs = _docs(
+            spark,
+            [
+                (
+                    fold * 6 + j,
+                    " ".join(f"w{fold:02d}{j:02d}{t:02d}" for t in range(30)),
+                )
+                for j in range(6)
+            ],
+        )
+        incremental_duplicated_spans(docs, store, k=3, min_docs=2)
+    monkeypatch.undo()
+    prim, proj = appended["span_positions"], appended["span_positions_byid"]
+    assert len(prim) == len(proj) == 4
+    # identical batch shapes -> identical appended row counts, flat
+    # across folds for BOTH projections (30 tokens -> 28 tri-gram
+    # positions x 6 docs = 168 rows per fold)
+    assert prim == proj == [168] * 4
+    assert store.read("span_positions").count() == 4 * 168
