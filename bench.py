@@ -81,10 +81,16 @@ HEADLINE = (
     "q154_temperature_mixture",
     # round-8 additions: the maintained calibrated gate (two reference
     # folds into the layered LM + version-pinned pool gating) and the
-    # index-pruned passage search (q145 positional index build + one
-    # broadcast gram-hash prune + locate verify)
+    # index-pruned passage search, SPLIT since r10 (VERDICT r09 Next
+    # #3) into its two cost centers so a fold-cost change is
+    # attributable and the point query's prune win visible:
+    # q174_fold = the two q145 index-building folds (write side,
+    # single-run like q36_wh_build); q174_query = the takedown point
+    # query against the built index (broadcast gram-hash prune +
+    # locate verify)
     "q170_incremental_quality_gate",
-    "q174_passage_search",
+    "q174_fold",
+    "q174_query",
     # round-9 additions: the embedding-similarity decontamination
     # screen (broadcast benchmark × corpus partial-max) and the
     # per-epoch shuffled training order (in-task epoch Expand + the
@@ -99,6 +105,55 @@ HEADLINE = (
     "q36_wh_build",
     "q36_wh_monthly_encounters",
 )
+
+
+def _q174_build(spark, sf_dir: str) -> dict:
+    """The q174 write side: two incremental_duplicated_spans folds
+    into a fresh store (exactly what the registered query wrapper
+    runs). Returns the state the read side needs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from efiche_data_pipeline_spark.functions.text import tokens
+    from efiche_data_pipeline_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+    from efiche_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    needle = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 6)).alias("passage")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_bench_psearch_")
+    store = Store(spark, tmp_root)
+    incremental_duplicated_spans(docs.filter(F.col("doc_id") <= split), store)
+    incremental_duplicated_spans(docs.filter(F.col("doc_id") > split), store)
+    return {
+        "docs": docs,
+        "needle": needle,
+        "store": store,
+        "tmp_root": tmp_root,
+    }
+
+
+def _q174_query(spark, state: dict):
+    """The q174 read side: the takedown point query against the
+    index _q174_build committed."""
+    from efiche_data_pipeline_spark.operators.dedup import passage_search
+
+    return passage_search(
+        state["docs"], state["needle"], "doc_id", "text", k=6,
+        store=state["store"],
+    )
 
 
 def _quiet_known_benign_window_warnings(spark) -> None:
@@ -170,9 +225,11 @@ def main() -> None:
     # compilation out of the timed pass (JMH-style warm-up; the
     # measured numbers then reflect execution, not first-compile).
     for name in HEADLINE:
-        if name in QUERIES:
+        # the split q174 entries warm through the registered wrapper
+        warm = "q174_passage_search" if name == "q174_fold" else name
+        if warm in QUERIES:
             try:
-                QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+                QUERIES[warm](spark, "/root/testdata/sf0.001").collect()
             except Exception:
                 pass  # warm-up is best-effort; the timed run will report
 
@@ -199,7 +256,29 @@ def main() -> None:
     # second run would measure overwrite behavior, not the build).
     env_start = _env_context(spark)
     timings: dict[str, float] = {}
+    q174_state: dict = {}
     for name in HEADLINE:
+        if name == "q174_fold":
+            # write side: single-run, like q36_wh_build (a second rep
+            # would rebuild a fresh store — an independent write, not
+            # a noise-floor estimate of the same one)
+            start = time.perf_counter()
+            q174_state.update(_q174_build(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - start, 3)
+            continue
+        if name == "q174_query":
+            best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                _q174_query(spark, q174_state).collect()
+                best = min(best, time.perf_counter() - start)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+            import shutil
+
+            shutil.rmtree(q174_state.pop("tmp_root"), ignore_errors=True)
+            q174_state.clear()
+            continue
         runs = 1 if name == "q36_wh_build" else 2
         best = float("inf")
         reps = 0
