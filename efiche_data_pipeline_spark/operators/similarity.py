@@ -1410,6 +1410,7 @@ def forget_vectors(
     semdedup_table: str = "semdedup_cells",
     semantic_flags_table: str = "semantic_decontam_flags",
     ivfpq_table: str = "ivfpq_cells",
+    ivfpq_codebook_table: str = "ivfpq_codebook",
     profile_table: str = "ivf_cell_profile",
     vacuum: bool = True,
 ) -> dict[str, int | None]:
@@ -1435,8 +1436,37 @@ def forget_vectors(
     the frozen assignment rule, so no re-assign is needed or run.
     With ``vacuum=True`` versioned tables are vacuumed to current and
     the purge is physical. Returns {table: new version or None}.
+
+    PINNED-CODEBOOK EXCEPTION (the benchmark-snapshot note's twin):
+    the IVF-PQ codebook (:func:`build_ivf_pq_index`) pins RAW corpus
+    embeddings keyed by vec_id — deleting a codebook member's CODES
+    from ``ivfpq_table`` does not erase the full-precision embedding
+    the codebook itself carries, and rewriting the codebook would
+    desynchronize every stored code. This function therefore RAISES
+    when any requested id is a pinned codebook entry: honoring that
+    forget requires a re-quantizing rebuild (build the IVF-PQ index
+    under a fresh table name with a codebook sampled from the
+    survivors, then drop the old one), after which the retry
+    succeeds. The compliance auditor's vec_id sweep independently
+    flags any codebook row that survives a forget.
     """
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    if store.current_version(ivfpq_codebook_table) is not None:
+        pinned_hits = (
+            store.read_version(ivfpq_codebook_table)
+            .select(id_col)
+            .join(ids, id_col, "left_semi")
+            .count()
+        )
+        if pinned_hits:
+            raise ValueError(
+                f"{pinned_hits} requested id(s) are pinned entries of "
+                f"{ivfpq_codebook_table}: their raw embeddings are part "
+                "of the IVF-PQ codebook and cannot be erased by deleting "
+                "codes. Re-quantize first — rebuild the IVF-PQ index "
+                "under a fresh codebook sampled from the survivors — "
+                "then retry the forget."
+            )
     touched: dict[str, int | None] = {}
     for table in (
         kept_table,

@@ -1515,9 +1515,12 @@ def heavy_hitter_ngrams_by(
     (count >= N_group/den). Intended for bounded group cardinality
     (sources, domains, language buckets) — the candidate exchange is
     <= partitions x groups x k rows. Group values must be NON-NULL
-    (pandas groupby drops null keys, so a null group would silently
-    vanish rather than fail). Returns (group_col, gram,
-    n_occurrences), per-group most-frequent first."""
+    and are processed (and returned) AS STRINGS: the input frame is
+    cast explicitly so the Arrow summary schema ('grp string') is
+    self-enforcing for any group type, and a null group FAILS FAST
+    here (pandas groupby would otherwise silently drop the rows).
+    Returns (group_col string, gram, n_occurrences), per-group
+    most-frequent first."""
     from ..functions.text import word_ngrams
 
     if k is None:
@@ -1527,8 +1530,16 @@ def heavy_hitter_ngrams_by(
             f"k={k} < den={den}: the per-group Misra-Gries bound needs "
             "k >= den"
         )
+    # fail fast on null groups: limit(1) short-circuits on the first
+    # null and only touches the group column's pages
+    if df.filter(F.col(group_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"{group_col} contains NULLs: null groups would be silently "
+            "dropped by the per-batch pandas groupby — filter or coalesce "
+            "them before calling heavy_hitter_ngrams_by"
+        )
     grams = df.select(
-        F.col(group_col).alias("grp"),
+        F.col(group_col).cast("string").alias("grp"),
         F.explode(word_ngrams(text_col, n)).alias("gram"),
     )
     summ = grams.mapInPandas(

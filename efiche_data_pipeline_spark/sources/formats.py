@@ -115,7 +115,9 @@ def read_jsonl_quarantine(
     and isolates the bad rows instead."""
     _CORRUPT = "_quarantine_corrupt_rec"
     if isinstance(schema, str):
-        fields = T._parse_datatype_string(schema)
+        # public DDL parser (ADVICE r09: the private
+        # _parse_datatype_string is not a stable cross-version API)
+        fields = T.StructType.fromDDL(schema)
     else:
         fields = schema
     if _CORRUPT in fields.fieldNames():

@@ -14,9 +14,21 @@ committed it —
 
 - batch max id > watermark, batch min id > watermark → genuinely new
   file: fold it.
-- batch max id ≤ watermark AND equal to a COMMITTED layer watermark →
-  a crash-replay of that very batch: skip (the fold's own filter
-  would keep nothing anyway).
+- batch max id ≤ watermark AND equal to a COMMITTED layer watermark,
+  with the batch's MIN id above the PREVIOUS layer's watermark → a
+  crash-replay of that very batch: skip (the fold's own filter would
+  keep nothing anyway; a bit-identical replay necessarily lies in
+  (prev layer's watermark, matched watermark], because that is the
+  range the committed run itself passed).
+- batch max id equal to a committed layer watermark but MIN id at or
+  below the previous layer's watermark → NOT a replay: an
+  overlapping partial file from a misbehaving writer sharing a
+  committed max — raise rather than silently under-count (ADVICE
+  r09). Residual blind spot, documented: an overlapping file that
+  shares the FIRST layer's watermark has no previous-layer bound to
+  check against, and is indistinguishable from that layer's replay
+  with the state this estate persists (no docs sink; only
+  ``batch_max_id`` travels in the layer) — it is skipped.
 - batch max id ≤ watermark but NOT a committed layer watermark → an
   out-of-order file (a later writer produced lower ids): raise with
   ZERO state committed — silently dropping it would under-count
@@ -91,6 +103,23 @@ def run_ngram_stream(
             wm = max(committed) if committed else None
         if wm is not None and mx <= wm:
             if mx in committed:
+                # a bit-identical replay of the matched layer lies
+                # strictly above the PREVIOUS layer's watermark (the
+                # committed run passed that very check); a lower min
+                # is an overlapping partial file wearing a committed
+                # max. No bound exists below the first layer — that
+                # case is skipped as a replay (module docstring).
+                prev = max((c for c in committed if c < mx), default=None)
+                if prev is not None and mn <= prev:
+                    raise ValueError(
+                        f"ngram stream batch {batch_id} (ids {mn}..{mx}) "
+                        f"shares committed layer watermark {mx} but dips "
+                        f"to {mn}, at or below the previous layer's "
+                        f"watermark {prev}: an overlapping partial file, "
+                        "not a replay — folding it would double-count "
+                        "the overlap and skipping it would under-count "
+                        "the rest"
+                    )
                 return  # crash-replay of an already-committed batch
             raise ValueError(
                 f"ngram stream batch {batch_id} (ids {mn}..{mx}) is "

@@ -107,3 +107,35 @@ def test_ngram_stream_guards_out_of_order_and_straddle(spark, tmp_path):
     )
     assert rep.n_docs_folded == 0
     assert store.read_union("ngram_counts").count() == layers
+
+
+def test_ngram_stream_guards_overlapping_partial_file(spark, tmp_path):
+    """ADVICE r09: a file sharing a COMMITTED layer's watermark but
+    dipping below the PREVIOUS layer's watermark is an overlapping
+    partial file, not a replay — it must raise with zero state
+    committed, while a true bit-identical replay of the same layer
+    still skips cleanly."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = Store(spark, str(tmp_path / "store"))
+    _write(spark, src, _rows(0, 10))
+    _write(spark, src, _rows(10, 20))
+    run_ngram_stream(spark, src, _SCHEMA, store, ckpt, den=_DEN)
+    layers = store.read_union("ngram_counts").count()
+    # overlapping partial file: max = committed watermark 19, min = 5
+    # is at/below the previous layer's watermark 9
+    src2 = str(tmp_path / "src2")
+    _write(spark, src2, _rows(5, 20))
+    with pytest.raises(Exception, match="overlapping partial file"):
+        run_ngram_stream(
+            spark, src2, _SCHEMA, store, str(tmp_path / "ckpt2"), den=_DEN
+        )
+    assert store.read_union("ngram_counts").count() == layers
+    # the true replay (ids 10..19, strictly above the previous
+    # watermark) still skips as a replay
+    src3 = str(tmp_path / "src3")
+    _write(spark, src3, _rows(10, 20))
+    rep = run_ngram_stream(
+        spark, src3, _SCHEMA, store, str(tmp_path / "ckpt3"), den=_DEN
+    )
+    assert rep.n_docs_folded == 0
+    assert store.read_union("ngram_counts").count() == layers

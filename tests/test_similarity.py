@@ -1014,3 +1014,40 @@ def test_ivf_pq_index_matches_oneshot_and_prunes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already pinned"):
         build_ivf_pq_index(emb, store, centroids, codebook, m=8)
+
+
+def test_forget_vectors_refuses_pinned_codebook_members(spark, tmp_path):
+    """GDPR honesty (ADVICE r09): the IVF-PQ codebook pins RAW corpus
+    embeddings keyed by vec_id — forget_vectors REFUSES ids that are
+    pinned codebook entries (deleting their codes cannot erase the
+    pinned full-precision embedding; re-quantization is the
+    documented path), while non-codebook ids keep forgetting
+    normally with the codebook version untouched."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        forget_vectors,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    codebook = emb.filter(F.col("vec_id") < 16)
+    centroids = codebook.select(
+        (F.col("vec_id") + 1).alias("cell_id"), F.col("embedding")
+    )
+    store = Store(spark, str(tmp_path / "fvcb"))
+    build_ivf_pq_index(emb, store, centroids, codebook, m=8)
+    with pytest.raises(ValueError, match="pinned entries"):
+        forget_vectors(
+            store, spark.createDataFrame([(3,), (400,)], "vec_id long")
+        )
+    # the refused call mutated nothing
+    assert store.read("ivfpq_cells").filter("vec_id = 400").count() == 1
+    cb_v = store.current_version("ivfpq_codebook")
+    touched = forget_vectors(
+        store, spark.createDataFrame([(400,)], "vec_id long")
+    )
+    assert "ivfpq_cells" in touched
+    assert store.current_version("ivfpq_codebook") == cb_v
+    assert store.read("ivfpq_cells").filter("vec_id = 400").count() == 0

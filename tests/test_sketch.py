@@ -922,6 +922,38 @@ def test_grouped_heavy_hitters_exact_under_eviction(spark):
         assert got == want, (parts, got ^ want)
 
 
+def test_grouped_heavy_hitters_typing_contract(spark):
+    """ADVICE r09: a NON-STRING group column must work (the operator
+    casts it to string explicitly, so the Arrow summary schema is
+    self-enforcing) and a NULL group must FAIL FAST instead of being
+    silently dropped by the per-batch pandas groupby."""
+    import pytest
+
+    from efiche_data_pipeline_spark.operators.sketch import (
+        heavy_hitter_ngrams_by,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 7, " ".join(["hot pepper"] * 30)),
+         (2, 8, " ".join(["cold stone"] * 30))],
+        "doc_id long, src int, text string",
+    )
+    got = {
+        (r["src"], r["gram"])
+        for r in heavy_hitter_ngrams_by(docs, "src", den=5).collect()
+    }
+    # int groups round-trip as their string form, per-group exact
+    assert ("7", "hot pepper") in got and ("8", "cold stone") in got
+    assert heavy_hitter_ngrams_by(docs, "src", den=5).schema["src"].dataType.simpleString() == "string"
+    withnull = docs.unionByName(
+        spark.createDataFrame(
+            [(3, None, "x y z")], "doc_id long, src int, text string"
+        )
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        heavy_hitter_ngrams_by(withnull, "src", den=5)
+
+
 def test_ngram_estate_survives_compaction(spark, tmp_path):
     """compact_layers on the ngram count table preserves every read
     the estate exposes: the HH result, the fold watermark (a new
