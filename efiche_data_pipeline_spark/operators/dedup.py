@@ -2263,9 +2263,10 @@ def containment_search(
     as a match (the same exposure passage_search's coverage guard
     closes — but that guard's fallback is a full-text verify, and
     this operator NEVER reads corpus text, so no fallback exists).
-    Callers needing completeness against a racing fold must check
-    coverage themselves (``span_seen_docs`` vs the corpus id set)
-    and re-query after the fold commits.
+    Callers needing completeness against a racing fold should read
+    :func:`containment_coverage` alongside (the blind-spot report:
+    how many corpus docs cannot yet match) and re-query after the
+    fold commits.
 
     Scale shape (the q174 read recipe): one gram pass over the probe
     batch, one index scan PRUNED to the probes' hash prefixes on an
@@ -2325,6 +2326,49 @@ def containment_search(
             ),
         )
     )
+
+
+def containment_coverage(
+    store,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    seen_table: str = "span_seen_docs",
+) -> DataFrame:
+    """The blind-spot companion to :func:`containment_search`
+    (VERDICT r09 Next #6). Containment search covers INDEXED
+    documents only and never reads corpus text, so a corpus doc not
+    yet folded into the span index cannot appear as a match; this
+    report tells an attribution/licensing caller HOW MANY such docs
+    exist instead of leaving the exposure as a docstring
+    precondition. Returns one row — or one row per ``by`` group —
+    of (n_corpus, n_indexed, n_unindexed), computed against the
+    span estate's seen-docs watermark (the q174 coverage guard's
+    read: one row per doc ever folded, including sentinel-only short
+    docs).
+
+    Point-in-time like the search itself: a pure function of
+    (corpus ids, seen table at call time), so the pair
+    (search results, coverage) taken back-to-back is a consistent
+    release artifact. Cost: O(corpus ids + docs seen) on id columns
+    only — no text pass, no positional-index scan."""
+    keys = [F.col(id_col).alias("_id")] + (
+        [F.col(by)] if by is not None else []
+    )
+    ids = corpus.select(*keys).distinct()
+    if store.exists(seen_table):
+        seen = store.read(seen_table).select("_id").distinct()
+        flagged = ids.join(seen.withColumn("_seen", F.lit(1)), "_id", "left")
+    else:
+        flagged = ids.withColumn("_seen", F.lit(None).cast("int"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.count("_seen").alias("n_indexed"),
+        (F.count(F.lit(1)) - F.count("_seen")).alias("n_unindexed"),
+    ]
+    if by is not None:
+        return flagged.groupBy(by).agg(*aggs)
+    return flagged.agg(*aggs)
 
 
 def passage_search_many(

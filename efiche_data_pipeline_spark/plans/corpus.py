@@ -7424,6 +7424,56 @@ def q192_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q192_ivf_pq_index"] = ORACLES["q187_ivf_pq_topk"]
 
 
+# ---------------------------------------------------------------------------
+# Q193 — containment-search COVERAGE report (operators/dedup.py:
+# containment_coverage): the blind-spot companion VERDICT r09 Next #6
+# asked for. q188's results cover indexed documents only (no text
+# fallback exists by design); this per-source report counts how many
+# corpus docs are not yet in the span estate's seen watermark — the
+# docs that CANNOT appear as matches — so an attribution/licensing
+# caller sees the exposure as data instead of a docstring
+# precondition. Here one third of the corpus (doc_id % 3 = 0) is
+# deliberately left unindexed, so the oracle is the same split rule
+# grouped per source. Reference anchor: none (beyond-reference tier);
+# search surface q188, per-passage guard q174.
+# ---------------------------------------------------------------------------
+def q193_containment_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        containment_coverage,
+        incremental_duplicated_spans,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="efiche_ccov_")
+    store = Store(spark, tmp_root)
+    try:
+        n = incremental_duplicated_spans(
+            docs.filter(F.col("doc_id") % 3 != 0), store, k=_SPAN_K
+        )
+        _require(n > 0, "the fold must index documents")
+        out = containment_coverage(store, docs, by="source")
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q193_containment_coverage"] = """
+SELECT source,
+       COUNT(*) AS n_corpus,
+       COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS n_indexed,
+       COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_unindexed
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -2248,3 +2248,38 @@ def test_span_fold_dual_write_stays_o_batch_measured(
     # positions x 6 docs = 168 rows per fold)
     assert prim == proj == [168] * 4
     assert store.read("span_positions").count() == 4 * 168
+
+
+def test_containment_coverage_reports_blind_spot(spark, tmp_path):
+    """The q188 companion (VERDICT r09 Next #6): with a planted
+    unindexed doc, the coverage report counts it — globally and per
+    group — including short sentinel-only docs as indexed, and an
+    empty store reports everything unindexed."""
+    from efiche_data_pipeline_spark.operators.dedup import (
+        containment_coverage,
+        incremental_duplicated_spans,
+    )
+
+    rows = [
+        (0, "a", "alpha beta gamma delta epsilon zeta"),
+        (1, "a", "one two red green blue three"),
+        (2, "b", "hi"),  # short: sentinel-watermarked, still SEEN
+        (3, "b", "left right up down over under"),  # planted: unindexed
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    store = Store(spark, str(tmp_path / "ccov"))
+    # empty store: everything is a blind spot
+    pre = containment_coverage(store, docs).first()
+    assert (pre["n_corpus"], pre["n_indexed"], pre["n_unindexed"]) == (4, 0, 4)
+    incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") <= 2), store, k=3, min_docs=2
+    )
+    got = containment_coverage(store, docs).first()
+    assert (got["n_corpus"], got["n_indexed"], got["n_unindexed"]) == (4, 3, 1)
+    by = {
+        r["source"]: (r["n_corpus"], r["n_indexed"], r["n_unindexed"])
+        for r in containment_coverage(store, docs, by="source").collect()
+    }
+    assert by == {"a": (2, 2, 0), "b": (2, 1, 1)}
