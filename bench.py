@@ -98,6 +98,12 @@ HEADLINE = (
     "q180_semantic_decontamination",
     "q182_epoch_shuffle",
     "q185_heavy_hitter_ngrams",
+    # round-10 addition: BM25 ranked retrieval (broadcast query-term
+    # cut on the corpus token pass + fixed-point scoring); the index
+    # form q195's fold is a pure-append postings build (no history
+    # exchange — its cost shape is covered by the read side here plus
+    # the fold benches the span family already carries)
+    "q194_bm25_topk",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

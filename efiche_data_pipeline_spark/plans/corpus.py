@@ -7474,6 +7474,107 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q194-Q196 — BM25 retrieval family (operators/retrieval.py): ranked
+# search over the corpus — eval-set retrievability screening, RAG QA,
+# hard-negative mining. q194 is the one-shot; q195 answers the same
+# queries from the MAINTAINED inverted index (two intake folds, read
+# pruned to the query terms' tp directory prefixes) and must be
+# result-identical, so its oracle is q194's SQL verbatim; q196 forgets
+# a seventh of the corpus from the index and re-queries — pure
+# deletes, after which the read equals the one-shot over survivors
+# (the oracle: the same SQL restricted to the survivor predicate).
+# Exactness: the q139 fixed-point discipline — each (term, doc)
+# contribution rounds to int64 at 1e9 before the order-free SUM, and
+# ranks order by the exact fixed-point score. Reference anchor: none
+# (beyond-reference tier; nearest public analogue Lucene BM25).
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    (0, "vector join stream"),
+    (1, "hash table scan"),
+    (2, "slow window merge"),
+]
+
+
+def _bm25_query_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+
+
+def q194_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _bm25_query_frame(spark), k=10)
+
+
+def q195_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_index_query,
+        incremental_term_postings,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_bm25_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_term_postings(
+            docs.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_term_postings(
+            docs.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must index documents")
+        out = bm25_index_query(store, _bm25_query_frame(spark), k=10)
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def q196_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_index_query,
+        forget_term_documents,
+        incremental_term_postings,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp_root = tempfile.mkdtemp(prefix="efiche_bm25f_")
+    store = Store(spark, tmp_root)
+    try:
+        n = incremental_term_postings(docs, store)
+        _require(n > 0, "the fold must index documents")
+        forget_term_documents(
+            store, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        out = bm25_index_query(store, _bm25_query_frame(spark), k=10)
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _bm25_oracle(where: str = "TRUE") -> str:
+    from ..operators.retrieval import oracle_bm25_sql
+
+    return oracle_bm25_sql(_BM25_QUERIES, k1=1.2, b=0.75, k=10, where=where)
+
+
+ORACLES["q194_bm25_topk"] = _bm25_oracle()
+ORACLES["q195_bm25_index"] = ORACLES["q194_bm25_topk"]
+ORACLES["q196_bm25_forget"] = _bm25_oracle(where="doc_id % 7 <> 0")
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
