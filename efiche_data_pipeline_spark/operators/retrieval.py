@@ -156,19 +156,26 @@ def bm25_topk(
 
 
 def oracle_bm25_sql(
-    queries: list[tuple[int, str]],
+    queries: list[tuple[int, str]] | None = None,
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
     where: str = "TRUE",
+    queries_from: str | None = None,
 ) -> str:
     """The DuckDB replay of :func:`bm25_topk` over the ``documents``
     view (optionally restricted by ``where`` — the q196 survivor
     form), with the SAME float AST and 1e9 fixed point, so the
-    comparison is hash-exact."""
-    vals = ", ".join(f"({i}, '{q}')" for i, q in queries)
+    comparison is hash-exact. Query set: literal ``queries`` pairs,
+    or ``queries_from`` — a SQL fragment selecting (query_id, query)
+    — for corpus-derived query text (the q197 form)."""
+    if queries_from is None:
+        vals = ", ".join(f"({i}, '{q}')" for i, q in queries)
+        q_cte = f"q(query_id, query) AS (VALUES {vals})"
+    else:
+        q_cte = f"q AS ({queries_from})"
     return f"""
-WITH q(query_id, query) AS (VALUES {vals}),
+WITH {q_cte},
 toks AS (
     SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
     FROM documents WHERE {where}
@@ -412,3 +419,60 @@ def forget_term_documents(
             store.delete_keys(table, ids, "_id")
             out[table] = 0
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher's RRF, the
+    standard hybrid-retrieval combiner): fuse N per-query rankings —
+    e.g. BM25 lexical (q194) and embedding-cosine semantic (q29) —
+    into one list per query, scoring each item Σ 1/(c + rank) over
+    the lists it appears in. Rank-based, so the component scores
+    need no calibration against each other; c=60 is the paper's
+    robust default.
+
+    Inputs must carry (query_id, item_id, rank); an item missing
+    from a list simply contributes no term (the standard convention).
+    Exactness follows the q139 fixed-point rule: each term rounds to
+    int64 at 1e9 before the order-free SUM, and the fused rank
+    orders by the exact fixed-point score with item-id tie-breaks.
+    Returns (query_id, item_id, rank, rrf_score), best first.
+
+    Scale shape: each input is already a top-k frame (≤ queries × k
+    rows), so the union/aggregate/window all run on bounded data —
+    the heavy lifting happened in the component retrievals."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    fp = [
+        r.select(
+            "query_id",
+            "item_id",
+            F.round(F.lit(_FP) / (F.lit(float(c)) + F.col("rank")))
+            .cast("long")
+            .alias("t_fp"),
+        )
+        for r in rankings
+    ]
+    scored = (
+        reduce(lambda a, b: a.unionByName(b), fp)
+        .groupBy("query_id", "item_id")
+        .agg(F.sum("t_fp").alias("s_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s_fp"), F.col("item_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "item_id",
+            "rank",
+            F.round(F.col("s_fp") / F.lit(_FP), 6).alias("rrf_score"),
+        )
+    )

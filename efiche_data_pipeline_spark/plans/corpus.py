@@ -7575,6 +7575,99 @@ ORACLES["q195_bm25_index"] = ORACLES["q194_bm25_topk"]
 ORACLES["q196_bm25_forget"] = _bm25_oracle(where="doc_id % 7 <> 0")
 
 
+# ---------------------------------------------------------------------------
+# Q197 — hybrid retrieval via RECIPROCAL-RANK FUSION (operators/
+# retrieval.py:rrf_fuse): the standard lexical+semantic combiner —
+# BM25 over the documents table fused with embedding-cosine top-k
+# over the embeddings table (query i pairs doc_id=i's first-3-token
+# text with vec_id=i's vector), scoring Σ 1/(60+rank) per item.
+# Rank-based, so no score calibration between components; exactness
+# via the q139 fixed-point rule on each 1/(60+r) term. Both
+# component rankings are deterministic (fixed-point BM25 ties by
+# doc_id; rounded cosine ties by neighbor_id), so the fusion is too.
+# Reference anchor: none (beyond-reference tier; the method is
+# Cormack/Clarke/Buettcher RRF, the hybrid-search default in
+# Elasticsearch/OpenSearch). Components: q194 (lexical), q29
+# (semantic).
+# ---------------------------------------------------------------------------
+_RRF_QIDS = (0, 1, 2)
+_RRF_COMPONENT_K = 20
+
+
+def q197_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(_RRF_QIDS)
+    text_queries = docs.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 3)).alias("query"),
+    )
+    bm = bm25_topk(docs, text_queries, k=_RRF_COMPONENT_K).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    cos = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=_RRF_COMPONENT_K
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
+    return rrf_fuse([bm, cos], k=10).withColumnRenamed("item_id", "doc_id")
+
+
+def _rrf_oracle() -> str:
+    from ..operators.retrieval import oracle_bm25_sql
+
+    ids = ", ".join(str(i) for i in _RRF_QIDS)
+    bm_sql = oracle_bm25_sql(
+        k=_RRF_COMPONENT_K,
+        queries_from=f"""
+SELECT doc_id AS query_id,
+       array_to_string(regexp_split_to_array(text, '\\s+')[1:3], ' ')
+           AS query
+FROM documents WHERE doc_id IN ({ids})""",
+    )
+    return f"""
+WITH bm AS ({bm_sql}),
+cos AS (
+    SELECT query_id, neighbor_id AS item_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+    )
+    QUALIFY rank <= {_RRF_COMPONENT_K}
+),
+unioned AS (
+    SELECT query_id, doc_id AS item_id, rank FROM bm
+    UNION ALL
+    SELECT query_id, item_id, rank FROM cos
+),
+fused AS (
+    SELECT query_id, item_id,
+           SUM(CAST(ROUND(1000000000.0 / (60.0 + rank)) AS BIGINT)) AS s_fp
+    FROM unioned GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, item_id, s_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s_fp DESC, item_id) AS rn
+    FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, item_id AS doc_id,
+       CAST(rn AS BIGINT) AS rank,
+       ROUND(s_fp / 1000000000.0, 6) AS rrf_score
+FROM ranked WHERE rn <= 10
+"""
+
+
+ORACLES["q197_rrf_fusion"] = _rrf_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

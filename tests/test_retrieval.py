@@ -183,3 +183,59 @@ def test_forget_equals_survivor_one_shot(spark, tmp_path):
     assert _rows(bm25_index_query(store, _qf(spark), k=4)) == _rows(
         bm25_topk(docs, _qf(spark), k=4)
     )
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: items in both lists outrank single-list items at equal
+    ranks, single-list items still score, exact fixed-point ties
+    break by item id, and c shifts weights without reordering
+    equal-structure lists."""
+    from efiche_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, item_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, item_id long, rank long",
+    )
+    got = {
+        r["item_id"]: (r["rank"], r["rrf_score"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    # 11 appears rank2+rank1 -> top; 10 (1 list, rank 1) next;
+    # 13 (rank 2) beats 12 (rank 3)
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][0])] == [
+        11, 10, 13, 12,
+    ]
+    fp = lambda r: round(1e9 / (60.0 + r))
+    assert got[11][1] == round((fp(2) + fp(1)) / 1e9, 6)
+    assert got[10][1] == round(fp(1) / 1e9, 6)
+    # exact tie (same rank, single list each) -> item id order
+    c = spark.createDataFrame(
+        [(1, 21, 1)], "query_id long, item_id long, rank long"
+    )
+    d = spark.createDataFrame(
+        [(1, 20, 1)], "query_id long, item_id long, rank long"
+    )
+    tied = rrf_fuse([c, d], k=2).collect()
+    assert [(r["item_id"], r["rank"]) for r in sorted(tied, key=lambda r: r["rank"])] == [
+        (20, 1), (21, 2),
+    ]
+
+
+def test_postings_compaction_preserves_reads(spark, tmp_path):
+    """Store.compact on the tp-bucketed postings table preserves the
+    layout, the sidecar, and every estate read (BM25 result and the
+    replay watermark: a re-fold is still a no-op)."""
+    docs = _docs(spark)
+    store = Store(spark, str(tmp_path / "bmcmp"))
+    incremental_term_postings(docs.filter(F.col("doc_id") <= 2), store)
+    incremental_term_postings(docs.filter(F.col("doc_id") > 2), store)
+    want = _rows(bm25_index_query(store, _qf(spark), k=4))
+    store.compact("term_postings", 4)
+    assert store.partitioning("term_postings") == ["tp"]
+    assert store.read_layout_meta("term_postings") is not None
+    assert _rows(bm25_index_query(store, _qf(spark), k=4)) == want
+    assert incremental_term_postings(docs, store) == 0
