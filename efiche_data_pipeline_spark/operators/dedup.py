@@ -1460,12 +1460,15 @@ def incremental_duplicated_spans(
     # the byid secondary projection's modulus: backfilled once for a
     # store predating it (O(index), the seen-table upgrade precedent),
     # resolved from its sidecar ever after; a fresh store dual-writes
-    # from fold 1.
-    ib = (
-        build_span_positions_byid(store, positions_table)
-        if have_index
-        else GH_BUCKETS
-    )
+    # from fold 1 — but even there an already-present byid (a fold-1
+    # crash left it without the primary) keeps ITS committed modulus
+    # (the GH_BUCKETS resolve-from-sidecar discipline).
+    if have_index:
+        ib = build_span_positions_byid(store, positions_table)
+    elif store.exists(byid) and store.read_layout_meta(byid) is not None:
+        ib = _persisted_buckets(store, byid)
+    else:
+        ib = GH_BUCKETS
     fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
     if store.exists(seen_table):
         fresh = fresh.join(
