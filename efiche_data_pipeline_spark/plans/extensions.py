@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import money_sum, oracle_money_sum
+from ..functions.numeric import (
+    money_avg,
+    money_sum,
+    oracle_money_avg,
+    oracle_money_sum,
+)
 from ..functions.text import (
     BPE_ISH_PATTERN,
     LANG_STOPWORDS,
@@ -2695,6 +2700,143 @@ JOIN pii ON pii.doc_id = d.doc_id
 JOIN qual ON qual.doc_id = d.doc_id
 LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 20 != 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q198 — the TPC-H Q21 DECORRELATION SHAPE (sole-blame suppliers),
+# adapted to the fixture's columns (no commit/receipt dates, so
+# l_returnflag = 'R' plays the "failed the order" role): for orders
+# with o_orderstatus = 'F', count per supplier the RETURNED lines in
+# multi-supplier orders where NO other supplier also returned —
+# correlated EXISTS (another supplier participated) + correlated NOT
+# EXISTS (no other supplier returned), the classic double-correlated
+# pattern. Spark: both subqueries decorrelate to one semi and one
+# anti join against the order's distinct supplier sets, shuffled on
+# l_orderkey once (Catalyst reuses the exchange); the oracle runs the
+# LITERAL correlated form in DuckDB. Count is line-level, as in Q21.
+# Reference anchor: none (relational-coverage tier; companion to
+# q191's Q17 scalar-subquery shape).
+# ---------------------------------------------------------------------------
+def q198_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    f_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    base = li.join(f_orders, "l_orderkey", "left_semi")
+    l1 = base.filter(F.col("l_returnflag") == "R")
+    suppliers_in = base.select("l_orderkey", "l_suppkey").distinct()
+    returned_in = l1.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS another supplier in the same order
+    exists = l1.alias("a").join(
+        suppliers_in.alias("o"),
+        (F.col("a.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("o.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS another supplier who ALSO returned in that order
+    sole = exists.alias("a").join(
+        returned_in.alias("r"),
+        (F.col("a.l_orderkey") == F.col("r.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("r.l_suppkey")),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLES["q198_sole_blame_suppliers"] = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT * FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT * FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q199 — the TPC-H Q22 DECORRELATION SHAPE (global-market-analysis):
+# customers with an account balance above the positive-balance
+# average (correlated scalar subquery → broadcast one-row threshold,
+# exact via the money_avg decimal discipline so both engines compare
+# the IDENTICAL threshold) who have placed NO orders (NOT EXISTS →
+# anti join), rolled up per nation. Reference anchor: none
+# (relational-coverage tier; companion to q191/q198).
+# ---------------------------------------------------------------------------
+def q199_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(money_avg("c_acctbal").alias("_thr"))
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("_thr")
+    )
+    idle = rich.join(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        idle.join(F.broadcast(nat), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLES["q199_idle_rich_customers"] = f"""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {oracle_money_sum('c_acctbal')} AS totacctbal
+FROM customer, nation
+WHERE c_nationkey = n_nationkey
+  AND c_acctbal > (
+      SELECT {oracle_money_avg('c_acctbal')}
+      FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+      SELECT * FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY n_name
+ORDER BY n_name
 """
 
 
