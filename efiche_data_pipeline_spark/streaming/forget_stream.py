@@ -16,6 +16,9 @@ family forgets for whichever estates exist in the store:
   ref/verdict sinks, sample redraw, re-calibration (the q178 walk).
 - **tokenizer estate** (`forget_vocab_documents`): negative vocab
   delta + docs-sink purge.
+- **retrieval estate** (`forget_term_documents`, r10): postings
+  index, doc-length table, seen watermark — pure deletes; reads
+  recompute BM25 statistics from survivors by construction.
 
 Replay protocol: every family forget is blind-retry convergent BY
 CONSTRUCTION (their own crash matrices prove it — marker ledgers for
@@ -52,6 +55,7 @@ from pyspark.sql import functions as F
 from ..operators.bpe import forget_vocab_documents
 from ..operators.dedup import forget_documents, forget_span_documents
 from ..operators.lm import forget_gate_documents
+from ..operators.retrieval import forget_term_documents
 from ..pipeline.store import Store
 
 
@@ -124,6 +128,9 @@ def run_forget_stream(
             forget_vocab_documents(
                 store, id_list, id_col=id_col, text_col=vocab_text_col
             )
+        # retrieval estate (pure deletes; skips missing tables itself)
+        if store.exists("term_postings"):
+            forget_term_documents(store, ids, id_col=id_col)
         # the stream's ONE own commit — the processed ledger, LAST:
         # every family forget above converges under blind retry, so a
         # crash before this line replays them all to no-ops
@@ -151,6 +158,8 @@ def run_forget_stream(
         fams.append("gate")
     if store.current_version("bpe_vocab") is not None:
         fams.append("vocab")
+    if store.exists("term_postings"):
+        fams.append("retrieval")
     n_req = store.count(ledger_table) if store.exists(ledger_table) else 0
     return ForgetStreamReport(
         n_batches=totals["batches"],
