@@ -262,28 +262,48 @@ def main() -> None:
     # second run would measure overwrite behavior, not the build).
     env_start = _env_context(spark)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     q174_state: dict = {}
+
+    def _q174_cleanup() -> None:
+        import shutil
+
+        tmp = q174_state.pop("tmp_root", None)
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+        q174_state.clear()
+
     for name in HEADLINE:
         if name == "q174_fold":
             # write side: single-run, like q36_wh_build (a second rep
             # would rebuild a fresh store — an independent write, not
-            # a noise-floor estimate of the same one)
+            # a noise-floor estimate of the same one). A fold failure
+            # records the REAL error on both split entries (not a later
+            # KeyError in the query rep) and frees the tmp store.
             start = time.perf_counter()
-            q174_state.update(_q174_build(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - start, 3)
+            try:
+                q174_state.update(_q174_build(spark, SF_DIR))
+                timings[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001 — bench must report, not die
+                errors[name] = repr(exc)
+                errors["q174_query"] = f"skipped: q174_fold failed: {exc!r}"
+                _q174_cleanup()
             continue
         if name == "q174_query":
-            best = float("inf")
-            for _ in range(3):
-                start = time.perf_counter()
-                _q174_query(spark, q174_state).collect()
-                best = min(best, time.perf_counter() - start)
-                spark.catalog.clearCache()
-            timings[name] = round(best, 3)
-            import shutil
-
-            shutil.rmtree(q174_state.pop("tmp_root"), ignore_errors=True)
-            q174_state.clear()
+            if name in errors:
+                continue
+            try:
+                best = float("inf")
+                for _ in range(3):
+                    start = time.perf_counter()
+                    _q174_query(spark, q174_state).collect()
+                    best = min(best, time.perf_counter() - start)
+                    spark.catalog.clearCache()
+                timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = repr(exc)
+            finally:
+                _q174_cleanup()
             continue
         runs = 1 if name == "q36_wh_build" else 2
         best = float("inf")
@@ -330,6 +350,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "env": env,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

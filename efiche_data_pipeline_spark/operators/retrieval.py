@@ -66,6 +66,20 @@ def _query_terms(queries: DataFrame, query_id_col: str, query_col: str) -> DataF
     )
 
 
+def _empty_topk(qterms: DataFrame, doc_ids: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, <id_col>, rank, score) frame with the input
+    frames' own column types — the exact BM25 answer over an empty
+    corpus (top-k of nothing is nothing), kept schema-stable so unions
+    and oracle comparisons still line up."""
+    return (
+        qterms.select("query_id")
+        .limit(0)
+        .crossJoin(doc_ids.select(F.col("_id").alias(id_col)).limit(0))
+        .withColumn("rank", F.lit(0).cast("long"))
+        .withColumn("score", F.lit(0.0))
+    )
+
+
 def _bm25_scores(
     tf: DataFrame,
     qterms: DataFrame,
@@ -140,10 +154,12 @@ def bm25_topk(
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).first()
-    n_docs, sum_dl = int(stats["n"]), int(stats["s"])
     qterms = _query_terms(queries, query_id_col, query_col).localCheckpoint(
         eager=True
     )
+    if int(stats["n"]) == 0:
+        return _empty_topk(qterms, base, id_col)
+    n_docs, sum_dl = int(stats["n"]), int(stats["s"])
     terms = qterms.select("term").distinct()
     tf = (
         base.select("_id", F.explode("_t").alias("term"))
@@ -170,7 +186,11 @@ def oracle_bm25_sql(
     or ``queries_from`` — a SQL fragment selecting (query_id, query)
     — for corpus-derived query text (the q197 form)."""
     if queries_from is None:
-        vals = ", ".join(f"({i}, '{q}')" for i, q in queries)
+        # '' is SQL's quote escape — a query containing a single quote
+        # must not break (or silently change) the rendered oracle.
+        vals = ", ".join(
+            f"({i}, '{q.replace(chr(39), chr(39) * 2)}')" for i, q in queries
+        )
         q_cte = f"q(query_id, query) AS (VALUES {vals})"
     else:
         q_cte = f"q AS ({queries_from})"
@@ -187,14 +207,18 @@ stats AS (
     FROM dl
 ),
 qt AS (
-    SELECT DISTINCT query_id,
-           UNNEST(regexp_split_to_array(query, '\\s+')) AS term
-    FROM q
+    -- mirror _query_terms' empty-token filter: both tokenizers emit
+    -- '' for leading/trailing whitespace and Spark drops it
+    SELECT DISTINCT query_id, term FROM (
+        SELECT query_id,
+               UNNEST(regexp_split_to_array(query, '\\s+')) AS term
+        FROM q
+    ) WHERE term <> ''
 ),
 tf AS (
     SELECT x AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
     FROM toks, UNNEST(t) AS u(x)
-    WHERE x IN (SELECT DISTINCT term FROM qt)
+    WHERE x <> '' AND x IN (SELECT DISTINCT term FROM qt)
     GROUP BY 1, 2
 ),
 dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -273,6 +297,23 @@ def incremental_term_postings(
       and raises (:func:`bm25_index_query`).
     - a partially visible seen append replays the missing suffix.
     """
+    dup = (
+        new_docs.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        # A batch with two rows for one id is ambiguous input: tf would
+        # sum across the duplicates while the doc-length reader collapses
+        # to one row, silently breaking index-query ≡ one-shot. Fail
+        # fast (the null-group-guard precedent, heavy_hitter_ngrams_by).
+        raise ValueError(
+            f"incremental_term_postings: batch contains duplicate "
+            f"{id_col} rows (e.g. {dup[0]['_id']!r}); dedupe the batch "
+            "before folding"
+        )
     fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
     if store.exists(seen_table):
         fresh = fresh.join(
@@ -371,10 +412,12 @@ def bm25_index_query(
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).first()
-    n_docs, sum_dl = int(stats["n"]), int(stats["s"])
     qterms = _query_terms(queries, query_id_col, query_col).localCheckpoint(
         eager=True
     )
+    if int(stats["n"]) == 0:
+        return _empty_topk(qterms, doclens, id_col)
+    n_docs, sum_dl = int(stats["n"]), int(stats["s"])
     terms = qterms.select("term").distinct()
     tf = _pruned_postings(store, postings_table, terms).localCheckpoint(
         eager=True
@@ -419,6 +462,359 @@ def forget_term_documents(
             store.delete_keys(table, ids, "_id")
             out[table] = 0
     return out
+
+
+def _query_pairs(
+    queries: DataFrame, query_id_col: str, query_col: str
+) -> DataFrame:
+    """(query_id, j, t1, t2) — the query's consecutive ordered token
+    pairs (after dropping empty tokens), numbered by j. The proximity
+    scorer matches each pair against document positions; queries are
+    tiny, so the per-query window is free and the frame broadcasts."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.posexplode(tokens(query_col)).alias("j", "t1"),
+        )
+        .filter(F.col("t1") != "")
+    )
+    w = Window.partitionBy("query_id").orderBy("j")
+    return (
+        toks.withColumn("t2", F.lead("t1").over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("query_id", "j", "t1", "t2")
+    )
+
+
+def _proximity_scores(
+    hits: DataFrame, pairs: DataFrame, slop: int, k: int
+) -> DataFrame:
+    """Shared scoring tail for the one-shot and the index read:
+    ``hits`` = (doc _id, pos, term) positional postings already cut to
+    the pair vocabulary, ONE row per (_id, pos); ``pairs`` = the
+    broadcastable query pair frame. A pair (t1, t2) scores one point
+    for every position pair (p1, p2) with doc[p1]=t1, doc[p2]=t2 and
+    1 <= p2-p1 <= slop (ordered, Lucene sloppy-bigram shape); a doc's
+    score is the exact integer sum over the query's pairs — no floats
+    anywhere, so oracle hashes match without fixed-point machinery."""
+    from pyspark.sql.window import Window
+
+    left = hits.join(
+        F.broadcast(pairs), hits["term"] == pairs["t1"]
+    ).select("query_id", "j", "t2", "_id", F.col("pos").alias("p1"))
+    right = hits.select(
+        F.col("_id").alias("r_id"),
+        F.col("pos").alias("p2"),
+        F.col("term").alias("rt"),
+    )
+    matched = left.join(
+        right,
+        (left["_id"] == right["r_id"])
+        & (right["rt"] == left["t2"])
+        & (right["p2"] > left["p1"])
+        & (right["p2"] <= left["p1"] + slop),
+    ).select(left["query_id"], left["_id"])
+    scored = matched.groupBy("query_id", "_id").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_hits")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pair_hits"), F.col("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "_id", "rank", "pair_hits")
+    )
+
+
+def proximity_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    slop: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Proximity (sloppy-phrase) retrieval: rank documents by how
+    often the query's CONSECUTIVE token pairs occur in order within
+    ``slop`` positions — the positional member of the retrieval family
+    (BM25 q194 is bag-of-words; passage_search q174 is exact-match;
+    this is Lucene's phrase-with-slop shape, the standard relevance
+    signal BM25 alone cannot express). Single-term queries have no
+    pairs and return no rows, by definition.
+
+    Returns (query_id, <id_col>, rank, pair_hits), best first, exact
+    integer scores, ties broken by doc id.
+
+    Scale shape: the pair vocabulary BROADCASTS; the corpus positional
+    pass filters to it BEFORE any exchange, so the position self-join
+    exchanges matched postings only (keyed on the doc id — naturally
+    distributed) and the raw corpus text never shuffles."""
+    postoks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    pairs = _query_pairs(queries, query_id_col, query_col).localCheckpoint(
+        eager=True
+    )
+    vocab = (
+        pairs.select(F.col("t1").alias("term"))
+        .unionByName(pairs.select(F.col("t2").alias("term")))
+        .distinct()
+    )
+    hits = postoks.join(
+        F.broadcast(vocab), "term", "left_semi"
+    ).localCheckpoint(eager=True)
+    out = _proximity_scores(hits, pairs, slop, k)
+    return out.withColumnRenamed("_id", id_col)
+
+
+def oracle_proximity_sql(
+    queries_from: str,
+    slop: int = 3,
+    k: int = 10,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replay of :func:`proximity_topk` over the ``documents``
+    view (optionally restricted by ``where`` — the forget/survivor
+    form). ``queries_from`` is a SQL fragment selecting (query_id,
+    query). Positions are 0-based over the raw token array with empty
+    tokens dropped, exactly the Spark side's posexplode+filter."""
+    return f"""
+WITH q AS ({queries_from}),
+qtok AS (
+    SELECT query_id, i - 1 AS j, t[i] AS term
+    FROM (SELECT query_id, regexp_split_to_array(query, '\\s+') AS t
+          FROM q),
+         UNNEST(range(1, length(t) + 1)) AS u(i)
+    WHERE t[i] <> ''
+),
+pairs AS (
+    SELECT query_id, j, term AS t1,
+           LEAD(term) OVER (PARTITION BY query_id ORDER BY j) AS t2
+    FROM qtok
+    QUALIFY t2 IS NOT NULL
+),
+toks AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS term
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+          FROM documents WHERE {where}),
+         UNNEST(range(1, length(t) + 1)) AS u(i)
+    WHERE t[i] <> ''
+      AND t[i] IN (SELECT t1 FROM pairs UNION SELECT t2 FROM pairs)
+),
+matched AS (
+    SELECT p.query_id, l.doc_id
+    FROM pairs p
+    JOIN toks l ON l.term = p.t1
+    JOIN toks r ON r.doc_id = l.doc_id AND r.term = p.t2
+               AND r.pos > l.pos AND r.pos <= l.pos + {slop}
+),
+scored AS (
+    SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS pair_hits
+    FROM matched GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, pair_hits,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY pair_hits DESC, doc_id) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rank AS BIGINT) AS rank, pair_hits
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def incremental_positional_postings(
+    new_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_table: str = "positional_postings",
+    seen_table: str = "positional_seen_docs",
+) -> int:
+    """Maintain the POSITIONAL inverted index batch-by-batch — the
+    estate behind :func:`proximity_index_query`, the positional twin
+    of :func:`incremental_term_postings` (which keeps only term
+    frequencies). One row per surviving (doc, position): (term, _id,
+    pos), hive-partitioned by tp = xxhash64(term) mod buckets (layout
+    sidecar, the GH_BUCKETS discipline) so queries prune to their pair
+    vocabulary's directory prefixes. Returns the number of new
+    documents folded.
+
+    Per fold: ONE text pass over the batch only; history text is
+    never rescanned and nothing retroactive exists (positions are
+    per-doc facts — contrast the span estate's Cut 1/Cut 2). Crash
+    matrix — postings FIRST, seen-watermark LAST: a crash between
+    them makes the postings a MULTISET for the batch; replayed rows
+    are byte-identical, so every reader collapses them with DISTINCT
+    (no tf to merge here, unlike the BM25 estate) — exact, duplicates
+    cost storage in that one window, never correctness. Rejects a
+    batch carrying duplicate ids (same ambiguity as the BM25 fold)."""
+    dup = (
+        new_docs.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"incremental_positional_postings: batch contains duplicate "
+            f"{id_col} rows (e.g. {dup[0]['_id']!r}); dedupe the batch "
+            "before folding"
+        )
+    fresh = new_docs.select(F.col(id_col).alias("_id")).distinct()
+    if store.exists(seen_table):
+        fresh = fresh.join(
+            store.read(seen_table).select("_id"), "_id", "left_anti"
+        )
+    fresh = fresh.localCheckpoint(eager=True)
+    base = (
+        new_docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .join(fresh, "_id", "left_semi")
+    )
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    buckets = (
+        _persisted_buckets(store, postings_table)
+        if store.exists(postings_table)
+        else GH_BUCKETS
+    )
+    postings = (
+        base.select("term", "_id", F.col("pos").cast("long").alias("pos"))
+        .withColumn("tp", _tp_of(F.col("term"), buckets))
+        .repartition("tp")
+    )
+    if not store.exists(postings_table):
+        store.write_layout_meta(
+            postings_table,
+            {"bucket_col": "tp", "hash_col": "term", "buckets": buckets},
+        )
+    store.append(postings, postings_table, partition_by=["tp"])
+    store.append_new(fresh.select("_id"), seen_table, key="_id")
+    return n_new
+
+
+def _pruned_positions(store, postings_table: str, terms: DataFrame) -> DataFrame:
+    """The positional index read: (term, _id, pos) rows for the probed
+    terms, scan PRUNED to the terms' tp directory prefixes past the
+    saturation bound (the Cut-1 heuristic shared with
+    :func:`_pruned_postings`), crash-window duplicates collapsed by
+    DISTINCT (replayed rows are byte-identical). Factored out so the
+    plan pin tests the operator's actual read path."""
+    buckets = _persisted_buckets(store, postings_table)
+    scan = store.read(postings_table)
+    if terms.count() <= 16 * buckets:
+        prefixes = [
+            int(r["p"])
+            for r in terms.select(_tp_of(F.col("term"), buckets).alias("p"))
+            .distinct()
+            .collect()
+        ]
+        scan = scan.filter(F.col("tp").isin(prefixes))
+    return (
+        scan.join(F.broadcast(terms), "term", "left_semi")
+        .select("term", "_id", "pos")
+        .distinct()
+    )
+
+
+def proximity_index_query(
+    store,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    slop: int = 3,
+    k: int = 10,
+    postings_table: str = "positional_postings",
+) -> DataFrame:
+    """:func:`proximity_topk` answered from the maintained positional
+    index — result-identical to the one-shot over every document ever
+    folded (same positions, same integer scoring), so the oracle is
+    the one-shot's SQL verbatim. The postings scan prunes to the pair
+    vocabulary's hash prefixes at the directory level."""
+    pairs = _query_pairs(queries, query_id_col, query_col).localCheckpoint(
+        eager=True
+    )
+    vocab = (
+        pairs.select(F.col("t1").alias("term"))
+        .unionByName(pairs.select(F.col("t2").alias("term")))
+        .distinct()
+    )
+    hits = _pruned_positions(store, postings_table, vocab).localCheckpoint(
+        eager=True
+    )
+    out = _proximity_scores(
+        hits.select("_id", "pos", "term"), pairs, slop, k
+    )
+    return out.withColumnRenamed("_id", id_col)
+
+
+def forget_positional_documents(
+    store,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    postings_table: str = "positional_postings",
+    seen_table: str = "positional_seen_docs",
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the positional estate: purge the ids
+    from the positional postings and the seen watermark. Pure deletes
+    (proximity scores are per-doc facts — nothing derived to shrink),
+    blind-retry convergent, layout-preserving on the tp directories;
+    afterwards every read equals the one-shot over the survivors."""
+    return forget_term_documents(
+        store,
+        ids,
+        id_col=id_col,
+        postings_table=postings_table,
+        doclen_table="__absent__",
+        seen_table=seen_table,
+    )
+
+
+def retrieval_eval_mrr(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank evaluation of ANY ranking surface (BM25 q194,
+    proximity q200, ANN q29/q30 after a rename) against labeled qrels
+    — the retrieval twin of the ANN recall harness (q97): given
+    ``ranking`` = (query_id, <id_col>, rank) and ``qrels`` =
+    (query_id, rel_id) with ONE relevant item per query, emit per
+    query (query_id, rel_id, rank, rr_ppm) where rank is the relevant
+    item's position (0 = not retrieved) and rr_ppm =
+    round(1e6 / rank) as an EXACT integer (0 on a miss) — parts-per-
+    million reciprocal rank, so the frame hashes exactly and the
+    caller's mean(rr_ppm)/1e6 is MRR@k.
+
+    Scale shape: both inputs are bounded (queries × k and queries
+    rows); every join is on the query key."""
+    hits = ranking.join(
+        qrels,
+        (ranking["query_id"] == qrels["query_id"])
+        & (ranking[id_col] == qrels["rel_id"]),
+    ).select(qrels["query_id"], qrels["rel_id"], ranking["rank"])
+    return qrels.join(hits, ["query_id", "rel_id"], "left").select(
+        "query_id",
+        "rel_id",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("rank"),
+        F.coalesce(
+            F.round(F.lit(1e6) / F.col("rank")).cast("long"), F.lit(0)
+        ).alias("rr_ppm"),
+    )
 
 
 def rrf_fuse(

@@ -7668,6 +7668,189 @@ FROM ranked WHERE rn <= 10
 ORACLES["q197_rrf_fusion"] = _rrf_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q200-Q202 — proximity (sloppy-phrase) retrieval estate (operators/
+# retrieval.py: proximity_topk / incremental_positional_postings /
+# proximity_index_query / forget_positional_documents): rank documents
+# by how often the query's consecutive token pairs occur in order
+# within ``slop`` positions — the positional member of the retrieval
+# family (BM25 q194 is bag-of-words, passage_search q174 is
+# exact-match; this is Lucene's phrase-with-slop shape). Queries are
+# corpus-derived (doc i's tokens 2-4, the q197 convention shifted so
+# the two families don't share query text). Scores are exact integer
+# pair counts — no floats anywhere. q201 answers the same queries from
+# the MAINTAINED positional index (two intake folds, read pruned to
+# the pair vocabulary's tp directory prefixes) and must be
+# result-identical, so its oracle is q200's SQL verbatim; q202 forgets
+# a fifth of the corpus and re-queries (pure deletes; oracle = the
+# same SQL restricted to the survivors). Reference anchor: none
+# (beyond-reference tier; nearest public analogue Lucene SpanNear /
+# sloppy PhraseQuery).
+# ---------------------------------------------------------------------------
+_PROX_QIDS = (0, 1, 2)
+_PROX_SLOP = 3
+
+
+def _prox_query_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id").isin(list(_PROX_QIDS))).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 2, 3)).alias("query"),
+    )
+
+
+def _prox_oracle(where: str = "TRUE") -> str:
+    from ..operators.retrieval import oracle_proximity_sql
+
+    ids = ", ".join(str(i) for i in _PROX_QIDS)
+    return oracle_proximity_sql(
+        queries_from=f"""
+SELECT doc_id AS query_id,
+       array_to_string(regexp_split_to_array(text, '\\s+')[2:4], ' ')
+           AS query
+FROM documents WHERE doc_id IN ({ids})""",
+        slop=_PROX_SLOP,
+        k=10,
+        where=where,
+    )
+
+
+def q200_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import proximity_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_topk(
+        docs, _prox_query_frame(spark, docs), slop=_PROX_SLOP, k=10
+    )
+
+
+def q201_proximity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        incremental_positional_postings,
+        proximity_index_query,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_prox_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = incremental_positional_postings(
+            docs.filter(F.col("doc_id") <= split), store
+        )
+        n2 = incremental_positional_postings(
+            docs.filter(F.col("doc_id") > split), store
+        )
+        _require(n1 > 0 and n2 > 0, "both folds must index documents")
+        out = proximity_index_query(
+            store, _prox_query_frame(spark, docs), slop=_PROX_SLOP, k=10
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def q202_proximity_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        forget_positional_documents,
+        incremental_positional_postings,
+        proximity_index_query,
+    )
+    from ..pipeline.store import Store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp_root = tempfile.mkdtemp(prefix="efiche_proxf_")
+    store = Store(spark, tmp_root)
+    try:
+        n = incremental_positional_postings(docs, store)
+        _require(n > 0, "the fold must index documents")
+        forget_positional_documents(
+            store, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        )
+        out = proximity_index_query(
+            store, _prox_query_frame(spark, docs), slop=_PROX_SLOP, k=10
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q200_proximity_topk"] = _prox_oracle()
+ORACLES["q201_proximity_index"] = ORACLES["q200_proximity_topk"]
+ORACLES["q202_proximity_forget"] = _prox_oracle(where="doc_id % 5 <> 0")
+
+
+# ---------------------------------------------------------------------------
+# Q203 — retrieval-quality evaluation (operators/retrieval.py:
+# retrieval_eval_mrr): per-query reciprocal rank of BM25 against
+# labeled qrels — the lexical-retrieval twin of the ANN recall harness
+# (q97), the screening a pipeline runs before trusting a retriever for
+# decontamination or hard-negative mining. Queries are corpus-derived
+# (doc i's first three tokens); the qrel for query i is document i
+# itself, so the eval asks "does BM25 retrieve the source document of
+# its own opening phrase?". rr_ppm = round(1e6 / rank) is an EXACT
+# integer (0 = miss), so mean(rr_ppm)/1e6 is MRR@10 and the frame
+# hashes exactly. Reference anchor: none (beyond-reference tier;
+# the metric is standard TREC MRR).
+# ---------------------------------------------------------------------------
+_MRR_QIDS = tuple(range(8))
+
+
+def q203_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, retrieval_eval_mrr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = list(_MRR_QIDS)
+    queries = docs.filter(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 3)).alias("query"),
+    )
+    qrels = docs.filter(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("query_id"), F.col("doc_id").alias("rel_id")
+    )
+    ranking = bm25_topk(docs, queries, k=10)
+    return retrieval_eval_mrr(ranking, qrels)
+
+
+def _mrr_oracle() -> str:
+    from ..operators.retrieval import oracle_bm25_sql
+
+    ids = ", ".join(str(i) for i in _MRR_QIDS)
+    bm_sql = oracle_bm25_sql(
+        k=10,
+        queries_from=f"""
+SELECT doc_id AS query_id,
+       array_to_string(regexp_split_to_array(text, '\\s+')[1:3], ' ')
+           AS query
+FROM documents WHERE doc_id IN ({ids})""",
+    )
+    return f"""
+WITH results AS ({bm_sql}),
+qrels AS (
+    SELECT doc_id AS query_id, doc_id AS rel_id
+    FROM documents WHERE doc_id IN ({ids})
+)
+SELECT q.query_id, q.rel_id,
+       COALESCE(r.rank, 0) AS rank,
+       COALESCE(CAST(ROUND(1000000.0 / r.rank) AS BIGINT), 0) AS rr_ppm
+FROM qrels q
+LEFT JOIN results r
+       ON r.query_id = q.query_id AND r.doc_id = q.rel_id
+"""
+
+
+ORACLES["q203_bm25_mrr"] = _mrr_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -54,20 +54,18 @@ ORACLES: dict[str, str] = {
 #     CORRECTNESS_r*.json AND still differentially oracle-checked by
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
-# ROUND 10 rotation (executes VERDICT r09 Next #1 / the registry's
-# own R10 ROTATION NOTE). Front of the window, in order of need:
-#   1. q177-q192 — registered in round 9 AFTER the window filled, so
-#      they have never had a driver row (all 16 PASS the judge's
-#      driver_sim against their DuckDB oracles and are
-#      pytest-oracle-green at HEAD);
-#   2. the 24 r06-green rows that are now 4 rounds stale
-#      (q28/q30/q41/q51/q64/q68-q86 — last driver-green in
-#      CORRECTNESS_r06.json);
-#   3. 10 r07-green rows (3 rounds stale) to fill the 50-slot
-#      window — q144/q145 first because the round-10 Cut-2 prune
-#      (the _id-bucketed span_positions projection) changes their
-#      fold implementation, then the LM/drift tier in listed order.
-# DELIBERATELY KEPT JUST PAST THE WINDOW: q171/q172 (the Spark-only
+# ROUND 11 rotation (executes the registry's own R11 ROTATION NOTE,
+# written in round 10). Front of the window, in order of need:
+#   1. q193-q199 — registered in round 10 AFTER the window filled
+#      (containment coverage, the BM25 triple, RRF fusion, and the
+#      TPC-H Q21/Q22 decorrelation shapes), so they have never had a
+#      driver row;
+#   2. the r08-green block, now 3 rounds stale (last driver-green in
+#      CORRECTNESS_r08.json): q151-q169, q101-q109, q36-q38, then
+#      q01-q12 to fill the 50-slot window (q13-q19 are the r08
+#      remainder and sit just past it, first in line for r12).
+# DELIBERATELY KEPT AT POSITIONS 51-52, just past the window:
+# q171/q172 (the Spark-only
 # zlib compression-ratio pair) have no DuckDB oracle — the judge's
 # driver_sim records them `err: no_oracle`, and the real driver's
 # behavior for a missing oracle is unconfirmed.
@@ -87,7 +85,75 @@ ORACLES: dict[str, str] = {
 # Past that: everything else; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
-    # never driver-checked (landed past round 9's filled window):
+    # never driver-checked (landed past round 10's filled window):
+    "q193_containment_coverage",
+    "q194_bm25_topk",
+    "q195_bm25_index",
+    "q196_bm25_forget",
+    "q197_rrf_fusion",
+    "q198_sole_blame_suppliers",
+    "q199_idle_rich_customers",
+    # r08-stale refresh (last green r08 — 3 rounds):
+    "q151_incremental_repetition",
+    "q152_bpe_packing",
+    "q153_incremental_source_overlap",
+    "q154_temperature_mixture",
+    "q155_bpe_encode_oov",
+    "q156_incremental_temperature_mixture",
+    "q157_bpe_fertility_by_lang",
+    "q158_join_key_skew",
+    "q159_calibrated_quality_gate",
+    "q160_pack_manifest",
+    "q161_incremental_key_skew",
+    "q162_curriculum_schedule",
+    "q163_incremental_curriculum",
+    "q164_stratified_holdout",
+    "q165_dedup_savings",
+    "q166_incremental_dedup_savings",
+    "q167_neardup_savings",
+    "q168_boilerplate_savings",
+    "q169_incremental_neardup_savings",
+    "q101_orders_profile_kmv",
+    "q102_dataset_card_sketch",
+    "q103_incremental_minhash_dedup",
+    "q104_incremental_ivf_topk",
+    "q105_incremental_weighted_sample",
+    "q106_incremental_kmv_customers",
+    "q107_orders_drift",
+    "q108_incremental_binary_dedup",
+    "q109_incremental_components",
+    "q36_wh_monthly_encounters",
+    "q37_wh_procedure_volume",
+    "q38_wh_diagnosis_by_age_group",
+    "q01_pricing_summary",
+    "q02_monthly_orders",
+    "q03_top_customers_per_segment",
+    "q04_qoq_growth",
+    "q05_pct_of_total_by_priority",
+    "q06_conditional_agg_by_nation",
+    "q07_star_join_revenue",
+    "q08_loyal_customers_having",
+    "q09_copurchase_pairs_theta",
+    "q10_urgent_customers_semi_join",
+    "q11_no_urgent_anti_join",
+    "q12_orders_per_customer",
+    # ---- 50-slot window boundary ----
+    # Spark-only pair, parked at 51-52 until the driver's
+    # missing-oracle behavior is confirmed (see block comment):
+    "q171_compression_ratio",
+    "q172_incremental_compression_ratio",
+]
+_ROTATED_OUT = [
+    # r08-green remainder (first in line for the r12 window):
+    "q13_incremental_scan_events",
+    "q14_dim_time_from_orders",
+    "q15_json_extract_events",
+    "q16_explode_part_tokens",
+    "q17_union_all_counts",
+    "q18_topk_orders",
+    "q19_global_ratio_agg",
+    # r10-green block (50/50 in CORRECTNESS_r10.json; still
+    # differentially oracle-checked every pytest run):
     "q177_span_forget_compliance",
     "q178_gate_forget_compliance",
     "q179_passage_search_many",
@@ -104,7 +170,6 @@ _DRIVER_PRIORITY = [
     "q190_release_hygiene_report",
     "q191_small_quantity_revenue",
     "q192_ivf_pq_index",
-    # r06-stale refresh (last green r06 — 4 rounds):
     "q28_minhash_lsh_pairs",
     "q30_knn_ivf",
     "q41_image_features",
@@ -129,8 +194,6 @@ _DRIVER_PRIORITY = [
     "q84_weighted_order_sample",
     "q85_part_pagerank",
     "q86_zorder_orders",
-    # r07-stale refresh (last green r07 — 3 rounds); the span pair
-    # first because round 10's Cut-2 prune changes their fold path:
     "q144_duplicated_spans",
     "q145_incremental_duplicated_spans",
     "q139_ngram_lm_score",
@@ -141,13 +204,6 @@ _DRIVER_PRIORITY = [
     "q146_repetition_metrics",
     "q147_source_overlap_matrix",
     "q148_bpe_merges",
-    # ---- 50-slot window boundary ----
-    # Spark-only pair, parked at 51-52 until the driver's
-    # missing-oracle behavior is confirmed (see block comment):
-    "q171_compression_ratio",
-    "q172_incremental_compression_ratio",
-]
-_ROTATED_OUT = [
     # r09-green block (50/50 in CORRECTNESS_r09.json; still
     # differentially oracle-checked every pytest run):
     "q170_incremental_quality_gate",
@@ -200,58 +256,6 @@ _ROTATED_OUT = [
     "q48_session_detail",
     "q49_cube_lineitem_status",
     "q50_order_price_percentiles",
-    # r08-green block (50/50 in CORRECTNESS_r08.json; still
-    # differentially oracle-checked every pytest run):
-    "q151_incremental_repetition",
-    "q152_bpe_packing",
-    "q153_incremental_source_overlap",
-    "q154_temperature_mixture",
-    "q155_bpe_encode_oov",
-    "q156_incremental_temperature_mixture",
-    "q157_bpe_fertility_by_lang",
-    "q158_join_key_skew",
-    "q159_calibrated_quality_gate",
-    "q160_pack_manifest",
-    "q161_incremental_key_skew",
-    "q162_curriculum_schedule",
-    "q163_incremental_curriculum",
-    "q164_stratified_holdout",
-    "q165_dedup_savings",
-    "q166_incremental_dedup_savings",
-    "q167_neardup_savings",
-    "q168_boilerplate_savings",
-    "q169_incremental_neardup_savings",
-    "q101_orders_profile_kmv",
-    "q102_dataset_card_sketch",
-    "q103_incremental_minhash_dedup",
-    "q104_incremental_ivf_topk",
-    "q105_incremental_weighted_sample",
-    "q106_incremental_kmv_customers",
-    "q107_orders_drift",
-    "q108_incremental_binary_dedup",
-    "q109_incremental_components",
-    "q36_wh_monthly_encounters",
-    "q37_wh_procedure_volume",
-    "q38_wh_diagnosis_by_age_group",
-    "q01_pricing_summary",
-    "q02_monthly_orders",
-    "q03_top_customers_per_segment",
-    "q04_qoq_growth",
-    "q05_pct_of_total_by_priority",
-    "q06_conditional_agg_by_nation",
-    "q07_star_join_revenue",
-    "q08_loyal_customers_having",
-    "q09_copurchase_pairs_theta",
-    "q10_urgent_customers_semi_join",
-    "q11_no_urgent_anti_join",
-    "q12_orders_per_customer",
-    "q13_incremental_scan_events",
-    "q14_dim_time_from_orders",
-    "q15_json_extract_events",
-    "q16_explode_part_tokens",
-    "q17_union_all_counts",
-    "q18_topk_orders",
-    "q19_global_ratio_agg",
     # r07-green remainder (still differentially oracle-checked every
     # pytest run; q139-q148's span/LM tier rotated INTO the r10
     # window above):
@@ -295,10 +299,11 @@ _ROTATED_OUT = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
-    # R11 ROTATION NOTE: any round-10 additions registered past the
-    # filled window (q193+) should FRONT the r11 window, followed by
-    # the then-stalest green block (the r08-green rows above become
-    # 3 rounds stale at r11).
+    # R12 ROTATION NOTE: any round-11 additions registered past the
+    # filled window (q200+) should FRONT the r12 window, followed by
+    # the r08-green remainder (q13-q19, listed first above) and then
+    # the then-stalest green block (the r09-green rows become 3
+    # rounds stale at r12).
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
 _ORDER = _DRIVER_PRIORITY + _MIDDLE + _ROTATED_OUT

@@ -239,3 +239,259 @@ def test_postings_compaction_preserves_reads(spark, tmp_path):
     assert store.read_layout_meta("term_postings") is not None
     assert _rows(bm25_index_query(store, _qf(spark), k=4)) == want
     assert incremental_term_postings(docs, store) == 0
+
+
+def test_empty_corpus_returns_empty_not_crash(spark, tmp_path):
+    """ADVICE r10: an empty corpus (or a fully-forgotten index) is a
+    scorable state whose exact answer is zero rows — not a
+    TypeError/ZeroDivisionError on NULL stats."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(empty, _qf(spark))
+    assert out.columns == ["query_id", "doc_id", "rank", "score"]
+    assert out.count() == 0
+    store = Store(spark, str(tmp_path / "bmempty"))
+    incremental_term_postings(_docs(spark), store)
+    forget_term_documents(
+        store, spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    )
+    out2 = bm25_index_query(store, _qf(spark))
+    assert out2.columns == ["query_id", "doc_id", "rank", "score"]
+    assert out2.count() == 0
+
+
+def test_duplicate_batch_ids_fail_fast(spark, tmp_path):
+    """ADVICE r10: two rows for one id in a fold batch would sum tf
+    across the duplicates while the doc-length reader collapses to one
+    row — refuse the ambiguous batch instead of silently breaking the
+    index-query ≡ one-shot invariant."""
+    dup = spark.createDataFrame(
+        [(1, "a b"), (1, "a c"), (2, "ok")], "doc_id long, text string"
+    )
+    store = Store(spark, str(tmp_path / "bmdup"))
+    with pytest.raises(ValueError, match="duplicate"):
+        incremental_term_postings(dup, store)
+    # nothing half-committed: a clean batch folds from scratch
+    clean = spark.createDataFrame([(1, "a b"), (2, "ok")], "doc_id long, text string")
+    assert incremental_term_postings(clean, store) == 2
+
+
+def test_oracle_quotes_and_whitespace_queries(spark):
+    """ADVICE r10 pair: a query text containing a single quote must
+    not break the rendered oracle, and leading/trailing whitespace in
+    query or document text (which makes both tokenizers emit '')
+    must score identically on both sides."""
+    import duckdb
+    import pandas as pd
+
+    from efiche_data_pipeline_spark.operators.retrieval import oracle_bm25_sql
+
+    from .conftest import assert_frames_match
+
+    doc_rows = [
+        (0, "it's a vector join"),
+        (1, "vector join stream join"),
+        (2, " padded vector text "),
+    ]
+    q_rows = [(0, "it's vector"), (1, " join ")]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qf = spark.createDataFrame(q_rows, "query_id long, query string")
+    spark_pdf = bm25_topk(docs, qf).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(doc_rows, columns=["doc_id", "text"]))
+    oracle_pdf = con.execute(oracle_bm25_sql(q_rows)).fetchdf()
+    con.close()
+    assert len(spark_pdf) > 0
+    assert_frames_match(spark_pdf, oracle_pdf, "bm25_quote_ws")
+
+
+# ---------------------------------------------------------------------------
+# Proximity (sloppy-phrase) retrieval estate — operators/retrieval.py:
+# proximity_topk / incremental_positional_postings /
+# proximity_index_query / forget_positional_documents.
+# ---------------------------------------------------------------------------
+from efiche_data_pipeline_spark.operators.retrieval import (  # noqa: E402
+    forget_positional_documents,
+    incremental_positional_postings,
+    proximity_index_query,
+    proximity_topk,
+)
+
+_PDOCS = [(0, "a b c a b"), (1, "b a"), (2, "a x x b")]
+_PQUERIES = [(0, "a b"), (1, "a b c"), (2, "lone")]
+
+
+def _pdocs(spark):
+    return spark.createDataFrame(_PDOCS, "doc_id long, text string")
+
+
+def _pqf(spark):
+    return spark.createDataFrame(_PQUERIES, "query_id long, query string")
+
+
+def test_proximity_semantics_hand_checked(spark):
+    """slop=3, ordered pairs: doc0 'a b c a b' scores (a,b) twice and
+    (b,c) once; doc1 'b a' has no ordered (a,b); doc2 'a x x b' has
+    one (a,b) at exactly the slop bound; a single-term query has no
+    pairs and returns nothing."""
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["pair_hits"])
+        for r in proximity_topk(_pdocs(spark), _pqf(spark), slop=3).collect()
+    }
+    assert got == {
+        (0, 0): (1, 2),
+        (0, 2): (2, 1),
+        (1, 0): (1, 3),
+        (1, 2): (2, 1),
+    }
+    # slop=1: strict adjacency only — doc2's gap-3 pair disappears
+    strict = {
+        (r["query_id"], r["doc_id"]): r["pair_hits"]
+        for r in proximity_topk(_pdocs(spark), _pqf(spark), slop=1).collect()
+    }
+    assert strict == {(0, 0): 2, (1, 0): 3}
+
+
+def test_positional_index_equals_one_shot(spark, tmp_path):
+    docs = _pdocs(spark)
+    store = Store(spark, str(tmp_path / "pos"))
+    assert (
+        incremental_positional_postings(
+            docs.filter(F.col("doc_id") <= 0), store
+        )
+        == 1
+    )
+    assert (
+        incremental_positional_postings(
+            docs.filter(F.col("doc_id") > 0), store
+        )
+        == 2
+    )
+    want = _rows(proximity_topk(docs, _pqf(spark), k=4))
+    assert _rows(proximity_index_query(store, _pqf(spark), k=4)) == want
+    assert want
+    # replay: folds nothing, read unchanged
+    assert incremental_positional_postings(docs, store) == 0
+    assert _rows(proximity_index_query(store, _pqf(spark), k=4)) == want
+
+
+def test_positional_read_prunes_to_term_prefixes(spark, tmp_path):
+    import re
+
+    from efiche_data_pipeline_spark.operators.retrieval import (
+        _pruned_positions,
+    )
+
+    docs = _pdocs(spark)
+    store = Store(spark, str(tmp_path / "posplan"))
+    incremental_positional_postings(docs, store)
+    assert store.partitioning("positional_postings") == ["tp"]
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    hits = _pruned_positions(store, "positional_postings", vocab)
+    hits.collect()
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*tp#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class _CrashBeforePosSeenStore(Store):
+    """Crash between the positional-postings and seen commits — the
+    replay re-appends the batch (tolerated multiset; reads collapse
+    by DISTINCT)."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.armed = False
+
+    def append_new(self, df, table, key, partition_by=None):
+        if self.armed and table == "positional_seen_docs":
+            self.armed = False
+            raise RuntimeError("injected crash before positional seen commit")
+        return super().append_new(df, table, key, partition_by=partition_by)
+
+
+def test_positional_crash_before_seen_converges(spark, tmp_path):
+    docs = _pdocs(spark)
+    store = _CrashBeforePosSeenStore(spark, str(tmp_path / "poscrash"))
+    incremental_positional_postings(docs.filter(F.col("doc_id") <= 0), store)
+    store.armed = True
+    with pytest.raises(RuntimeError, match="injected"):
+        incremental_positional_postings(
+            docs.filter(F.col("doc_id") > 0), store
+        )
+    # replay converges; the crash-window duplicates never mis-score
+    assert (
+        incremental_positional_postings(docs.filter(F.col("doc_id") > 0), store)
+        == 2
+    )
+    dup = (
+        store.read("positional_postings")
+        .groupBy("term", "_id", "pos")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup > 0  # duplicated, not lost
+    assert _rows(proximity_index_query(store, _pqf(spark), k=4)) == _rows(
+        proximity_topk(docs, _pqf(spark), k=4)
+    )
+    assert incremental_positional_postings(docs, store) == 0
+
+
+def test_positional_forget_equals_survivor_one_shot(spark, tmp_path):
+    docs = _pdocs(spark)
+    store = Store(spark, str(tmp_path / "posforget"))
+    incremental_positional_postings(docs, store)
+    gone = spark.createDataFrame([(0,)], "doc_id long")
+    forget_positional_documents(store, gone)
+    for t in ("positional_postings", "positional_seen_docs"):
+        assert store.read(t).filter("_id = 0").count() == 0, t
+    survivors = docs.filter(F.col("doc_id") != 0)
+    got = _rows(proximity_index_query(store, _pqf(spark), k=4))
+    assert got == _rows(proximity_topk(survivors, _pqf(spark), k=4)) and got
+    # blind retry: nothing changes
+    forget_positional_documents(store, gone)
+    assert _rows(proximity_index_query(store, _pqf(spark), k=4)) == got
+    # forgotten docs may re-enter (seen purged too)
+    assert incremental_positional_postings(docs, store) == 1
+    assert _rows(proximity_index_query(store, _pqf(spark), k=4)) == _rows(
+        proximity_topk(docs, _pqf(spark), k=4)
+    )
+
+
+def test_positional_duplicate_batch_ids_fail_fast(spark, tmp_path):
+    dup = spark.createDataFrame(
+        [(1, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    store = Store(spark, str(tmp_path / "posdup"))
+    with pytest.raises(ValueError, match="duplicate"):
+        incremental_positional_postings(dup, store)
+
+
+def test_proximity_oracle_differential(spark):
+    """In-test DuckDB replay of oracle_proximity_sql on a corpus with
+    repeated terms, slop-bound gaps, and whitespace padding."""
+    import duckdb
+    import pandas as pd
+
+    from efiche_data_pipeline_spark.operators.retrieval import (
+        oracle_proximity_sql,
+    )
+
+    from .conftest import assert_frames_match
+
+    doc_rows = [(i, t) for i, t in _PDOCS] + [(3, " a b  padded ")]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    spark_pdf = proximity_topk(docs, _pqf(spark), slop=2, k=10).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(doc_rows, columns=["doc_id", "text"]))
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in _PQUERIES)
+    oracle_pdf = con.execute(
+        oracle_proximity_sql(
+            f"SELECT query_id, query FROM (VALUES {qvals}) AS t(query_id, query)",
+            slop=2,
+            k=10,
+        )
+    ).fetchdf()
+    con.close()
+    assert len(spark_pdf) > 0
+    assert_frames_match(spark_pdf, oracle_pdf, "proximity_differential")
