@@ -2840,6 +2840,213 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q204 — the TPC-H Q2 DECORRELATION SHAPE (minimum-cost supplier),
+# adapted to the fixture (no partsupp, so the lineitem history plays
+# the supply-cost role): for each small part (p_size <= 2), the
+# supplier(s) whose shipment achieved the MINIMUM extended price —
+# correlated scalar-MIN subquery, decorrelated in Spark as a
+# groupBy-min + equality join back on the SAME shuffle key
+# (Catalyst reuses the l_partkey exchange); the oracle runs the
+# LITERAL correlated form. No arithmetic touches the compared double
+# (min of stored values), so equality is exact on both engines.
+# Reference anchor: none (relational-coverage tier; companion to
+# q191/q198/q199).
+# ---------------------------------------------------------------------------
+def q204_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 2)
+        .select("p_partkey", "p_name")
+    )
+    sli = li.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    minp = sli.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("_minprice")
+    )
+    cheapest = sli.join(
+        minp,
+        (sli["l_partkey"] == minp["l_partkey"])
+        & (sli["l_extendedprice"] == minp["_minprice"]),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        cheapest.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "p_partkey",
+            "p_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .distinct()
+    )
+
+
+ORACLES["q204_min_cost_supplier"] = """
+SELECT DISTINCT s_acctbal, s_name, p_partkey, p_name,
+       l_extendedprice AS price
+FROM part, lineitem l1, supplier
+WHERE p_partkey = l1.l_partkey
+  AND s_suppkey = l1.l_suppkey
+  AND p_size <= 2
+  AND l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q205 — the TPC-H Q11 DECORRELATION SHAPE (important stock): per-part
+# discounted revenue, keeping parts whose value exceeds a FRACTION of
+# the global total — HAVING against a scalar subquery, decorrelated in
+# Spark as one aggregate + a broadcast one-row threshold crossJoin.
+# Exactness: both the per-part and global sums go through the
+# decimal(38,6) money discipline and the threshold comparison mirrors
+# the double AST token-for-token (value > total * 0.001).
+# ---------------------------------------------------------------------------
+def q205_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        money_sum("_rev").alias("part_value")
+    )
+    total = li.agg(money_sum("_rev").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_total") * 0.001)
+        .select("l_partkey", "part_value")
+    )
+
+
+ORACLES["q205_important_parts"] = f"""
+SELECT l_partkey,
+       {oracle_money_sum('l_extendedprice * (1 - l_discount)')} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {oracle_money_sum('l_extendedprice * (1 - l_discount)')} > (
+    SELECT {oracle_money_sum('l_extendedprice * (1 - l_discount)')} * 0.001
+    FROM lineitem
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q206 — the TPC-H Q15 DECORRELATION SHAPE (top supplier): supplier
+# revenue over a six-month ship window, returning the supplier(s)
+# whose revenue EQUALS the maximum — the view-plus-correlated-MAX
+# pattern, decorrelated in Spark as one aggregate + a broadcast
+# one-row max joined back by exact equality. Exactness: revenues are
+# decimal(38,6) sums surfaced as double on BOTH engines, so the two
+# max candidates are bit-identical and the equality is safe.
+# ---------------------------------------------------------------------------
+def q206_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLES["q206_top_supplier"] = f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           {oracle_money_sum('l_extendedprice * (1 - l_discount)')}
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = l_suppkey
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q207 — the TPC-H Q20 DECORRELATION SHAPE (dominant suppliers): for
+# parts whose name starts with a given prefix, suppliers who shipped
+# MORE THAN HALF of the part's total shipped quantity — the nested
+# correlated-aggregate-in-IN pattern, decorrelated in Spark as two
+# aggregates on the SAME l_partkey shuffle + an integer-exact
+# comparison (2 * supplier_qty > part_qty; quantities are
+# integer-valued, so doubled sums stay exact in double). Emits each
+# dominant supplier with the number of parts it dominates.
+# ---------------------------------------------------------------------------
+def q207_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_sq")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("_pq")
+    )
+    dominant = per_pair.join(
+        per_part, per_pair["l_partkey"] == per_part["_pk"]
+    ).filter(F.col("_sq") * 2 > F.col("_pq"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        dominant.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
+    )
+
+
+ORACLES["q207_dominant_suppliers"] = """
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+FROM supplier,
+     (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+      GROUP BY l_partkey, l_suppkey) pair
+WHERE s_suppkey = pair.l_suppkey
+  AND pair.sq * 2 > (
+      SELECT SUM(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = pair.l_partkey
+  )
+GROUP BY s_suppkey, s_name
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
