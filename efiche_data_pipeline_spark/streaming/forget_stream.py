@@ -19,6 +19,9 @@ family forgets for whichever estates exist in the store:
 - **retrieval estate** (`forget_term_documents`, r10): postings
   index, doc-length table, seen watermark — pure deletes; reads
   recompute BM25 statistics from survivors by construction.
+- **positional estate** (`forget_positional_documents`, r11):
+  positional postings + seen watermark — pure deletes; proximity
+  scores are per-doc facts, nothing derived to shrink.
 
 Replay protocol: every family forget is blind-retry convergent BY
 CONSTRUCTION (their own crash matrices prove it — marker ledgers for
@@ -55,7 +58,10 @@ from pyspark.sql import functions as F
 from ..operators.bpe import forget_vocab_documents
 from ..operators.dedup import forget_documents, forget_span_documents
 from ..operators.lm import forget_gate_documents
-from ..operators.retrieval import forget_term_documents
+from ..operators.retrieval import (
+    forget_positional_documents,
+    forget_term_documents,
+)
 from ..pipeline.store import Store
 
 
@@ -131,6 +137,9 @@ def run_forget_stream(
         # retrieval estate (pure deletes; skips missing tables itself)
         if store.exists("term_postings"):
             forget_term_documents(store, ids, id_col=id_col)
+        # positional estate (pure deletes, r11)
+        if store.exists("positional_postings"):
+            forget_positional_documents(store, ids, id_col=id_col)
         # the stream's ONE own commit — the processed ledger, LAST:
         # every family forget above converges under blind retry, so a
         # crash before this line replays them all to no-ops
@@ -160,6 +169,8 @@ def run_forget_stream(
         fams.append("vocab")
     if store.exists("term_postings"):
         fams.append("retrieval")
+    if store.exists("positional_postings"):
+        fams.append("positional")
     n_req = store.count(ledger_table) if store.exists(ledger_table) else 0
     return ForgetStreamReport(
         n_batches=totals["batches"],

@@ -88,3 +88,60 @@ def run_postings_stream(
         n_docs_folded=totals["docs"],
         n_docs_indexed=n_indexed,
     )
+
+
+def run_positional_postings_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    store: Store,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_table: str = "positional_postings",
+    seen_table: str = "positional_seen_docs",
+    max_files_per_trigger: int = 1,
+) -> PostingsStreamReport:
+    """The positional twin: availableNow consumption of parquet
+    document files folding into the POSITIONAL index estate (the live
+    q201), so proximity queries over everything-seen-so-far are always
+    one pruned read away. Same watermark discipline as the BM25 stream
+    above — the fold commits its own seen table LAST, so redelivered
+    batches fold nothing and the stream needs no commit of its own;
+    the crash matrix is the fold's (tests/test_retrieval.py)."""
+    from ..operators.retrieval import incremental_positional_postings
+
+    totals = {"batches": 0, "docs": 0}
+
+    def fold(batch, batch_id: int) -> None:
+        totals["batches"] += 1
+        totals["docs"] += incremental_positional_postings(
+            batch,
+            store,
+            id_col=id_col,
+            text_col=text_col,
+            postings_table=postings_table,
+            seen_table=seen_table,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(fold)
+        .start()
+    )
+    q.awaitTermination()
+    n_indexed = (
+        store.read(seen_table).select("_id").distinct().count()
+        if store.exists(seen_table)
+        else 0
+    )
+    return PostingsStreamReport(
+        n_batches=totals["batches"],
+        n_docs_folded=totals["docs"],
+        n_docs_indexed=n_indexed,
+    )

@@ -154,3 +154,86 @@ def test_takedown_stream_purges_retrieval_estate(spark, tmp_path):
     assert _res(bm25_index_query(store, _qf(spark), k=5)) == _res(
         bm25_topk(survivors, _qf(spark), k=5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional-index intake stream (run_positional_postings_stream) and
+# its takedown coverage — the r11 positional estate.
+# ---------------------------------------------------------------------------
+from efiche_data_pipeline_spark.operators.retrieval import (  # noqa: E402
+    proximity_index_query,
+    proximity_topk,
+)
+from efiche_data_pipeline_spark.streaming.postings_stream import (  # noqa: E402
+    run_positional_postings_stream,
+)
+
+
+def _pqf(spark):
+    return spark.createDataFrame(
+        [(0, "vector join stream"), (1, "hash table")],
+        "query_id long, query string",
+    )
+
+
+def test_positional_stream_equals_one_shot_and_restarts(spark, tmp_path):
+    src, ckpt = str(tmp_path / "psrc"), str(tmp_path / "pckpt")
+    store = Store(spark, str(tmp_path / "pstore"))
+    _write(spark, src, _rows(0, 6))
+    _write(spark, src, _rows(6, 12))
+    rep = run_positional_postings_stream(spark, src, _SCHEMA, store, ckpt)
+    assert rep.n_batches >= 2 and rep.n_docs_folded == 12
+    assert rep.n_docs_indexed == 12
+    docs = spark.createDataFrame(_rows(0, 12), _SCHEMA)
+    want = _res(proximity_topk(docs, _pqf(spark), k=5))
+    assert _res(proximity_index_query(store, _pqf(spark), k=5)) == want
+    assert want
+    # restart with one new file: only it folds; no new files: no-op;
+    # fresh checkpoint: the fold's seen watermark absorbs redelivery
+    _write(spark, src, _rows(12, 15))
+    rep2 = run_positional_postings_stream(spark, src, _SCHEMA, store, ckpt)
+    assert rep2.n_docs_folded == 3 and rep2.n_docs_indexed == 15
+    rep3 = run_positional_postings_stream(
+        spark, src, _SCHEMA, store, str(tmp_path / "pckpt2")
+    )
+    assert rep3.n_docs_folded == 0 and rep3.n_docs_indexed == 15
+    all_docs = spark.createDataFrame(_rows(0, 15), _SCHEMA)
+    assert _res(proximity_index_query(store, _pqf(spark), k=5)) == _res(
+        proximity_topk(all_docs, _pqf(spark), k=5)
+    )
+
+
+def test_takedown_stream_purges_positional_estate(spark, tmp_path):
+    """r11: the composed takedown stream covers the positional estate."""
+    from efiche_data_pipeline_spark.operators.retrieval import (
+        incremental_positional_postings,
+    )
+    from efiche_data_pipeline_spark.streaming.forget_stream import (
+        run_forget_stream,
+    )
+
+    store = Store(spark, str(tmp_path / "store"))
+    docs = spark.createDataFrame(_rows(0, 8), _SCHEMA)
+    incremental_positional_postings(docs, store)
+    req = str(tmp_path / "req")
+    spark.createDataFrame([(2,), (6,)], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(req)
+    rep = run_forget_stream(
+        spark, req, store, str(tmp_path / "fckpt"), span_k=3
+    )
+    assert "positional" in rep.families
+    for t in ("positional_postings", "positional_seen_docs"):
+        assert store.read(t).filter("_id in (2, 6)").count() == 0, t
+    survivors = docs.filter(~F.col("doc_id").isin(2, 6))
+    assert _res(proximity_index_query(store, _pqf(spark), k=5)) == _res(
+        proximity_topk(survivors, _pqf(spark), k=5)
+    )
+    # replay (fresh checkpoint): ledger no-op, reads unchanged
+    rep2 = run_forget_stream(
+        spark, req, store, str(tmp_path / "fckpt2"), span_k=3
+    )
+    assert rep2.n_requests == 2
+    assert _res(proximity_index_query(store, _pqf(spark), k=5)) == _res(
+        proximity_topk(survivors, _pqf(spark), k=5)
+    )
