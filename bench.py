@@ -104,6 +104,10 @@ HEADLINE = (
     # exchange — its cost shape is covered by the read side here plus
     # the fold benches the span family already carries)
     "q194_bm25_topk",
+    # round-11 addition: proximity (sloppy-phrase) retrieval — the
+    # positional member of the family (broadcast pair vocabulary on a
+    # posexplode corpus pass + a doc-keyed bounded position self-join)
+    "q200_proximity_topk",
     # write side LAST (its ~25 write jobs pressure the shared heap —
     # keep that out of every read query's measurement), split into the
     # full warehouse build and the MV readback so the build cost is an

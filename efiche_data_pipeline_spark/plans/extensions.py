@@ -3047,6 +3047,80 @@ GROUP BY s_suppkey, s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q208 — declarative data-quality expectations (operators/
+# expectations.py:check_expectations): the Deequ/Great-Expectations-
+# shaped validation gate — a rule sheet in, one exactly-counted audit
+# row per rule out. Run here over the orders fact: null/unique key
+# proofs, a deliberately tight price range and accepted-status/
+# priority-prefix sets (non-zero violation counts, so the audit is
+# exercised, not vacuous), repeat-customer multiplicity, and
+# referential integrity of o_custkey against the customer dimension
+# (broadcast anti join). All row-local rules fold into ONE
+# conditional-aggregation pass; exact integers throughout.
+# Reference anchor: generalizes the reference's per-row insert guard
+# (etl_pipeline.py:110-112, skipped-row counting) into a declarative
+# audit; public analogue AWS Deequ / dbt tests.
+# ---------------------------------------------------------------------------
+def q208_order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import Rule, check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("key_not_null", "not_null", "o_orderkey"),
+        Rule("key_unique", "unique", "o_orderkey"),
+        Rule("cust_unique", "unique", "o_custkey"),
+        Rule("price_range", "range", "o_totalprice", lo=0.0, hi=300000.0),
+        Rule("status_set", "in_set", "o_orderstatus", values=("F", "O")),
+        Rule("priority_regex", "regex", "o_orderpriority", pattern="^[1-3]-"),
+        Rule("cust_ref", "ref", "o_custkey", ref=customer, ref_col="c_custkey"),
+    ]
+    return check_expectations(orders, rules)
+
+
+ORACLES["q208_order_expectations"] = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+v AS (
+    SELECT 'key_not_null' AS rule_id, 'not_null' AS kind,
+           'o_orderkey' AS col,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'key_unique', 'unique', 'o_orderkey',
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders WHERE o_orderkey IS NOT NULL)
+    UNION ALL
+    SELECT 'cust_unique', 'unique', 'o_custkey',
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM orders WHERE o_custkey IS NOT NULL)
+    UNION ALL
+    SELECT 'price_range', 'range', 'o_totalprice',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0))
+    UNION ALL
+    SELECT 'status_set', 'in_set', 'o_orderstatus',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F', 'O'))
+    UNION ALL
+    SELECT 'priority_regex', 'regex', 'o_orderpriority',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+    UNION ALL
+    SELECT 'cust_ref', 'ref', 'o_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+)
+SELECT rule_id, kind, col AS "column", n.n_rows, n_violations,
+       n_violations = 0 AS ok
+FROM v, n
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
