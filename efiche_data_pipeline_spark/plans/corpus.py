@@ -7851,6 +7851,84 @@ LEFT JOIN results r
 ORACLES["q203_bm25_mrr"] = _mrr_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q209 — streaming expectations gate (streaming/expectations_stream.py:
+# expectations_gate_fold): the q208 rule sheet applied at intake, per
+# batch, ROUTING rows — hard-rule violators land in a quarantine sink
+# tagged with the rule ids they broke (fixed alphabetical tag order),
+# clean rows in the accepted sink, audits ledgered per batch. The
+# registered query folds the orders fact in two monotone batches
+# exactly as the stream does and returns the quarantine sheet, which
+# is batch-composition-independent for row-decidable rules — so the
+# oracle is the plain SQL predicate classification of the whole
+# table. Reference anchor: generalizes the reference's skipped-row
+# counting (etl_pipeline.py:110-112) into routed, tagged quarantine.
+# ---------------------------------------------------------------------------
+def q209_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.expectations import Rule
+    from ..pipeline.store import Store
+    from ..streaming.expectations_stream import expectations_gate_fold
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("key_not_null", "not_null", "o_orderkey"),
+        Rule("cust_unique", "unique", "o_custkey"),  # audit-only
+        Rule("price_range", "range", "o_totalprice", lo=0.0, hi=300000.0),
+        Rule("status_set", "in_set", "o_orderstatus", values=("F", "O")),
+        Rule("priority_regex", "regex", "o_orderpriority", pattern="^[1-3]-"),
+        Rule("cust_ref", "ref", "o_custkey", ref=customer, ref_col="c_custkey"),
+    ]
+    hard = ("cust_ref", "price_range", "priority_regex", "status_set")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_expgate_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = expectations_gate_fold(
+            orders.filter(F.col("o_orderkey") <= split),
+            store, rules, hard, "o_orderkey",
+        )
+        n2 = expectations_gate_fold(
+            orders.filter(F.col("o_orderkey") > split),
+            store, rules, hard, "o_orderkey",
+        )
+        _require(n1 > 0 and n2 > 0, "both gate folds must process rows")
+        out = store.read("expectations_quarantine").select(
+            "o_orderkey", "broken_rules"
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q209_expectations_gate"] = """
+WITH tagged AS (
+    SELECT o_orderkey,
+           CONCAT_WS(',',
+               CASE WHEN o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                    THEN 'cust_ref' END,
+               CASE WHEN o_totalprice IS NOT NULL
+                     AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0)
+                    THEN 'price_range' END,
+               CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                    THEN 'priority_regex' END,
+               CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O')
+                    THEN 'status_set' END
+           ) AS broken_rules
+    FROM orders
+)
+SELECT o_orderkey, broken_rules FROM tagged WHERE broken_rules <> ''
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
