@@ -498,20 +498,35 @@ def _proximity_scores(
     for every position pair (p1, p2) with doc[p1]=t1, doc[p2]=t2 and
     1 <= p2-p1 <= slop (ordered, Lucene sloppy-bigram shape); a doc's
     score is the exact integer sum over the query's pairs — no floats
-    anywhere, so oracle hashes match without fixed-point machinery."""
+    anywhere, so oracle hashes match without fixed-point machinery.
+
+    Skew posture: the naive doc-keyed self-join fans out
+    occ(t1) x occ(t2) per doc BEFORE the range filter — quadratic on a
+    pathological document that repeats both terms. The join therefore
+    keys on (doc, position block) with block = floor(pos / slop): a
+    window (p1, p1+slop] spans exactly the two blocks {b1, b1+1}, so
+    the left side duplicates each hit into those two keys and the
+    per-key fan-out is bounded by the occurrences inside ONE block
+    (<= slop positions) — worst case drops from occ^2 to
+    occ x 2 x slop. Execution detail only; results are identical."""
     from pyspark.sql.window import Window
 
-    left = hits.join(
-        F.broadcast(pairs), hits["term"] == pairs["t1"]
-    ).select("query_id", "j", "t2", "_id", F.col("pos").alias("p1"))
+    b1 = F.floor(F.col("p1") / F.lit(slop)).cast("long")
+    left = (
+        hits.join(F.broadcast(pairs), hits["term"] == pairs["t1"])
+        .select("query_id", "j", "t2", "_id", F.col("pos").alias("p1"))
+        .withColumn("blk", F.explode(F.array(b1, b1 + 1)))
+    )
     right = hits.select(
         F.col("_id").alias("r_id"),
         F.col("pos").alias("p2"),
         F.col("term").alias("rt"),
+        F.floor(F.col("pos") / F.lit(slop)).cast("long").alias("rblk"),
     )
     matched = left.join(
         right,
         (left["_id"] == right["r_id"])
+        & (left["blk"] == right["rblk"])
         & (right["rt"] == left["t2"])
         & (right["p2"] > left["p1"])
         & (right["p2"] <= left["p1"] + slop),
