@@ -137,9 +137,25 @@ def expectations_gate_fold(
         F.min(id_col).alias("lo"),
         F.max(id_col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(id_col)).alias("nd"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("nnull"),
     ).first()
-    if span["hi"] is None:
+    if span["hi"] is None and int(span["n"]) == 0:
         return 0  # empty batch
+    # the row sinks are keyed on the id (append_new requires
+    # key-unique input) and the replay guard reads id spans — a batch
+    # with NULL or duplicate ids is ambiguous intake, refused whole
+    # (the incremental_term_postings precedent)
+    if int(span["nnull"] or 0) > 0:
+        raise ValueError(
+            f"expectations gate: batch contains NULL {id_col} rows — "
+            "the intake id keys the sinks and the replay watermark"
+        )
+    if int(span["nd"]) != int(span["n"]):
+        raise ValueError(
+            f"expectations gate: batch contains duplicate {id_col} "
+            "rows; dedupe the batch before folding"
+        )
     lo, hi = int(span["lo"]), int(span["hi"])
     committed: set[int] = set()
     if store.exists(watermark_table):

@@ -171,3 +171,20 @@ def test_gate_refuses_bad_hard_rules(spark, tmp_path):
         expectations_gate_fold(b, store, _RULES, ("nope",), "id")
     with pytest.raises(ValueError, match="cannot be hard"):
         expectations_gate_fold(b, store, _RULES, ("id_unique",), "id")
+
+
+def test_gate_fold_refuses_null_and_duplicate_ids(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "store"))
+    dup = spark.createDataFrame(
+        [(1, 1.0, "F"), (1, 2.0, "F")], _SCHEMA
+    )
+    with pytest.raises(ValueError, match="duplicate id rows"):
+        expectations_gate_fold(dup, store, _RULES, _HARD, "id")
+    withnull = spark.createDataFrame(
+        [(None, 1.0, "F"), (2, 2.0, "F")], _SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL id rows"):
+        expectations_gate_fold(withnull, store, _RULES, _HARD, "id")
+    # neither guard committed anything
+    assert not store.exists("expectations_accepted")
+    assert not store.exists("expectations_watermark")
