@@ -3121,6 +3121,166 @@ FROM v, n
 """
 
 
+# ---------------------------------------------------------------------------
+# Q210 — the TPC-H Q7 shape (volume shipping between two nations):
+# revenue flowing NATION_1 <-> NATION_2 by ship year, with customer
+# and supplier nations resolved through their dimensions and the
+# two-directional pair filter applied as a residual on broadcast
+# dims. Decimal money sums; the year from the shipdate on both
+# engines.
+# ---------------------------------------------------------------------------
+def q210_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), "c_nationkey")
+        .join(F.broadcast(n2), "s_nationkey")
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(money_sum("_rev").alias("revenue"))
+    )
+
+
+ORACLES["q210_volume_shipping"] = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {oracle_money_sum('volume')} AS revenue
+FROM (
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem, orders, customer, supplier, nation n1, nation n2
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = n1.n_nationkey
+      AND s_nationkey = n2.n_nationkey
+      AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+        OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q211 — the TPC-H Q8 shape (national market share): of the PROMO-part
+# revenue delivered to ASIA customers, the share supplied by NATION_5,
+# per order year — the conditional-sum ratio over a 6-way star, with
+# BOTH sums through the decimal money discipline and the ratio AST
+# mirrored token-for-token (round(nation / total, 6)).
+# ---------------------------------------------------------------------------
+def q211_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    asia_nations = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), "c_nationkey", "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    natrev = F.when(F.col("s_nationkey") == 5, F.col("_rev")).otherwise(0.0)
+    by_year = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        money_sum(natrev).alias("_n"),
+        money_sum("_rev").alias("_t"),
+    )
+    return by_year.select(
+        "o_year", F.round(F.col("_n") / F.col("_t"), 6).alias("mkt_share")
+    )
+
+
+ORACLES["q211_market_share"] = f"""
+SELECT o_year,
+       ROUND({oracle_money_sum('nat_volume')}
+             / {oracle_money_sum('volume')}, 6) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           CASE WHEN s_nationkey = 5
+                THEN l_extendedprice * (1 - l_discount)
+                ELSE 0.0 END AS nat_volume
+    FROM lineitem, part, orders, customer, supplier, nation, region
+    WHERE l_partkey = p_partkey
+      AND p_type = 'PROMO'
+      AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND l_suppkey = s_suppkey
+)
+GROUP BY o_year
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -8,7 +8,7 @@ compression ratio computed in an Arrow ``mapInPandas`` pass, which
 DuckDB cannot reproduce; they are instead pinned by a
 determinism pytest pair (tests/test_quality.py) that replays the
 same computation twice and cross-checks against Python's zlib on
-collected rows. Every other query (207 of 209) is differentially
+collected rows. Every other query (209 of 211) is differentially
 DuckDB-oracled. (MinHash-LSH and IVF search, the historical
 no-oracle pair, have had portable pinned-seed/pinned-centroid
 oracles since round 4.)
