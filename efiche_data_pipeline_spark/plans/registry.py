@@ -55,15 +55,20 @@ ORACLES: dict[str, str] = {
 #     tests/test_oracle_parity.py every run, so no capability loses
 #     verification.
 # ROUND 11 rotation (executes the registry's own R11 ROTATION NOTE,
-# written in round 10). Front of the window, in order of need:
-#   1. q193-q199 — registered in round 10 AFTER the window filled
+# written in round 10, extended for this round's additions). Front of
+# the window, in order of need:
+#   1. q200-q211 — the ROUND-11 additions (proximity estate, BM25 MRR
+#      eval, TPC-H Q2/Q11/Q15/Q20/Q7/Q8 shapes, the expectations
+#      engine + gate), never driver-checked; every one is driver_sim
+#      PASS this session;
+#   2. q193-q199 — registered in round 10 AFTER the window filled
 #      (containment coverage, the BM25 triple, RRF fusion, and the
 #      TPC-H Q21/Q22 decorrelation shapes), so they have never had a
 #      driver row;
-#   2. the r08-green block, now 3 rounds stale (last driver-green in
-#      CORRECTNESS_r08.json): q151-q169, q101-q109, q36-q38, then
-#      q01-q12 to fill the 50-slot window (q13-q19 are the r08
-#      remainder and sit just past it, first in line for r12).
+#   3. the r08-green block, now 3 rounds stale (last driver-green in
+#      CORRECTNESS_r08.json): q151-q169, q101-q109, q36-q38 fill the
+#      50-slot window exactly (q01-q19, the r08 remainder, sits just
+#      past it, first in line for r12 behind any r12 additions).
 # DELIBERATELY KEPT AT POSITIONS 51-52, just past the window:
 # q171/q172 (the Spark-only
 # zlib compression-ratio pair) have no DuckDB oracle — the judge's
@@ -85,6 +90,19 @@ ORACLES: dict[str, str] = {
 # Past that: everything else; every rotated-out query keeps its
 # per-run pytest oracle differential meanwhile.
 _DRIVER_PRIORITY = [
+    # round-11 additions, never driver-checked:
+    "q200_proximity_topk",
+    "q201_proximity_index",
+    "q202_proximity_forget",
+    "q203_bm25_mrr",
+    "q204_min_cost_supplier",
+    "q205_important_parts",
+    "q206_top_supplier",
+    "q207_dominant_suppliers",
+    "q208_order_expectations",
+    "q209_expectations_gate",
+    "q210_volume_shipping",
+    "q211_market_share",
     # never driver-checked (landed past round 10's filled window):
     "q193_containment_coverage",
     "q194_bm25_topk",
@@ -125,6 +143,14 @@ _DRIVER_PRIORITY = [
     "q36_wh_monthly_encounters",
     "q37_wh_procedure_volume",
     "q38_wh_diagnosis_by_age_group",
+    # ---- 50-slot window boundary ----
+    # Spark-only pair, parked at 51-52 until the driver's
+    # missing-oracle behavior is confirmed (see block comment):
+    "q171_compression_ratio",
+    "q172_incremental_compression_ratio",
+]
+_ROTATED_OUT = [
+    # r08-green remainder (first in line for the r12 window):
     "q01_pricing_summary",
     "q02_monthly_orders",
     "q03_top_customers_per_segment",
@@ -137,14 +163,6 @@ _DRIVER_PRIORITY = [
     "q10_urgent_customers_semi_join",
     "q11_no_urgent_anti_join",
     "q12_orders_per_customer",
-    # ---- 50-slot window boundary ----
-    # Spark-only pair, parked at 51-52 until the driver's
-    # missing-oracle behavior is confirmed (see block comment):
-    "q171_compression_ratio",
-    "q172_incremental_compression_ratio",
-]
-_ROTATED_OUT = [
-    # r08-green remainder (first in line for the r12 window):
     "q13_incremental_scan_events",
     "q14_dim_time_from_orders",
     "q15_json_extract_events",
@@ -299,10 +317,10 @@ _ROTATED_OUT = [
     "q98_ohlc_bars",
     "q99_weighted_exact_sample",
     "q100_dataset_card",
-    # R12 ROTATION NOTE: any round-11 additions registered past the
-    # filled window (q200+) should FRONT the r12 window, followed by
-    # the r08-green remainder (q13-q19, listed first above) and then
-    # the then-stalest green block (the r09-green rows become 3
+    # R12 ROTATION NOTE: any round-12 additions should FRONT the r12
+    # window, followed by the r08-green remainder (q01-q19, listed
+    # first above — their last driver rows are CORRECTNESS_r08) and
+    # then the then-stalest green block (the r09-green rows become 3
     # rounds stale at r12).
 ]
 _MIDDLE = sorted(set(_ALL_QUERIES) - set(_DRIVER_PRIORITY) - set(_ROTATED_OUT))
