@@ -721,3 +721,100 @@ def test_forget_ngram_equals_survivor_one_shot(
         else set()
     )
     assert read(store) == read(twin)
+
+
+# ---------------------------------------------------------------------------
+# r11: proximity scoring vs a pure-Python reference on ANY corpus, and
+# the expectations audit vs a Python recount on ANY dirty frame.
+# ---------------------------------------------------------------------------
+_prox_words = st.sampled_from(["a", "b", "c", "d"])
+_prox_docs = st.lists(
+    st.lists(_prox_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(
+    texts=_prox_docs,
+    qtext=st.lists(_prox_words, min_size=2, max_size=4).map(" ".join),
+    slop=st.integers(1, 4),
+)
+@SET
+def test_proximity_matches_python_reference(spark, texts, qtext, slop):
+    """proximity_topk's pair counts equal a brute-force Python count of
+    ordered in-window pairs for ANY small corpus/query/slop — pinning
+    the blocked self-join (floor(pos/slop) keying) against the
+    definition it optimizes."""
+    from efiche_data_pipeline_spark.operators.retrieval import proximity_topk
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    qf = spark.createDataFrame([(0, qtext)], "query_id long, query string")
+    got = {
+        r["doc_id"]: r["pair_hits"]
+        for r in proximity_topk(docs, qf, slop=slop, k=100).collect()
+    }
+    qtoks = qtext.split()
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        n = 0
+        for t1, t2 in zip(qtoks, qtoks[1:]):
+            for p1, w1 in enumerate(toks):
+                if w1 != t1:
+                    continue
+                for p2 in range(p1 + 1, min(p1 + slop, len(toks) - 1) + 1):
+                    if toks[p2] == t2:
+                        n += 1
+        if n:
+            want[i] = n
+    assert got == want
+
+
+_exp_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 9)),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        st.sampled_from(["F", "O", "X", "P"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_exp_rows)
+@SET
+def test_expectations_match_python_recount(spark, rows):
+    """Every rule kind's violation count equals a Python recount for
+    ANY frame with NULLs, duplicates, range breaks, and bad set
+    values."""
+    from efiche_data_pipeline_spark.operators.expectations import (
+        Rule,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(rows, "id long, price double, status string")
+    ref = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    out = {
+        r["rule_id"]: r["n_violations"]
+        for r in check_expectations(
+            df,
+            [
+                Rule("nn", "not_null", "id"),
+                Rule("uq", "unique", "id"),
+                Rule("rg", "range", "price", lo=-10.0, hi=10.0),
+                Rule("st", "in_set", "status", values=("F", "O")),
+                Rule("rf", "ref", "id", ref=ref, ref_col="k"),
+            ],
+        ).collect()
+    }
+    ids = [r[0] for r in rows]
+    nn_ids = [i for i in ids if i is not None]
+    prices = [r[1] for r in rows if r[1] is not None]
+    assert out["nn"] == sum(1 for i in ids if i is None)
+    assert out["uq"] == len(nn_ids) - len(set(nn_ids))
+    assert out["rg"] == sum(1 for p in prices if not (-10.0 <= p <= 10.0))
+    assert out["st"] == sum(1 for r in rows if r[2] not in ("F", "O"))
+    assert out["rf"] == sum(1 for i in nn_ids if i not in range(5))
