@@ -7929,6 +7929,104 @@ SELECT o_orderkey, broken_rules FROM tagged WHERE broken_rules <> ''
 """
 
 
+# ---------------------------------------------------------------------------
+# Q212 — incremental expectations audit rollup: the audit ledger the
+# q209 gate maintains, summed per rule across batches, EQUALS the
+# one-shot q208 audit over the union — the incremental ≡ global
+# differential for the expectations family. Holds for the
+# row-decidable kinds (row-local predicates and ref against the fixed
+# dimension) because their verdicts are per-row facts: counts are
+# associative sums over disjoint batches. Dataset-level kinds
+# (unique) are deliberately NOT in the streamed sheet — a per-batch
+# uniqueness count does NOT sum to the global one, which is exactly
+# why the gate refuses them as hard rules (the honest-scope rule).
+# ---------------------------------------------------------------------------
+def q212_incremental_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.expectations import Rule
+    from ..pipeline.store import Store
+    from ..streaming.expectations_stream import (
+        expectations_gate_fold,
+        read_expectations_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("key_not_null", "not_null", "o_orderkey"),
+        Rule("price_range", "range", "o_totalprice", lo=0.0, hi=300000.0),
+        Rule("status_set", "in_set", "o_orderstatus", values=("F", "O")),
+        Rule("priority_regex", "regex", "o_orderpriority", pattern="^[1-3]-"),
+        Rule("cust_ref", "ref", "o_custkey", ref=customer, ref_col="c_custkey"),
+    ]
+    hard = ("price_range", "status_set")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_expinc_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = expectations_gate_fold(
+            orders.filter(F.col("o_orderkey") <= split),
+            store, rules, hard, "o_orderkey",
+        )
+        n2 = expectations_gate_fold(
+            orders.filter(F.col("o_orderkey") > split),
+            store, rules, hard, "o_orderkey",
+        )
+        _require(n1 > 0 and n2 > 0, "both gate folds must process rows")
+        out = (
+            read_expectations_audit(store)
+            .groupBy("rule_id", "kind", "column")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("n_violations").cast("long").alias("n_violations"),
+            )
+            .withColumn("ok", F.col("n_violations") == 0)
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+# the oracle IS the one-shot audit over the whole table for the same
+# five row-decidable rules — incremental ≡ global, hash-exact
+ORACLES["q212_incremental_expectations"] = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+v AS (
+    SELECT 'key_not_null' AS rule_id, 'not_null' AS kind,
+           'o_orderkey' AS col,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'price_range', 'range', 'o_totalprice',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0))
+    UNION ALL
+    SELECT 'status_set', 'in_set', 'o_orderstatus',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F', 'O'))
+    UNION ALL
+    SELECT 'priority_regex', 'regex', 'o_orderpriority',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+    UNION ALL
+    SELECT 'cust_ref', 'ref', 'o_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+)
+SELECT rule_id, kind, col AS "column", n.n_rows, n_violations,
+       n_violations = 0 AS ok
+FROM v, n
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
