@@ -7991,6 +7991,87 @@ def q212_incremental_expectations(spark: SparkSession, sf_dir: str) -> DataFrame
         raise
 
 
+# ---------------------------------------------------------------------------
+# Q213 — expectations-estate forget: purge requested ids from the
+# gate's row sinks (pure keyed deletes, the q196/q202 degenerate
+# case), after which the quarantine sheet equals the classification
+# of the SURVIVORS. The audit ledger (aggregate counts only) and the
+# watermark (batch id spans) deliberately stay — erasure targets row
+# data, and the watermark is what guarantees a forgotten id cannot
+# silently re-enter (its range is behind the committed watermark).
+# ---------------------------------------------------------------------------
+def q213_expectations_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.expectations import Rule
+    from ..pipeline.store import Store
+    from ..streaming.expectations_stream import (
+        expectations_gate_fold,
+        forget_expectation_rows,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("price_range", "range", "o_totalprice", lo=0.0, hi=300000.0),
+        Rule("status_set", "in_set", "o_orderstatus", values=("F", "O")),
+        Rule("priority_regex", "regex", "o_orderpriority", pattern="^[1-3]-"),
+        Rule("cust_ref", "ref", "o_custkey", ref=customer, ref_col="c_custkey"),
+    ]
+    hard = ("cust_ref", "price_range", "priority_regex", "status_set")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    split = (int(lo) + int(hi)) // 2
+    tmp_root = tempfile.mkdtemp(prefix="efiche_expfgt_")
+    store = Store(spark, tmp_root)
+    try:
+        n1 = expectations_gate_fold(
+            orders.filter(F.col("o_orderkey") <= split),
+            store, rules, hard, "o_orderkey",
+        )
+        n2 = expectations_gate_fold(
+            orders.filter(F.col("o_orderkey") > split),
+            store, rules, hard, "o_orderkey",
+        )
+        _require(n1 > 0 and n2 > 0, "both gate folds must process rows")
+        forget_expectation_rows(
+            store,
+            orders.filter(F.col("o_orderkey") % 9 == 0).select("o_orderkey"),
+            "o_orderkey",
+        )
+        out = store.read("expectations_quarantine").select(
+            "o_orderkey", "broken_rules"
+        )
+        return _finish_with_store(out, tmp_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+ORACLES["q213_expectations_forget"] = """
+WITH tagged AS (
+    SELECT o_orderkey,
+           CONCAT_WS(',',
+               CASE WHEN o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                    THEN 'cust_ref' END,
+               CASE WHEN o_totalprice IS NOT NULL
+                     AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0)
+                    THEN 'price_range' END,
+               CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                    THEN 'priority_regex' END,
+               CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O')
+                    THEN 'status_set' END
+           ) AS broken_rules
+    FROM orders
+    WHERE o_orderkey % 9 <> 0
+)
+SELECT o_orderkey, broken_rules FROM tagged WHERE broken_rules <> ''
+"""
+
+
 # the oracle IS the one-shot audit over the whole table for the same
 # five row-decidable rules — incremental ≡ global, hash-exact
 ORACLES["q212_incremental_expectations"] = """

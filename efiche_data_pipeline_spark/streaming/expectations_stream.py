@@ -201,6 +201,32 @@ def expectations_gate_fold(
     return int(span["n"])
 
 
+def forget_expectation_rows(
+    store: Store,
+    ids: DataFrame,
+    id_col: str,
+    accepted_table: str = "expectations_accepted",
+    quarantine_table: str = "expectations_quarantine",
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the gate's ROW sinks: purge the ids
+    from the accepted and quarantine tables — pure keyed deletes,
+    blind-retry convergent, the q196/q202 degenerate case. Scope is
+    deliberate: the audit ledger holds only per-rule aggregate counts
+    (no row data — erasure does not reach it, and shrinking historical
+    batch counts would falsify the q212 rollup), and the watermark
+    table holds only batch id spans, which also guarantees a
+    forgotten id cannot silently re-enter: its id range is already
+    behind the committed watermark, so a re-intake is a skip or an
+    ordering error, never a fold."""
+    ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    out: dict[str, int] = {}
+    for table in (accepted_table, quarantine_table):
+        if store.exists(table):
+            store.delete_keys(table, ids, id_col)
+            out[table] = 0
+    return out
+
+
 def run_expectations_gate_stream(
     spark: SparkSession,
     source_dir: str,

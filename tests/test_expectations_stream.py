@@ -188,3 +188,40 @@ def test_gate_fold_refuses_null_and_duplicate_ids(spark, tmp_path):
     # neither guard committed anything
     assert not store.exists("expectations_accepted")
     assert not store.exists("expectations_watermark")
+
+
+def test_forget_expectation_rows(spark, tmp_path):
+    """r11 estate forget: purged ids vanish from BOTH row sinks, the
+    survivors' sheets are untouched, the blind retry is a no-op, and
+    the audit/watermark deliberately stay (aggregate counts + replay
+    spans, no row data)."""
+    from efiche_data_pipeline_spark.streaming.expectations_stream import (
+        forget_expectation_rows,
+    )
+
+    store = Store(spark, str(tmp_path / "store"))
+    b = spark.createDataFrame(_rows(0, 20), _SCHEMA)
+    expectations_gate_fold(b, store, _RULES, _HARD, "id")
+    gone = spark.createDataFrame([(0,), (3,), (5,)], "id long")
+    before_audit = read_expectations_audit(store).count()
+    forget_expectation_rows(store, gone, "id")
+    for t in ("expectations_accepted", "expectations_quarantine"):
+        assert store.read(t).filter("id in (0, 3, 5)").count() == 0, t
+    # survivors intact: 20 rows minus the 3 purged
+    assert store.count("expectations_accepted") + store.count(
+        "expectations_quarantine"
+    ) == 17
+    # audit + watermark untouched (documented scope)
+    assert read_expectations_audit(store).count() == before_audit
+    assert store.count("expectations_watermark") == 1
+    # blind retry: nothing changes
+    forget_expectation_rows(store, gone, "id")
+    assert store.count("expectations_accepted") + store.count(
+        "expectations_quarantine"
+    ) == 17
+    # a forgotten id cannot re-enter: its span is behind the watermark
+    with pytest.raises(ValueError, match="OUT OF ORDER|straddles"):
+        expectations_gate_fold(
+            spark.createDataFrame(_rows(0, 6), _SCHEMA),
+            store, _RULES, _HARD, "id",
+        )
