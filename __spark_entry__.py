@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. 211 of the 213 registered
+    """DuckDB-runnable ANSI SQL per query. 212 of the 214 registered
     queries have one; the two exceptions are q171_compression_ratio
     and q172_incremental_compression_ratio, whose zlib
     compression-ratio signal runs in an Arrow ``mapInPandas`` pass

@@ -29,7 +29,13 @@ Rule kinds and their evaluation shape:
   rows would a dedup remove" reading;
 - ``ref`` (referential integrity): non-null values without a match in
   the reference frame's key column — a broadcast left-anti join
-  against the (distinct, dimension-sized) key set.
+  against the (distinct, dimension-sized) key set;
+- dataset-level METRIC bounds — ``min_ge`` / ``max_le`` /
+  ``mean_between`` / ``row_count_between`` (the Deequ constraint
+  shapes): one audit row each with n_violations in {0, 1}; they fold
+  into the SAME single aggregate pass as the row-local rules, the
+  mean through the decimal money discipline, and a NULL metric fails
+  the bound (fail-closed).
 
 Scale shape: the row-local pass is one scan; each unique/ref rule
 adds one aggregate/join keyed on its own column. Nothing collects to
@@ -47,9 +53,11 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Rule:
     """One declarative expectation. ``kind`` ∈ {'not_null', 'range',
-    'regex', 'in_set', 'unique', 'ref'}; the payload fields used
-    depend on the kind (bounds for 'range', ``pattern`` for 'regex',
-    ``values`` for 'in_set', ``ref`` + ``ref_col`` for 'ref')."""
+    'regex', 'in_set', 'unique', 'ref', 'min_ge', 'max_le',
+    'mean_between', 'row_count_between'}; the payload fields used
+    depend on the kind (bounds for 'range'/metric kinds, ``pattern``
+    for 'regex', ``values`` for 'in_set', ``ref`` + ``ref_col`` for
+    'ref')."""
 
     rule_id: str
     kind: str
@@ -63,6 +71,16 @@ class Rule:
 
 
 _ROW_LOCAL = ("not_null", "range", "regex", "in_set")
+
+# dataset-level METRIC bounds (the Deequ constraint shapes): one audit
+# row each, n_violations ∈ {0, 1} — the DATASET breaks the bound or
+# not. All fold into the SAME single aggregate pass as the row-local
+# rules. min/max compare stored values (exact); the mean goes through
+# the decimal money discipline (exact sum, then one double division)
+# so both engines compare the identical number. A NULL metric (empty
+# or all-NULL column) FAILS the bound — fail-closed: an empty dataset
+# cannot certify anything.
+_DATASET_METRIC = ("min_ge", "max_le", "mean_between", "row_count_between")
 
 
 def _violation_expr(rule: Rule):
@@ -100,12 +118,24 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     out_frames: list[DataFrame] = []
 
     row_local = [r for r in rules if r.kind in _ROW_LOCAL]
-    if row_local:
+    metric = [r for r in rules if r.kind in _DATASET_METRIC]
+    if row_local or metric:
+        from ..functions.numeric import money_sum
+
         aggs = [F.count(F.lit(1)).alias("_n")]
         for r in row_local:
             aggs.append(
                 F.sum(_violation_expr(r).cast("long")).alias(r.rule_id)
             )
+        for r in metric:
+            if r.kind == "min_ge":
+                aggs.append(F.min(F.col(r.column)).alias(r.rule_id))
+            elif r.kind == "max_le":
+                aggs.append(F.max(F.col(r.column)).alias(r.rule_id))
+            elif r.kind == "mean_between":
+                aggs.append(money_sum(F.col(r.column)).alias(r.rule_id + "_s"))
+                aggs.append(F.count(F.col(r.column)).alias(r.rule_id + "_c"))
+            # row_count_between needs only _n
         row = df.agg(*aggs)
         per_rule = [
             row.select(
@@ -119,6 +149,29 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
             for r in row_local
         ]
+        for r in metric:
+            if r.kind == "min_ge":
+                ok_cond = F.col(r.rule_id) >= F.lit(r.lo)
+            elif r.kind == "max_le":
+                ok_cond = F.col(r.rule_id) <= F.lit(r.hi)
+            elif r.kind == "mean_between":
+                mean = F.col(r.rule_id + "_s") / F.col(r.rule_id + "_c")
+                ok_cond = mean.between(r.lo, r.hi)
+            else:  # row_count_between
+                ok_cond = F.col("_n").between(int(r.lo), int(r.hi))
+            per_rule.append(
+                row.select(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(r.kind).alias("kind"),
+                    F.lit(r.column).alias("column"),
+                    F.col("_n").cast("long").alias("n_rows"),
+                    # a NULL metric fails the bound (fail-closed)
+                    F.when(ok_cond, F.lit(0))
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    .alias("n_violations"),
+                )
+            )
         out_frames.append(reduce(lambda a, b: a.unionByName(b), per_rule))
 
     for r in rules:
@@ -169,7 +222,7 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     F.col("_v").cast("long").alias("n_violations"),
                 )
             )
-        elif r.kind not in _ROW_LOCAL:
+        elif r.kind not in _ROW_LOCAL and r.kind not in _DATASET_METRIC:
             raise ValueError(f"unknown rule kind {r.kind!r} ({r.rule_id})")
 
     audit = reduce(lambda a, b: a.unionByName(b), out_frames)

@@ -3122,6 +3122,66 @@ FROM v, n
 
 
 # ---------------------------------------------------------------------------
+# Q214 — dataset-level METRIC expectations (the Deequ constraint
+# shapes, r11 metric tier of operators/expectations.py): min/max/
+# mean/row-count bounds over the orders fact, audited as single rows
+# with 0/1 violations, ALL folded into the same one-aggregate pass as
+# the row-local kinds. The max bound is deliberately tight (400k vs a
+# ~500k true max) so the audit is exercised; the mean goes through
+# the decimal money discipline so both engines compare the identical
+# double.
+# ---------------------------------------------------------------------------
+def q214_order_metric_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import Rule, check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        Rule("price_min", "min_ge", "o_totalprice", lo=900.0),
+        Rule("price_max", "max_le", "o_totalprice", hi=400000.0),
+        Rule("price_mean", "mean_between", "o_totalprice",
+             lo=100000.0, hi=200000.0),
+        Rule("volume", "row_count_between", "o_orderkey",
+             lo=100.0, hi=1e9),
+        Rule("key_not_null", "not_null", "o_orderkey"),
+    ]
+    return check_expectations(orders, rules)
+
+
+ORACLES["q214_order_metric_expectations"] = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+v AS (
+    SELECT 'price_min' AS rule_id, 'min_ge' AS kind,
+           'o_totalprice' AS col,
+           CASE WHEN (SELECT MIN(o_totalprice) FROM orders) >= 900.0
+                THEN 0 ELSE 1 END AS n_violations
+    UNION ALL
+    SELECT 'price_max', 'max_le', 'o_totalprice',
+           CASE WHEN (SELECT MAX(o_totalprice) FROM orders) <= 400000.0
+                THEN 0 ELSE 1 END
+    UNION ALL
+    SELECT 'price_mean', 'mean_between', 'o_totalprice',
+           CASE WHEN (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                  AS DOUBLE) / COUNT(o_totalprice)
+                      FROM orders) BETWEEN 100000.0 AND 200000.0
+                THEN 0 ELSE 1 END
+    UNION ALL
+    SELECT 'volume', 'row_count_between', 'o_orderkey',
+           CASE WHEN (SELECT COUNT(*) FROM orders)
+                     BETWEEN 100 AND 1000000000
+                THEN 0 ELSE 1 END
+    UNION ALL
+    SELECT 'key_not_null', 'not_null', 'o_orderkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey IS NULL)
+)
+SELECT rule_id, kind, col AS "column", n.n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS ok
+FROM v, n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q210 — the TPC-H Q7 shape (volume shipping between two nations):
 # revenue flowing NATION_1 <-> NATION_2 by ship year, with customer
 # and supplier nations resolved through their dimensions and the

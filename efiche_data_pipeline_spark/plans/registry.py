@@ -8,7 +8,7 @@ compression ratio computed in an Arrow ``mapInPandas`` pass, which
 DuckDB cannot reproduce; they are instead pinned by a
 determinism pytest pair (tests/test_quality.py) that replays the
 same computation twice and cross-checks against Python's zlib on
-collected rows. Every other query (211 of 213) is differentially
+collected rows. Every other query (212 of 214) is differentially
 DuckDB-oracled. (MinHash-LSH and IVF search, the historical
 no-oracle pair, have had portable pinned-seed/pinned-centroid
 oracles since round 4.)
@@ -57,7 +57,7 @@ ORACLES: dict[str, str] = {
 # ROUND 11 rotation (executes the registry's own R11 ROTATION NOTE,
 # written in round 10, extended for this round's additions). Front of
 # the window, in order of need:
-#   1. q200-q213 — the ROUND-11 additions (proximity estate, BM25 MRR
+#   1. q200-q214 — the ROUND-11 additions (proximity estate, BM25 MRR
 #      eval, TPC-H Q2/Q11/Q15/Q20/Q7/Q8 shapes, the expectations
 #      engine + gate + incremental rollup + estate forget), never
 #      driver-checked;
@@ -68,8 +68,8 @@ ORACLES: dict[str, str] = {
 #      TPC-H Q21/Q22 decorrelation shapes), so they have never had a
 #      driver row;
 #   3. the r08-green block, now 3 rounds stale (last driver-green in
-#      CORRECTNESS_r08.json): q151-q169, q101-q109, q36 fill the
-#      50-slot window exactly (q37-q38 and q01-q19, the r08
+#      CORRECTNESS_r08.json): q151-q169 and q101-q109 fill the
+#      50-slot window exactly (q36-q38 and q01-q19, the r08
 #      remainder, sit just past it, first in line for r12 behind any
 #      r12 additions).
 # DELIBERATELY KEPT AT POSITIONS 51-52, just past the window:
@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     "q211_market_share",
     "q212_incremental_expectations",
     "q213_expectations_forget",
+    "q214_order_metric_expectations",
     # never driver-checked (landed past round 10's filled window):
     "q193_containment_coverage",
     "q194_bm25_topk",
@@ -145,7 +146,6 @@ _DRIVER_PRIORITY = [
     "q107_orders_drift",
     "q108_incremental_binary_dedup",
     "q109_incremental_components",
-    "q36_wh_monthly_encounters",
     # ---- 50-slot window boundary ----
     # Spark-only pair, parked at 51-52 until the driver's
     # missing-oracle behavior is confirmed (see block comment):
@@ -154,6 +154,7 @@ _DRIVER_PRIORITY = [
 ]
 _ROTATED_OUT = [
     # r08-green remainder (first in line for the r12 window):
+    "q36_wh_monthly_encounters",
     "q37_wh_procedure_volume",
     "q38_wh_diagnosis_by_age_group",
     "q01_pricing_summary",

@@ -75,11 +75,14 @@ def _validate_hard(rules: list[Rule], hard_rule_ids: tuple[str, ...]) -> list[Ru
     if missing:
         raise ValueError(f"hard_rule_ids not in the sheet: {missing}")
     hard = [by_id[h] for h in hard_rule_ids]
-    not_routable = [r.rule_id for r in hard if r.kind == "unique"]
+    not_routable = [
+        r.rule_id for r in hard if r.kind not in (*_ROW_LOCAL, "ref")
+    ]
     if not_routable:
         raise ValueError(
-            "dataset-level kinds cannot be hard (batch-local uniqueness "
-            f"is not the global verdict): {not_routable}"
+            "only row-decidable kinds can be hard (a batch-local "
+            "uniqueness or metric verdict is not the global one, and "
+            f"metrics are not per-row at all): {not_routable}"
         )
     return hard
 

@@ -110,3 +110,50 @@ def test_row_local_rules_share_one_aggregate(spark):
     assert "Join" not in plan
     rows = {r["rule_id"]: r["n_violations"] for r in out.collect()}
     assert rows == {"a": 1, "b": 2, "c": 1}
+
+
+def test_dataset_metric_bounds(spark):
+    """r11 metric tier: min/max/mean/row-count bounds audit as single
+    rows with 0/1 violations; all fold into the one aggregate pass
+    (no join); a NULL metric (all-NULL column) fails closed."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    out = check_expectations(
+        df,
+        [
+            Rule("vmin", "min_ge", "v", lo=5.0),
+            Rule("vmax", "max_le", "v", hi=25.0),
+            Rule("vmean", "mean_between", "v", lo=15.0, hi=25.0),
+            Rule("nrows", "row_count_between", "id", lo=1, hi=10),
+            Rule("vnn", "not_null", "v"),
+        ],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # metric + row-local share the one pass
+    got = {r["rule_id"]: r["n_violations"] for r in out.collect()}
+    # min 10 >= 5 ok; max 30 > 25 broken; mean 20 in [15,25] ok;
+    # 3 rows in [1,10] ok
+    assert got == {"vmin": 0, "vmax": 1, "vmean": 0, "nrows": 0, "vnn": 0}
+    # fail-closed on a NULL metric
+    empty = spark.createDataFrame([(1, None)], "id long, v double")
+    got2 = {
+        r["rule_id"]: r["n_violations"]
+        for r in check_expectations(
+            empty, [Rule("m", "mean_between", "v", lo=0.0, hi=1.0)]
+        ).collect()
+    }
+    assert got2 == {"m": 1}
+
+
+def test_metric_rules_refused_as_hard(spark, tmp_path):
+    from efiche_data_pipeline_spark.pipeline.store import Store
+    from efiche_data_pipeline_spark.streaming.expectations_stream import (
+        expectations_gate_fold,
+    )
+
+    store = Store(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    rules = [Rule("m", "mean_between", "v", lo=0.0, hi=1.0)]
+    with pytest.raises(ValueError, match="row-decidable"):
+        expectations_gate_fold(df, store, rules, ("m",), "id")

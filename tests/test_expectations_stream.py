@@ -169,7 +169,7 @@ def test_gate_refuses_bad_hard_rules(spark, tmp_path):
     b = spark.createDataFrame(_rows(0, 5), _SCHEMA)
     with pytest.raises(ValueError, match="not in the sheet"):
         expectations_gate_fold(b, store, _RULES, ("nope",), "id")
-    with pytest.raises(ValueError, match="cannot be hard"):
+    with pytest.raises(ValueError, match="row-decidable"):
         expectations_gate_fold(b, store, _RULES, ("id_unique",), "id")
 
 
