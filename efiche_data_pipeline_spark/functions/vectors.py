@@ -34,3 +34,21 @@ def norm(a: str | Column) -> Column:
 
 def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pre(
+    a: str | Column, b: str | Column, na: str | Column, nb: str | Column
+) -> Column:
+    """Cosine from PRE-COMPUTED norms: ``dot(a, b) / (na * nb)``.
+
+    Bit-identical to :func:`cosine` when ``na``/``nb`` carry
+    ``norm(a)``/``norm(b)`` computed on the same rows — double
+    arithmetic is deterministic, so hoisting the norm out of the pair
+    expression changes nothing about the value. The point is cost: in
+    a candidate-pair fan-out (cell self-joins, query × candidate
+    scoring) :func:`cosine` re-runs BOTH norm aggregates per pair;
+    attaching the norm per vector row before the join makes the
+    per-pair work a single dot product."""
+    na_c = F.col(na) if isinstance(na, str) else na
+    nb_c = F.col(nb) if isinstance(nb, str) else nb
+    return dot(a, b) / (na_c * nb_c)

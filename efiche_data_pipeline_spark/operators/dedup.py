@@ -1059,10 +1059,16 @@ def incremental_novelty(
                 .collect()
             ]
             hist_src = hist_src.filter(F.col("ghp").isin(prefixes))
+        # Pin the (O(batch-distinct-shingles)-row) history cut ONCE:
+        # it feeds BOTH the improved-minima delta (the index write job)
+        # and the scoring join (the scores job) — without the pin each
+        # job re-ran the full index scan + semi-join + min-merge for
+        # itself, doubling the per-fold index I/O.
         hist = (
             hist_src.join(F.broadcast(batch_min.select("gh")), "gh", "left_semi")
             .groupBy("gh")
             .agg(F.min("first_doc").alias("first_doc"))
+            .localCheckpoint(eager=True)
         )
         # the delta only needs rows that IMPROVE or ADD a minimum;
         # folding the full batch_min would also be correct (min-merge),
@@ -1189,33 +1195,37 @@ def _gram_positions(
     positional inverted index both span operators share. Docs with
     fewer than ``k`` tokens emit ONE sentinel row (pos = -1, h NULL)
     so the incremental fold can watermark them; gram consumers filter
-    ``pos >= 0``."""
-    from pyspark.sql import Window as W
+    ``pos >= 0``.
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    Grams are assembled IN-ROW from the token array (``transform``
+    over the valid start positions + ``slice``/``array_join``), so the
+    whole computation lives in the scan stage: zero exchanges, zero
+    sorts. The previous posexplode + window-``lead`` form paid a full
+    shuffle + sort by ``_id`` per call — and this subtree appears
+    twice in the one-shot report plan — for values that are a pure
+    function of the row's own tokens."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
+    ).withColumn("n_toks", F.size("_toks").cast("long"))
+    grams = F.transform(
+        F.sequence(F.lit(0), (F.col("n_toks") - k).cast("int")),
+        lambda p: F.struct(
+            p.cast("int").alias("pos"),
+            portable_hash60(
+                F.array_join(F.slice(F.col("_toks"), p + F.lit(1), k), " ")
+            ).alias("h"),
+        ),
     )
-    by_doc = W.partitionBy("_id")
-    wd = by_doc.orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", j).over(wd) for j in range(1, k)]
-    )
-    counted = toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
     real = (
-        counted.withColumn("gram", gram)
-        .filter(F.col("pos") <= F.col("n_toks") - k)
-        .select("_id", "pos", "n_toks", portable_hash60("gram").alias("h"))
+        base.filter(F.col("n_toks") >= k)
+        .select("_id", "n_toks", F.explode(grams).alias("g"))
+        .select("_id", F.col("g.pos").alias("pos"), "n_toks", F.col("g.h").alias("h"))
     )
-    short = (
-        counted.filter(F.col("n_toks") < k)
-        .groupBy("_id")
-        .agg(F.max("n_toks").alias("n_toks"))
-        .select(
-            "_id",
-            F.lit(-1).alias("pos"),
-            "n_toks",
-            F.lit(None).cast("long").alias("h"),
-        )
+    short = base.filter(F.col("n_toks") < k).select(
+        "_id",
+        F.lit(-1).alias("pos"),
+        "n_toks",
+        F.lit(None).cast("long").alias("h"),
     )
     return real.unionByName(short)
 
@@ -1567,9 +1577,17 @@ def incremental_duplicated_spans(
         apos = _affected_positions(
             store, byid, ib, affected, n_affected, pos_cols
         ).unionByName(bgrams)
-        ag = apos.select("h").distinct()
         hist_dup = hist
         if buckets and n_affected <= 16 * ib:
+            # ag (the affected grams' distinct hashes) is evaluated
+            # ONLY to derive the directory-prune prefixes on trickle
+            # folds; the dup count below no longer semi-joins on it —
+            # the final report semi-joins apos against dup anyway, so
+            # restricting the count's input to ag changes nothing
+            # (apos's grams ⊆ ag by definition) while re-evaluating
+            # the whole apos subtree a second time inside the same
+            # job. Saturating folds skip ag entirely.
+            ag = apos.select("h").distinct()
             gprefixes = [
                 int(r["p"])
                 for r in ag.select(hp_of(F.col("h")).alias("p"))
@@ -1586,11 +1604,9 @@ def incremental_duplicated_spans(
         dup_view = hist_dup.unionByName(bgrams)
     else:
         apos = bgrams
-        ag = apos.select("h").distinct()
         dup_view = bgrams
     dup = (
-        dup_view.join(ag, "h", "left_semi")
-        .groupBy("h")
+        dup_view.groupBy("h")
         .agg(F.countDistinct("_id").alias("d"))
         .filter(F.col("d") >= min_docs)
         .select("h")

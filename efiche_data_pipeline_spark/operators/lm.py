@@ -66,13 +66,29 @@ LM_LAMBDA = 0.8  # bigram interpolation weight (oracle SQL mirrors it)
 
 def _lag_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, pos, w2, w1) — one row per token position, ``w1`` the
-    previous token (NULL at position 0). One exchange on the id."""
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokens(text_col)).alias("pos", "w2"),
+    previous token (NULL at position 0).
+
+    ZERO exchanges: the (pos, w2, w1) triples are assembled in-row
+    from the token array (``transform`` over the index range; ``get``
+    returns NULL below index 0, which is exactly the position-0 w1).
+    The previous posexplode + window-``lag`` form paid a full shuffle
+    + sort by ``_id`` — and robbed every downstream aggregate of
+    map-side partial aggregation, because the token stream crossed
+    the exchange row-by-row BEFORE any grouping could collapse it."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
     )
-    win = W.partitionBy("_id").orderBy("pos")
-    return toks.withColumn("w1", F.lag("w2").over(win))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - 1),
+        lambda p: F.struct(
+            p.cast("int").alias("pos"),
+            F.get("_toks", p).alias("w2"),
+            F.get("_toks", p - 1).alias("w1"),
+        ),
+    )
+    return base.select("_id", F.explode(grams).alias("g")).select(
+        "_id", "g.pos", "g.w2", "g.w1"
+    )
 
 
 def lm_count_delta(

@@ -26,7 +26,7 @@ cousins are q32/q67/q88, the model-based one is operators/lm.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -42,79 +42,105 @@ def repetition_report(
     (id, n_tokens, top_2gram, top_2gram_count, top_2gram_frac,
     dup_3gram_frac, repetitive).
 
-    Scale shape: one posexplode + one per-doc window for gram
-    assembly (the q144 lead-chain), then two id-keyed aggregates and
-    one row_number window — all exchanges hash-partitioned by
-    ``id_col``; no global exchange."""
-    base = docs.select(id_col, text_col)
-    toks = base.select(
-        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    by_doc = Window.partitionBy(id_col)
-    wd = by_doc.orderBy("pos")
-    grams = (
-        toks.withColumn("n_toks", F.count(F.lit(1)).over(by_doc))
-        .withColumn("t1", F.lead("tok", 1).over(wd))
-        .withColumn("t2", F.lead("tok", 2).over(wd))
-    )
-    g2 = grams.filter(F.col("pos") <= F.col("n_toks") - 2).select(
-        id_col, "n_toks", F.concat_ws(" ", "tok", "t1").alias("g")
-    )
-    g3 = grams.filter(F.col("pos") <= F.col("n_toks") - 3).select(
-        id_col, "n_toks", F.concat_ws(" ", "tok", "t1", "t2").alias("g")
-    )
-    top2 = (
-        g2.groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("n_toks").alias("n_toks"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                by_doc.orderBy(F.col("cnt").desc(), F.col("g").asc())
+    Scale shape: ZERO exchanges — the metrics are pure per-document
+    functions, so they are computed entirely in-row: gram arrays
+    assembled from the token array (``transform``), ``array_sort``ed,
+    and folded with an ``aggregate`` run-length pass (the mode of a
+    sorted array is its longest run; ties resolve to the FIRST run in
+    sorted order, which is exactly the old "cnt desc, g asc"
+    tie-break). The previous form shuffled the exploded gram stream
+    into two id-keyed aggregates plus a row_number window; a per-row
+    answer never needs an exchange at all."""
+
+    def _gram_arr(k: int):
+        return F.when(
+            F.col("n_toks") >= k,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("n_toks") - k).cast("int")),
+                    lambda p: F.concat_ws(
+                        " ", *[F.get("_toks", p + i) for i in range(k)]
+                    ),
+                )
             ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _runs(arr, finish):
+        """Fold a SORTED gram array with run-length state
+        (prev, run, best_g, best_cnt, dup): ``best`` is the longest
+        run seen (strictly-greater update = first-in-sorted-order on
+        ties), ``dup`` the sum of lengths of completed runs > 1."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(None).cast("string").alias("best_g"),
+            F.lit(0).cast("long").alias("best_cnt"),
+            F.lit(0).cast("long").alias("dup"),
         )
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            F.col("g").alias("top_2gram"),
-            F.col("cnt").cast("long").alias("top_2gram_count"),
-            F.round(
-                F.least(
-                    F.lit(1.0), F.lit(2.0) * F.col("cnt") / F.col("n_toks")
-                ),
-                4,
-            ).alias("top_2gram_frac"),
-        )
+
+        def step(acc, x):
+            same = acc.prev.isNotNull() & (x == acc.prev)
+            newrun = F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long"))
+            closed_dup = acc.dup + F.when(
+                ~same & (acc.run > 1), acc.run
+            ).otherwise(F.lit(0).cast("long"))
+            better = newrun > acc.best_cnt
+            return F.struct(
+                x.alias("prev"),
+                newrun.alias("run"),
+                F.when(better, x).otherwise(acc.best_g).alias("best_g"),
+                F.when(better, newrun).otherwise(acc.best_cnt).alias("best_cnt"),
+                closed_dup.alias("dup"),
+            )
+
+        return F.aggregate(arr, init, step, finish)
+
+    top2 = _runs(
+        F.col("_g2"),
+        lambda acc: F.struct(
+            acc.best_g.alias("g"), acc.best_cnt.alias("cnt")
+        ),
     )
-    dup3 = (
-        g3.groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("n_toks").alias("n_toks"))
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-                .cast("double")
-                / (F.max("n_toks") - 2),
-                4,
-            ).alias("dup_3gram_frac")
-        )
+    dup3 = _runs(
+        F.col("_g3"),
+        lambda acc: acc.dup
+        + F.when(acc.run > 1, acc.run).otherwise(F.lit(0).cast("long")),
     )
     return (
-        base.select(
-            id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
-        )
-        .join(top2, id_col, "left")
-        .join(dup3, id_col, "left")
+        docs.select(id_col, tokens(text_col).alias("_toks"))
+        .withColumn("n_toks", F.size("_toks").cast("long"))
+        .withColumn("_g2", _gram_arr(2))
+        .withColumn("_g3", _gram_arr(3))
+        .withColumn("_t2", top2)
+        .withColumn("_d3", dup3)
         .select(
             id_col,
-            "n_tokens",
-            "top_2gram",
-            F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
-            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
-            F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac"),
-            (
-                (F.coalesce("top_2gram_frac", F.lit(0.0)) > REP_TOP2_MAX)
-                | (F.coalesce("dup_3gram_frac", F.lit(0.0)) > REP_DUP3_MAX)
-            ).alias("repetitive"),
+            F.col("n_toks").alias("n_tokens"),
+            F.col("_t2.g").alias("top_2gram"),
+            F.col("_t2.cnt").alias("top_2gram_count"),
+            F.coalesce(
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.lit(2.0) * F.col("_t2.cnt") / F.col("n_toks"),
+                    ),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("top_2gram_frac"),
+            F.when(
+                F.col("n_toks") >= 3,
+                F.round(
+                    F.col("_d3").cast("double") / (F.col("n_toks") - 2), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_3gram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_2gram_frac") > REP_TOP2_MAX)
+            | (F.col("dup_3gram_frac") > REP_DUP3_MAX),
         )
     )
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, cosine_pre, dot, norm
 
 
 def brute_force_topk(
@@ -43,19 +43,21 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, sim, rank); sim rounded to 4
     decimals, ties broken by neighbor id (deterministic cutoff).
     """
+    # Norms hoisted out of the query × corpus fan-out (cosine_pre):
+    # bit-identical sims, one dot product per pair.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_n", norm("q_vec"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_n", norm("c_vec"))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 4).alias("sim"),
+            F.round(cosine_pre("q_vec", "c_vec", "q_n", "c_n"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -94,8 +96,10 @@ def assign_cells(
         ).alias("c")
     ).agg(F.collect_list("c").alias("_cents"))
     # Per-row candidate list, sorted by (sim desc, cell_id asc) via the
-    # natural ascending struct order on (-sim, cell_id).
-    vnorm = norm(vec_col)
+    # natural ascending struct order on (-sim, cell_id). The row's own
+    # norm is hoisted to a column so it is aggregated ONCE per vector,
+    # not once per centroid inside the transform lambda (k× less norm
+    # arithmetic per row; bit-identical values).
     ranked = F.slice(
         F.array_sort(
             F.transform(
@@ -103,7 +107,7 @@ def assign_cells(
                 lambda c: F.struct(
                     (
                         -dot(F.col(vec_col), c.getField("cent_vec"))
-                        / (vnorm * c.getField("cent_norm"))
+                        / (F.col("_vnorm") * c.getField("cent_norm"))
                     ).alias("neg_sim"),
                     c.getField("cell_id").alias("cell_id"),
                 ),
@@ -112,9 +116,12 @@ def assign_cells(
         1,
         nprobe,
     )
-    return corpus.join(F.broadcast(cents)).select(
-        F.col(id_col), F.col(vec_col), F.explode(ranked).alias("_top")
-    ).select(id_col, vec_col, F.col("_top.cell_id").alias("cell_id"))
+    return (
+        corpus.withColumn("_vnorm", norm(vec_col))
+        .join(F.broadcast(cents))
+        .select(F.col(id_col), F.col(vec_col), F.explode(ranked).alias("_top"))
+        .select(id_col, vec_col, F.col("_top.cell_id").alias("cell_id"))
+    )
 
 
 def train_centroids(
@@ -193,29 +200,46 @@ def cosine_neardup_pairs(
     multi-probing recovers pairs that straddle a Voronoi boundary.
     Recall vs the exact baseline is asserted in
     tests/test_similarity.py."""
+    # Norms attach per vector BEFORE the pair fan-out (cosine_pre):
+    # per-pair work is one dot product instead of dot + two norm
+    # re-aggregations — bit-identical values, ~3x less pair arithmetic.
     if centroids is None:
-        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        ).withColumn("na", norm("va"))
+        b = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        ).withColumn("nb", norm("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=nprobe)
         a = cells.select(
             "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-        )
+        ).withColumn("na", norm("va"))
         b = cells.select(
             "cell_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-        )
+        ).withColumn("nb", norm("vb"))
         # multi-probe assigns a vector to several cells; the same pair
-        # can meet in more than one — dedup before scoring so cosine is
-        # computed once per pair.
-        pairs = (
-            a.join(b, "cell_id")
-            .filter(F.col("id_a") < F.col("id_b"))
+        # can meet in more than one — score in-task where the vectors
+        # already sit, THEN dedup on the narrow (id_a, id_b, sim) rows.
+        # sim is a pure function of the pair, so duplicates are
+        # byte-identical and dedup-after ≡ dedup-before; the exchange
+        # carries 24-byte rows instead of two embedding vectors.
+        pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("sim")
+            "id_a",
+            "id_b",
+            F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -239,23 +263,27 @@ def ivf_topk(
     tests/test_similarity.py.
     """
     cells = assign_cells(corpus, centroids, id_col, vec_col)
-    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        "cell_id",
+    q_cells = (
+        assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cell_id",
+        )
+        .withColumn("q_n", norm("q_vec"))
     )
     c_cells = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         "cell_id",
-    )
+    ).withColumn("c_n", norm("c_vec"))
     sims = (
         c_cells.join(F.broadcast(q_cells), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 4).alias("sim"),
+            F.round(cosine_pre("q_vec", "c_vec", "q_n", "c_n"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -367,12 +395,14 @@ def ivf_index_query(
     The probed-cell list is O(queries · nprobe) ids — the only
     driver-side materialization."""
     cents = store.read_version(centroid_table)
-    q_cells = assign_cells(
-        queries, cents, id_col, vec_col, nprobe=nprobe
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        "cell_id",
+    q_cells = (
+        assign_cells(queries, cents, id_col, vec_col, nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cell_id",
+        )
+        .withColumn("q_n", norm("q_vec"))
     )
     probed = sorted(
         {r["cell_id"] for r in q_cells.select("cell_id").distinct().collect()}
@@ -384,12 +414,13 @@ def ivf_index_query(
             F.col(vec_col).alias("c_vec"),
             "cell_id",
         )
+        .withColumn("c_n", norm("c_vec"))
         .join(F.broadcast(q_cells), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 4).alias("sim"),
+            F.round(cosine_pre("q_vec", "c_vec", "q_n", "c_n"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -444,17 +475,23 @@ def quantized_ivf_topk(
     ).otherwise(F.transform(vec_col, lambda x: F.lit(0.0)))
     cand = with_scale.select(
         F.col(id_col).alias("neighbor_id"), deq.alias("_deq"), "cell_id"
-    )
-    q_cells = assign_cells(
-        queries.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-        ),
-        centroids,
-        id_col,
-        vec_col,
-        nprobe=nprobe,
-    ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
+    ).withColumn("_dn", norm("_deq"))
+    q_cells = (
+        assign_cells(
+            queries.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            centroids,
+            id_col,
+            vec_col,
+            nprobe=nprobe,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cell_id",
+        )
+        .withColumn("q_n", norm("q_vec"))
     )
     sims = (
         cand.join(F.broadcast(q_cells), "cell_id")
@@ -462,7 +499,7 @@ def quantized_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "_deq"), 4).alias("sim"),
+            F.round(cosine_pre("q_vec", "_deq", "q_n", "_dn"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -504,18 +541,18 @@ def binary_topk(
         F.transform(
             F.col(vec_col).cast("array<double>"), lambda x: F.signum(x)
         ).alias("_sgn"),
-    )
+    ).withColumn("_sn", norm("_sgn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_n", norm("q_vec"))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "_sgn"), 4).alias("sim"),
+            F.round(cosine_pre("q_vec", "_sgn", "q_n", "_sn"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -655,18 +692,18 @@ def pq_topk(
     )
     cand = c.select(
         "neighbor_id", _pq_reconstruction(entries, m, "_v").alias("_rv")
-    )
+    ).withColumn("_rn", norm("_rv"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_n", norm("q_vec"))
     sims = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "_rv"), 4).alias("sim"),
+            F.round(cosine_pre("q_vec", "_rv", "q_n", "_rn"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -721,26 +758,36 @@ def ivf_pq_topk(
         _pq_reconstruction(entries, m, vec_col).alias("_rv"),
         "cell_id",
     )
-    q_cells = assign_cells(
-        queries.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-        ),
-        centroids,
-        id_col,
-        vec_col,
-        nprobe=nprobe,
-    ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
+    q_cells = (
+        assign_cells(
+            queries.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            centroids,
+            id_col,
+            vec_col,
+            nprobe=nprobe,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cell_id",
+        )
+        .withColumn("q_n", norm("q_vec"))
     )
     pq_sims = (
-        cand.join(F.broadcast(q_cells), "cell_id")
+        cand.withColumn("_rn", norm("_rv"))
+        .withColumn("_vn", norm("_v"))
+        .join(F.broadcast(q_cells), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             "_v",
+            "_vn",
             "q_vec",
-            F.round(cosine("q_vec", "_rv"), 4).alias("_pq_sim"),
+            "q_n",
+            F.round(cosine_pre("q_vec", "_rv", "q_n", "_rn"), 4).alias("_pq_sim"),
         )
     )
     ws = W.partitionBy("query_id").orderBy(
@@ -752,7 +799,7 @@ def ivf_pq_topk(
     rerank = short.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine("q_vec", "_v"), 4).alias("sim"),
+        F.round(cosine_pre("q_vec", "_v", "q_n", "_vn"), 4).alias("sim"),
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -901,16 +948,22 @@ def ivf_pq_index_query(
             for c in range(K)
         ]
     )
-    q_cells = assign_cells(
-        queries.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-        ),
-        cents,
-        id_col,
-        vec_col,
-        nprobe=nprobe,
-    ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
+    q_cells = (
+        assign_cells(
+            queries.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            cents,
+            id_col,
+            vec_col,
+            nprobe=nprobe,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cell_id",
+        )
+        .withColumn("q_n", norm("q_vec"))
     )
     probed = sorted(
         {r["cell_id"] for r in q_cells.select("cell_id").distinct().collect()}
@@ -926,13 +979,15 @@ def ivf_pq_index_query(
         cells.select(
             F.col(id_col).alias("neighbor_id"), recon.alias("_rv"), "cell_id"
         )
+        .withColumn("_rn", norm("_rv"))
         .join(F.broadcast(q_cells), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             "q_vec",
-            F.round(cosine("q_vec", "_rv"), 4).alias("_pq_sim"),
+            "q_n",
+            F.round(cosine_pre("q_vec", "_rv", "q_n", "_rn"), 4).alias("_pq_sim"),
         )
     )
     ws = W.partitionBy("query_id").orderBy(F.desc("_pq_sim"), F.asc("neighbor_id"))
@@ -942,11 +997,11 @@ def ivf_pq_index_query(
     full = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).withColumn("_vn", norm("_v"))
     rerank = full.join(F.broadcast(short), "neighbor_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine("q_vec", "_v"), 4).alias("sim"),
+        F.round(cosine_pre("q_vec", "_v", "q_n", "_vn"), 4).alias("sim"),
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1065,13 +1120,20 @@ def incremental_embedding_dedup(
         )
     home = assign_cells(fresh, cents, id_col, vec_col, nprobe=1)
     probe = assign_cells(fresh, cents, id_col, vec_col, nprobe=nprobe)
+    # Norms are attached per VECTOR before any pair fan-out
+    # (cosine_pre): the per-pair work drops to one dot product, and the
+    # b-side norm is computed once and shipped inside the broadcast.
     b_side = probe.select(
         "cell_id", F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", norm("_vb"))
+    within = (
+        home.select(
+            "cell_id", F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va")
+        )
+        .withColumn("_na", norm("_va"))
+        .join(b_side, "cell_id")
     )
-    within = home.select(
-        "cell_id", F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va")
-    ).join(b_side, "cell_id")
-    cand = within.select("_id_a", "_va", "_id_b", "_vb").withColumn(
+    cand = within.select("_id_a", "_va", "_na", "_id_b", "_vb", "_nb").withColumn(
         "_h", F.lit(0)
     )
     if have_index:
@@ -1084,18 +1146,20 @@ def incremental_embedding_dedup(
         hist = store.read(index_table).filter(F.col("cell_id").isin(probed))
         cross = hist.select(
             "cell_id", F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va")
-        ).join(F.broadcast(b_side), "cell_id")
+        ).withColumn("_na", norm("_va")).join(F.broadcast(b_side), "cell_id")
         cand = cand.unionByName(
-            cross.select("_id_a", "_va", "_id_b", "_vb").withColumn(
+            cross.select("_id_a", "_va", "_na", "_id_b", "_vb", "_nb").withColumn(
                 "_h", F.lit(1)
             )
         )
     dropped = (
         cand.filter(F.col("_id_a") < F.col("_id_b"))
-        # multi-probe can pair the same (a, b) in several cells — score
-        # each pair once
-        .dropDuplicates(["_id_a", "_id_b", "_h"])
-        .filter(F.round(cosine("_va", "_vb"), 4) >= tau)
+        # Score in-task where the vectors already sit; the groupBy max
+        # below collapses multi-probe duplicate pairs by itself, so the
+        # former dropDuplicates exchange — which shuffled BOTH embedding
+        # vectors per candidate row just to dedup — is redundant: after
+        # the filter only (_id_b, _h) ever crosses an exchange.
+        .filter(F.round(cosine_pre("_va", "_vb", "_na", "_nb"), 4) >= tau)
         .groupBy(F.col("_id_b").alias(id_col))
         .agg(F.max("_h").alias("_h"))
         .localCheckpoint(eager=True)
@@ -1536,12 +1600,23 @@ def semantic_decontamination(
     cell-blocking instead (incremental_embedding_dedup's shape) at the
     cost of approximate recall; this operator keeps the exact
     semantics the oracle can replay."""
-    b = F.broadcast(bench.select(F.col(vec_col).alias("_bv")))
+    # Norms hoisted out of the fan-out: the benchmark norm is computed
+    # once per bench vector INSIDE the broadcast, the corpus norm once
+    # per corpus row — each of the |corpus|×|bench| pairs then costs a
+    # single dot product (bit-identical values, see cosine_pre).
+    b = F.broadcast(
+        bench.select(F.col(vec_col).alias("_bv")).withColumn("_bn", norm("_bv"))
+    )
     sims = (
         corpus.select(id_col, vec_col)
+        .withColumn("_cn", norm(vec_col))
         .crossJoin(b)
         .groupBy(id_col)
-        .agg(F.max(F.round(cosine(vec_col, "_bv"), 4)).alias("_m"))
+        .agg(
+            F.max(F.round(cosine_pre(vec_col, "_bv", "_cn", "_bn"), 4)).alias(
+                "_m"
+            )
+        )
     )
     return (
         corpus.select(id_col)

@@ -55,6 +55,27 @@ def get_spark(
         # rather than failing, which is why the code hints broadcast
         # only for provably bounded dims.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE sort-merge→shuffled-hash rewrite when EVERY post-shuffle
+        # partition's build side fits locally (runtime sizes, not
+        # planner estimates, so it can never pick a build side that
+        # doesn't fit): skips the sort on the many small keyed joins
+        # the incremental folds run. Interleaved A/B at sf0.1
+        # (OPTIMIZATION_r12.md): q103 -13%, q121 -7%, no regressions.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
+        # v2 file-output commit (task commit renames directly into the
+        # destination instead of a second job-commit rename pass). v2's
+        # caveat — a failed job can leave task-committed files visible —
+        # is already this store's documented crash model: every crash
+        # matrix assumes PARTIALLY VISIBLE appends (keyed/anti-join
+        # commits replay the missing suffix; position projections are
+        # multisets with duplicate-robust readers), and versioned
+        # commits are guarded by their own marker/claim files. The
+        # job-commit rename layer is therefore pure overhead on the
+        # ~25-file writes each incremental fold commits.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Arrow batches for the pandas_udf / toPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The oracle (DuckDB) is timezone-naive; pin UTC so timestamp
