@@ -112,6 +112,23 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         if r.rule_id in seen:
             raise ValueError(f"duplicate rule_id {r.rule_id!r}")
         seen.add(r.rule_id)
+    # The single-pass aggregate aliases '_n' and, for mean_between
+    # rules, '<rule_id>_s'/'<rule_id>_c' companions — a rule_id that
+    # collides with any of those would produce duplicate/ambiguous
+    # aggregate columns and surface as a confusing AnalysisException
+    # mid-plan; refuse it up front instead (ADVICE r11).
+    reserved = {"_n"}
+    for r in rules:
+        if r.kind == "mean_between":
+            reserved.add(r.rule_id + "_s")
+            reserved.add(r.rule_id + "_c")
+    bad = sorted(r.rule_id for r in rules if r.rule_id in reserved)
+    if bad:
+        raise ValueError(
+            f"rule_id(s) {bad} collide with the audit aggregate's "
+            "internal aliases ('_n' or a mean_between rule's "
+            "'<rule_id>_s'/'<rule_id>_c' companions) — rename the rule"
+        )
 
     from functools import reduce
 

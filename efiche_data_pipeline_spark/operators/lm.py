@@ -645,6 +645,13 @@ def gate_pool_batch(
         .filter(F.col("cnt") > 0)  # drop forget-cancelled counts/markers
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    # One evaluation instead of three jobs: the row count rides the
+    # append's own job as an observed metric (no checkpoint pin, no
+    # separate count). Appending an empty frame is a semantic no-op
+    # (append_new is keyed), so the n == 0 case needs no gate.
+    obs = Observation()
     kept = (
         ngram_lm_score(fresh, model, id_col, text_col)
         .filter(F.col("xent") <= F.lit(float(calib["threshold"])))
@@ -652,12 +659,10 @@ def gate_pool_batch(
         .withColumn(
             "model_version", F.lit(int(calib["model_version"])).cast("int")
         )
-        .localCheckpoint(eager=True)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
-    n = kept.count()
-    if n:
-        store.append_new(kept, scores_table, key=id_col)
-    return int(n)
+    store.append_new(kept, scores_table, key=id_col)
+    return int(obs.get["n"])
 
 
 def forget_gate_documents(

@@ -569,6 +569,8 @@ def proximity_topk(
     pass filters to it BEFORE any exchange, so the position self-join
     exchanges matched postings only (keyed on the doc id — naturally
     distributed) and the raw corpus text never shuffles."""
+    if slop < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
     postoks = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(text_col)).alias("pos", "term"),
@@ -760,6 +762,8 @@ def proximity_index_query(
     folded (same positions, same integer scoring), so the oracle is
     the one-shot's SQL verbatim. The postings scan prunes to the pair
     vocabulary's hash prefixes at the directory level."""
+    if slop < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
     pairs = _query_pairs(queries, query_id_col, query_col).localCheckpoint(
         eager=True
     )

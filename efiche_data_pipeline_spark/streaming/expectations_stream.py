@@ -135,6 +135,16 @@ def expectations_gate_fold(
     the number of rows processed (0 for an empty or replayed batch)."""
     hard = _validate_hard(rules, hard_rule_ids)
     spark = batch.sparkSession
+    # The replay protocol is monotone-INTEGER id spans (the watermark
+    # stores batch_max_id long); a string/date id would fail mid-fold
+    # with a bare TypeError after the checkpoint — refuse it up front
+    # with the contract stated (ADVICE r11).
+    id_type = batch.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"expectations gate: {id_col} must be an integer column "
+            f"(monotone-id replay contract), got {id_type}"
+        )
     batch = batch.localCheckpoint(eager=True)
     span = batch.agg(
         F.min(id_col).alias("lo"),
@@ -225,8 +235,10 @@ def forget_expectation_rows(
     out: dict[str, int] = {}
     for table in (accepted_table, quarantine_table):
         if store.exists(table):
-            store.delete_keys(table, ids, id_col)
-            out[table] = 0
+            # record what delete_keys reports (new version for
+            # versioned tables; plain tables report None → 0) instead
+            # of a constant 0 placeholder (ADVICE r11)
+            out[table] = store.delete_keys(table, ids, id_col) or 0
     return out
 
 
@@ -284,10 +296,17 @@ def run_expectations_gate_stream(
         if store.exists(quarantine_table)
         else 0
     )
+    # Schema-stable EMPTY audit frame when the source yielded no
+    # batches (audit table never created): callers can always
+    # .collect()/.filter() the field without a None check (ADVICE r11).
     audit = (
         read_expectations_audit(store, audit_table)
         if store.exists(audit_table)
-        else None
+        else spark.createDataFrame(
+            [],
+            "rule_id string, kind string, column string, n_rows long, "
+            "n_violations long, ok boolean, batch_max_id long",
+        )
     )
     return ExpectationsStreamReport(
         n_batches=totals["batches"],

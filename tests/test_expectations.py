@@ -157,3 +157,29 @@ def test_metric_rules_refused_as_hard(spark, tmp_path):
     rules = [Rule("m", "mean_between", "v", lo=0.0, hi=1.0)]
     with pytest.raises(ValueError, match="row-decidable"):
         expectations_gate_fold(df, store, rules, ("m",), "id")
+
+
+def test_rule_id_alias_collisions_refused(spark):
+    """ADVICE r12: rule ids colliding with the single-pass aggregate's
+    internal aliases ('_n', a mean_between rule's '_s'/'_c'
+    companions) are rejected up front with the colliding ids named."""
+    import pytest as _pytest
+
+    from efiche_data_pipeline_spark.operators.expectations import (
+        Rule,
+        check_expectations,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with _pytest.raises(ValueError, match="_n"):
+        check_expectations(df, [Rule("_n", "not_null", "v")])
+    with _pytest.raises(ValueError, match="collide"):
+        check_expectations(
+            df,
+            [
+                Rule("m", "mean_between", "v", lo=0.0, hi=10.0),
+                Rule("m_s", "not_null", "v"),
+            ],
+        )

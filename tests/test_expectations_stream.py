@@ -225,3 +225,56 @@ def test_forget_expectation_rows(spark, tmp_path):
             spark.createDataFrame(_rows(0, 6), _SCHEMA),
             store, _RULES, _HARD, "id",
         )
+
+
+def test_gate_fold_refuses_non_integer_id(spark, tmp_path):
+    """ADVICE r12: the monotone-id replay contract is integer spans —
+    a string id column must be refused up front with the contract
+    named, not fail mid-fold with a bare TypeError."""
+    store = Store(spark, str(tmp_path / "store"))
+    strid = spark.createDataFrame(
+        [("a", 1.0, "F")], "id string, price double, status string"
+    )
+    with pytest.raises(ValueError, match="integer column"):
+        expectations_gate_fold(strid, store, _RULES, _HARD, "id")
+    assert not store.exists("expectations_watermark")
+
+
+def test_forget_expectation_rows_reports_per_table(spark, tmp_path):
+    """ADVICE r12: the forget records delete_keys' own report per
+    table (plain sinks report None → 0) instead of never touching the
+    stored value; absent tables stay absent from the dict."""
+    from efiche_data_pipeline_spark.streaming.expectations_stream import (
+        forget_expectation_rows,
+    )
+
+    store = Store(spark, str(tmp_path / "store"))
+    b = spark.createDataFrame(_rows(0, 10), _SCHEMA)
+    expectations_gate_fold(b, store, _RULES, _HARD, "id")
+    out = forget_expectation_rows(
+        store, spark.createDataFrame([(5,)], "id long"), "id"
+    )
+    assert set(out) == {"expectations_accepted", "expectations_quarantine"}
+    assert all(isinstance(v, int) for v in out.values())
+
+
+def test_empty_source_stream_returns_schema_stable_audit(spark, tmp_path):
+    """ADVICE r12: a source directory that yields no batches must
+    still return a DataFrame-typed (empty, schema-stable) audit."""
+    src = str(tmp_path / "src")
+    (tmp_path / "src").mkdir()
+    store = Store(spark, str(tmp_path / "store"))
+    report = run_expectations_gate_stream(
+        spark,
+        src,
+        _SCHEMA,
+        store,
+        str(tmp_path / "ckpt"),
+        _RULES,
+        _HARD,
+        "id",
+    )
+    assert report.n_batches == 0
+    assert report.audit.count() == 0
+    assert "batch_max_id" in report.audit.columns
+    assert "rule_id" in report.audit.columns

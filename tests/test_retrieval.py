@@ -495,3 +495,23 @@ def test_proximity_oracle_differential(spark):
     con.close()
     assert len(spark_pdf) > 0
     assert_frames_match(spark_pdf, oracle_pdf, "proximity_differential")
+
+
+def test_proximity_rejects_nonpositive_slop(spark, tmp_path):
+    """ADVICE r12: slop=0 would NULL-poison the block key (floor(x/0))
+    and silently return empty; both entry points fail fast instead."""
+    import pytest as _pytest
+
+    from efiche_data_pipeline_spark.operators.retrieval import (
+        proximity_index_query,
+        proximity_topk,
+    )
+    from efiche_data_pipeline_spark.pipeline.store import Store
+
+    for bad in (0, -2):
+        with _pytest.raises(ValueError, match="slop must be >= 1"):
+            proximity_topk(_pdocs(spark), _pqf(spark), slop=bad)
+        with _pytest.raises(ValueError, match="slop must be >= 1"):
+            proximity_index_query(
+                Store(spark, str(tmp_path / "s")), _pqf(spark), slop=bad
+            )
