@@ -201,7 +201,10 @@ def _env_context(spark) -> dict:
         ctx["loadavg"] = [round(x, 2) for x in la]
     except OSError:
         pass
-    ctx["cpus"] = os.cpu_count()
+    # the core count the bench actually RUNS with (local[$SPARK_GRAFT_CPUS]),
+    # not the host's os.cpu_count() — the c8 scaling record used to say 32
+    ctx["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()))
+    ctx["host_cpus"] = os.cpu_count()
     try:
         beans = (
             spark.sparkContext._jvm.java.lang.management.ManagementFactory

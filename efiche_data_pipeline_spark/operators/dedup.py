@@ -1709,7 +1709,9 @@ def forget_documents(
         if not (store.exists(table) or store.current_version(table) is not None):
             continue
         keys = ids if key == id_col else ids.select(F.col(id_col).alias(key))
-        touched[table] = store.delete_keys(table, keys, key)
+        # ids is distinct + eagerly pinned above; the rename is a pure
+        # projection over the pinned RDD — skip the per-table re-pin.
+        touched[table] = store.delete_keys(table, keys, key, pinned=True)
         if vacuum and store.current_version(table) is not None:
             store.vacuum_versions(table, keep_last=1)
     return touched
@@ -2703,14 +2705,17 @@ def forget_span_documents(
             ).distinct()
             store.delete_keys(reports_table, gone, id_col)
             out[reports_table] = new_reports.count()
-        store.delete_keys(positions_table, ids, "_id")
+        store.delete_keys(positions_table, ids, "_id", pinned=True)
         out[positions_table] = agrams.count()
     elif store.exists(reports_table):
         # no index (already purged / never built): the ids may still
         # name report rows — delete them; no holder recompute is
         # possible or needed (their grams are gone from the index)
         store.delete_keys(
-            reports_table, ids.select(F.col("_id").alias(id_col)), id_col
+            reports_table,
+            ids.select(F.col("_id").alias(id_col)),
+            id_col,
+            pinned=True,
         )
         out[reports_table] = 0
     # the byid secondary projection holds the same position rows —
@@ -2720,14 +2725,17 @@ def forget_span_documents(
     # crashed between the two deletes)
     byid = _byid_table(positions_table)
     if store.exists(byid):
-        store.delete_keys(byid, ids, "_id")
+        store.delete_keys(byid, ids, "_id", pinned=True)
         out[byid] = 0
     if store.exists(seen_table):
-        store.delete_keys(seen_table, ids, "_id")
+        store.delete_keys(seen_table, ids, "_id", pinned=True)
         out[seen_table] = 0
     if store.exists(flags_table):
         store.delete_keys(
-            flags_table, ids.select(F.col("_id").alias(id_col)), id_col
+            flags_table,
+            ids.select(F.col("_id").alias(id_col)),
+            id_col,
+            pinned=True,
         )
         out[flags_table] = 0
     return out

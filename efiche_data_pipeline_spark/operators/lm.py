@@ -78,12 +78,23 @@ def _lag_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     base = docs.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - 1),
-        lambda p: F.struct(
-            p.cast("int").alias("pos"),
-            F.get("_toks", p).alias("w2"),
-            F.get("_toks", p - 1).alias("w1"),
+    # NULL-text guard (config-independent): under the default
+    # sizeOfNull semantics a NULL _toks already yields no rows, but
+    # with spark.sql.legacy.sizeOfNull=true size(NULL) is -1 and
+    # sequence(0, -2) would emit a DESCENDING [0, -1, -2] junk triple
+    # per NULL-text doc — the explicit when() pins the posexplode
+    # semantics (zero rows) either way, matching _gram_positions'
+    # guarded shape (operators/dedup.py).
+    n = F.size("_toks")
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.get("_toks", p).alias("w2"),
+                F.get("_toks", p - 1).alias("w1"),
+            ),
         ),
     )
     return base.select("_id", F.explode(grams).alias("g")).select(
@@ -754,10 +765,12 @@ def forget_gate_documents(
     key_frame = store.spark.createDataFrame(
         [(i,) for i in wanted], f"{id_col} long"
     )
-    store.delete_keys(ref_table, key_frame, id_col)
+    # key_frame is a tiny key-unique local relation: recompute is free,
+    # so the defensive distinct+pin job per table is pure overhead
+    store.delete_keys(ref_table, key_frame, id_col, pinned=True)
     for t in (docs_table, scores_table):
         if store.exists(t):
-            store.delete_keys(t, key_frame, id_col)
+            store.delete_keys(t, key_frame, id_col, pinned=True)
     # re-seed the bounded sample from the survivor sink (pure
     # recompute; write_version is idempotent); then re-calibrate so
     # the stored snapshot derives from surviving state only

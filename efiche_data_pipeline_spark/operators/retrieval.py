@@ -459,7 +459,7 @@ def forget_term_documents(
     out: dict[str, int] = {}
     for table in (postings_table, doclen_table, seen_table):
         if store.exists(table):
-            store.delete_keys(table, ids, "_id")
+            store.delete_keys(table, ids, "_id", pinned=True)
             out[table] = 0
     return out
 

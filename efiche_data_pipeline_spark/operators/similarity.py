@@ -1543,7 +1543,7 @@ def forget_vectors(
             store.exists(table) or store.current_version(table) is not None
         ):
             continue
-        touched[table] = store.delete_keys(table, ids, id_col)
+        touched[table] = store.delete_keys(table, ids, id_col, pinned=True)
         if vacuum and store.current_version(table) is not None:
             store.vacuum_versions(table, keep_last=1)
     if (

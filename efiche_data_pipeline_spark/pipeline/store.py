@@ -836,7 +836,9 @@ class Store:
             return out
         return self.spark.read.parquet(*dirs)
 
-    def delete_keys(self, table: str, keys: DataFrame, key_col: str) -> int | None:
+    def delete_keys(
+        self, table: str, keys: DataFrame, key_col: str, pinned: bool = False
+    ) -> int | None:
         """Delete every row whose ``key_col`` appears in ``keys`` — the
         right-to-be-forgotten primitive a 100 TB corpus must support
         (the reference would run ``DELETE FROM`` and let PostgreSQL
@@ -863,10 +865,18 @@ class Store:
         ``vacuum_versions`` drops their manifests and layers — run it
         (with a retention of 0-1) to make the purge physical; the
         GDPR test walks every surviving parquet file to prove the keys
-        are gone."""
+        are gone.
+
+        ``pinned=True`` declares that ``keys`` is ALREADY an eagerly
+        checkpointed frame (duplicates are harmless — locate/clean are
+        semi/anti joins — the pin only exists so the keys subtree is
+        not recomputed per affected layer): callers purging one key set
+        from many tables (:func:`operators.dedup.forget_documents`)
+        skip one re-pin job per table."""
         from pyspark.sql import functions as F
 
-        keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
+        if not pinned:
+            keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
         locate = lambda df: df.join(F.broadcast(keys), key_col, "left_semi")
         clean = lambda df: df.join(F.broadcast(keys), key_col, "left_anti")
         return self._delete_rows(table, locate, clean, "delete_keys")

@@ -177,3 +177,22 @@ def test_scoring_plan_broadcasts_model(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_null_text_docs_emit_no_lag_rows(spark):
+    """The in-row _lag_frame must reproduce the old posexplode
+    semantics for NULL text — zero rows — independent of the
+    sizeOfNull config (legacy size(NULL) = -1 would otherwise turn
+    sequence(0, -2) into a descending junk triple that inflates
+    lm_count_delta's unigram counts)."""
+    clean = _docs(spark, _TRAIN)
+    with_null = _docs(spark, _TRAIN + [(99, None)])
+    legacy = spark.conf.get("spark.sql.legacy.sizeOfNull", "false")
+    try:
+        for flag in ("false", "true"):
+            spark.conf.set("spark.sql.legacy.sizeOfNull", flag)
+            assert _model_rows(lm_count_delta(with_null)) == _model_rows(
+                lm_count_delta(clean)
+            ), f"NULL-text doc changed LM counts under sizeOfNull={flag}"
+    finally:
+        spark.conf.set("spark.sql.legacy.sizeOfNull", legacy)

@@ -382,3 +382,30 @@ def test_forget_gate_documents_refuses_emptying_the_slice(spark, tmp_path):
     # zero mutation: model version and sink untouched
     assert store.current_version("gate_lm") == v
     assert store.read("gate_ref_docs").count() == len(_REF)
+
+
+def test_all_rejected_first_batch_keeps_downstream_behavior(spark, tmp_path):
+    """An all-rejected FIRST pool batch appends an empty frame, which
+    CREATES an empty scores sink where the pre-Observation code left
+    no table at all (r12's one-job-fewer gate). Pin that the existence
+    flip is harmless end-to-end: the empty sink still watermarks
+    nothing, a later batch gates normally, and the final sink equals
+    gating both batches in one call."""
+    store = Store(spark, str(tmp_path / "g1"))
+    calibrate_quality_gate(store, _docs(spark, _REF))
+    gib_only = [r for r in _POOL if r[0] in (11, 21)]
+    rest = [r for r in _POOL if r[0] not in (11, 21)]
+    assert gate_pool_batch(_docs(spark, gib_only), store) == 0
+    # downstream existence branch: an (empty) committed sink is fine —
+    # readers see zero rows, not a missing table
+    if store.exists("gate_scores"):
+        assert store.read("gate_scores").count() == 0
+    n2 = gate_pool_batch(_docs(spark, rest), store)
+    assert n2 > 0
+    # equivalence with one combined batch on a fresh store
+    store2 = Store(spark, str(tmp_path / "g2"))
+    calibrate_quality_gate(store2, _docs(spark, _REF))
+    assert gate_pool_batch(_docs(spark, _POOL), store2) == n2
+    a = sorted(tuple(r) for r in store.read("gate_scores").collect())
+    b = sorted(tuple(r) for r in store2.read("gate_scores").collect())
+    assert a == b
