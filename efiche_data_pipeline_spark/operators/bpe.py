@@ -77,26 +77,93 @@ class BpeResult:
     vocab: DataFrame  # (word, freq, seq, n_symbols)
 
 
+def _batch_safe_merges(
+    rows, complete: bool, budget: int
+) -> list[tuple[str, str, int]]:
+    """The PROVABLY-exact prefix of a collected top-M pair list that
+    can be merged without recounting — the driver-side half of the
+    batched argmax (one Spark job now yields several merges).
+
+    ``rows`` is the top-M (count DESC, l ASC, r ASC) slice of the
+    TRUE pair-count table; ``complete`` says the slice IS the whole
+    table. The first candidate is the exact argmax and always safe.
+    Each later candidate (a, b, c) stays exact iff, against every
+    already-accepted merge (l, r → s=l+r):
+
+    1. **Collection bound**: ``c`` must exceed the M-th collected
+       count (uncollected pairs are ≤ it, so nothing below the
+       horizon can outrank the candidate — and the strict inequality
+       kills lex ties with uncollected pairs too). Void when the
+       slice is complete.
+    2. **Unaffectedness**: {a, b} ∩ {l, r, s} = ∅. Applying (l)(r)→(s)
+       only removes pairs of the form (x, l) / (r, y) and only creates
+       pairs containing s, so a disjoint candidate's count — and its
+       literal (a)(b) occurrence sites — are bit-identical before and
+       after the replace.
+    3. **Created-pair bound**: a pair born from an accepted merge has
+       count ≤ its parent's pre-merge count (every (x, s) site was an
+       (x, l) site; every (s, y) site an (r, y) site). If some
+       COLLECTED pair (p, q) with count ≥ c has q == l or p == r, a
+       child of it could outrank the candidate — stop and recount.
+       Parents below the collection horizon are < c by rule 1.
+
+    Walking stops at the first violation (an AFFECTED candidate's
+    count may have shrunk, so later candidates cannot be ordered
+    against it without a recount). The result applied in order is
+    bit-identical to the one-merge-at-a-time loop."""
+    out: list[tuple[str, str, int]] = []
+    floor = int(rows[-1]["c"]) if not complete else None
+    sym: set[str] = set()
+    for row in rows:
+        if len(out) >= budget:
+            break
+        l, r, c = row["l"], row["r"], int(row["c"])
+        if out:
+            if floor is not None and c <= floor:
+                break
+            if l in sym or r in sym:
+                break
+            conflict = False
+            for al, ar, _ in out:
+                for p in rows:
+                    if int(p["c"]) >= c and (p["r"] == al or p["l"] == ar):
+                        conflict = True
+                        break
+                if conflict:
+                    break
+            if conflict:
+                break
+        out.append((l, r, c))
+        sym.update((l, r, l + r))
+    return out
+
+
 def bpe_learn(
-    vocab: DataFrame, n_merges: int, partitions: int = 1
+    vocab: DataFrame, n_merges: int, partitions: int = 1, batch_top: int = 64
 ) -> BpeResult:
     """Learn the first ``n_merges`` BPE merge operations from a
     (word, freq) vocabulary. Raises if the vocabulary exhausts its
     pairs before ``n_merges`` (the oracle chain has no early-stop, so
     silence here would mean a silent divergence).
 
-    Per iteration: one vocab-bounded aggregate (adjacent pairs
-    weighted by freq) ending in a single-row TakeOrdered collect (the
-    argmax pair) — ONE job — plus a lazy literal-replace projection.
-    Checkpoints land every 4th iteration only (replaying a few string
-    replaces over the vocab is cheaper than an extra eager job per
-    iteration). ``partitions`` sizes the pinned vocab: the default 1
-    fits test/sf corpora (a 200-partition vanilla session would
-    otherwise pay full-width task scheduling per iteration), while a
-    production vocabulary (~10^6-10^7 distinct words at 100 TB) should
-    pass 8-32 so each iteration's pair aggregate and replace
-    projection parallelize — the loop itself is partition-agnostic
-    (the argmax is a global TakeOrdered either way)."""
+    Per ROUND: one vocab-bounded aggregate (adjacent pairs weighted by
+    freq) ending in a top-``batch_top`` TakeOrdered collect — ONE job —
+    from which :func:`_batch_safe_merges` extracts every merge that is
+    provably identical to the sequential argmax (typically 2-6 early
+    on, more once the frequent symbols separate), applied as chained
+    lazy literal-replace projections. The merge table is bit-identical
+    to the one-job-per-merge loop (the safety rules above + the
+    planted differential test); the job count drops from ``n_merges``
+    to the number of rounds. Checkpoints land every 4th round
+    (replaying a few string replaces over the vocab is cheaper than an
+    extra eager job per round). ``partitions`` sizes the pinned vocab:
+    the default 1 fits test/sf corpora (a 200-partition vanilla
+    session would otherwise pay full-width task scheduling per round),
+    while a production vocabulary (~10^6-10^7 distinct words at
+    100 TB) should pass 8-32 so each round's pair aggregate and
+    replace projection parallelize — the loop itself is
+    partition-agnostic (the argmax is a global TakeOrdered either
+    way, and ``batch_top`` rows reach the driver per round)."""
     spark = vocab.sparkSession
     seqs = (
         vocab.select("word", "freq", _wrapped_seq("word").alias("seq"))
@@ -104,7 +171,9 @@ def bpe_learn(
         .localCheckpoint(eager=True)
     )
     merge_rows: list[tuple[int, str, str, int, str]] = []
-    for it in range(1, n_merges + 1):
+    top = max(1, int(batch_top))
+    rounds = 0
+    while len(merge_rows) < n_merges:
         syms = _symbols("seq")
         z = F.zip_with(
             F.slice(syms, 1, F.size(syms) - 1),
@@ -117,24 +186,29 @@ def bpe_learn(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(top)
             .collect()
         )
         if not best:
             raise RuntimeError(
-                f"vocabulary exhausted after {it - 1} merges; "
+                f"vocabulary exhausted after {len(merge_rows)} merges; "
                 f"{n_merges} requested"
             )
-        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        merge_rows.append((it, l, r, c, l + r))
-        seqs = seqs.select(
-            "word",
-            "freq",
-            F.replace(
-                F.col("seq"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-            ).alias("seq"),
+        safe = _batch_safe_merges(
+            best, complete=len(best) < top,
+            budget=n_merges - len(merge_rows),
         )
-        if it % 4 == 0 and it < n_merges:
+        for l, r, c in safe:
+            merge_rows.append((len(merge_rows) + 1, l, r, c, l + r))
+            seqs = seqs.select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("seq"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("seq"),
+            )
+        rounds += 1
+        if rounds % 4 == 0 and len(merge_rows) < n_merges:
             seqs = seqs.localCheckpoint(eager=True)
     merges = spark.createDataFrame(
         merge_rows,

@@ -203,9 +203,13 @@ def jaccard_pairs(
     max_freq²/2 pairs, so no bucket can explode a task) → count shared
     shingles per pair → join per-doc shingle counts. Round 1 did this
     with a three-shuffle self-join that moved raw shingle strings and
-    pinned an un-unpersisted cache; this shape has neither problem and
-    both derived branches hang off the same bucket Exchange, which
-    Catalyst reuses (ReusedExchange) instead of recomputing the scan.
+    pinned an un-unpersisted cache; this shape has neither problem.
+    AQE's runtime exchange reuse deduplicates the two size-join
+    branches; the pair branch re-runs the shingle pass — an eager
+    bucket pin was A/B-measured SLOWER here (1.87 vs 1.73 s at sf0.1:
+    the pin serializes the array column and blocks every consumer on
+    one materialization job, while the recompute overlaps at full
+    scan parallelism), so the lazy shape stays.
     """
     buckets = shingle_buckets(df, id_col, text_col, n=n, max_freq=max_freq)
     pair = F.explode(_pair_combinations(F.col("docs"))).alias("pair")
@@ -396,11 +400,18 @@ def minhash_lsh_pairs(
             "otherwise trailing signature positions are silently excluded "
             "from banding and candidate recall drops"
         )
-    # No cache(): the signature aggregate feeds the band frames and the
-    # two signature-lookup joins within one action — ReuseExchange
-    # shares the shuffle instead of pinning storage (round 1 leaked
-    # this cache).
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, portable)
+    # The signature aggregate feeds the band frame AND both
+    # signature-lookup join sides. Relying on runtime exchange reuse
+    # (the round-2 posture) left the executed r12 plan with FIVE
+    # parquet scans — AQE only deduplicated one repartition stage, so
+    # the shingle+hash signature pass (the md5-heavy part in portable
+    # mode) ran three times. One eager localCheckpoint pins the
+    # (O(docs) × n_hashes longs) frame so the corpus is signed exactly
+    # once; unlike round 1's leaked cache() it is scoped to this
+    # dataflow and needs no unpersist bookkeeping.
+    sig = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_n, portable
+    ).localCheckpoint(eager=True)
     memberships = _band_memberships(sig, id_col, n_hashes, bands, portable)
     cand = _bucket_candidates(memberships, id_col)
     return _pair_est_sim(cand, sig, sig, id_col, n_hashes).filter(

@@ -161,3 +161,32 @@ def test_bpe_iterations_never_rescan_the_corpus(spark):
     plan = res.vocab._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan and "FileScan" not in plan
     assert "Generate" not in plan  # the explode ran once, pre-checkpoint
+
+
+def test_batched_argmax_equals_sequential(spark):
+    """The top-M batched merge extraction (bpe_learn's one-job-many-
+    merges round) must be BIT-IDENTICAL to the one-merge-per-job
+    sequential loop (batch_top=1 degenerates to it). Planted shapes
+    cover the hazards: chained merges (each depends on the previous —
+    never batchable), self-merges ((a,a) — created-pair bound must
+    stop the batch), count ties broken by lex order, and a realistic
+    mixed corpus."""
+    corpora = [
+        ([" ".join(_WORDS)], 8),  # chained est-merges + ties
+        (["a a a a a b a b b c c d"], 4),  # self-merge + tiny tail
+        (
+            [
+                "the cat sat on the mat",
+                "the dog sat on the log",
+                "a cat and a dog sat",
+                "mat log cat dog the the",
+            ],
+            10,
+        ),
+        (["xy xy xy zw zw zw xz wy"], 6),  # disjoint equal-count pairs
+    ]
+    for texts, n in corpora:
+        vocab = word_vocab(_docs(spark, texts)).localCheckpoint(eager=True)
+        seq = bpe_learn(vocab, n, batch_top=1).merges.orderBy("it").collect()
+        bat = bpe_learn(vocab, n, batch_top=64).merges.orderBy("it").collect()
+        assert [tuple(r) for r in seq] == [tuple(r) for r in bat], texts
