@@ -586,19 +586,29 @@ def calibrate_quality_gate(
     ref_scores = ngram_lm_score(
         ref_src, model, id_col, text_col
     ).localCheckpoint(eager=True)
-    n_ref = ref_scores.count()
-    if n_ref == 0:
+    # ONE job derives (n_ref, threshold): the ranked pass carries the
+    # total through the offsets broadcast (global_row_number
+    # total_col), and k = ceil(pct · n) is evaluated in-row with
+    # integer div — the separate count job the old shape paid per
+    # calibration fold is gone. Exact k-th order statistic either way.
+    ranked = global_row_number(
+        ref_scores.select(id_col, "xent"),
+        ["xent", id_col],
+        out_col="rn",
+        total_col="_n_ref",
+    )
+    row = ranked.filter(
+        F.col("rn")
+        == F.expr(f"(_n_ref * {int(pct_num)} + {int(pct_den) - 1}) div {int(pct_den)}")
+    ).select("xent", "_n_ref").first()
+    if row is None:
         raise ValueError(
             "calibrate_quality_gate: the reference slice has no "
             "scoreable (>= 2 token) documents — no percentile exists"
         )
+    n_ref = int(row["_n_ref"])
     k = (n_ref * pct_num + pct_den - 1) // pct_den
-    ranked = global_row_number(
-        ref_scores.select(id_col, "xent"), ["xent", id_col], out_col="rn"
-    )
-    threshold = float(
-        ranked.filter(F.col("rn") == k).select("xent").first()["xent"]
-    )
+    threshold = float(row["xent"])
     calib = store.spark.createDataFrame(
         [(int(version), int(n_ref), int(k), threshold)],
         "model_version int, n_ref long, k long, threshold double",

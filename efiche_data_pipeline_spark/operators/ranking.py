@@ -69,25 +69,40 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "rn",
     buckets: int = 64,
+    total_col: str | None = None,
 ) -> DataFrame:
     """1-based dense global rank over ``order_cols`` (ascending; must
-    form a total order — include a unique tiebreaker column)."""
+    form a total order — include a unique tiebreaker column).
+
+    ``total_col`` additionally attaches the TOTAL row count to every
+    row, computed inside the same bucket-counts window the offsets
+    already pay for (the ``buckets``-row frame) — order-statistic
+    consumers (percentile thresholds: rank k of n) then read rank,
+    value, and n in ONE job instead of paying a separate count."""
     lead = order_cols[0]
     with_b = _bucket_ids(df, lead, buckets)
-    offsets = (
-        with_b.groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
+    counts = with_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    keep = ["_b", "_off"]
+    if total_col is not None:
+        offsets = offsets.withColumn(
+            total_col,
+            F.sum("_n").over(
+                Window.orderBy("_b").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
             ),
         )
-        .select("_b", "_off")
-    )
+        keep.append(total_col)
+    offsets = offsets.select(*keep)
     local = F.row_number().over(
         Window.partitionBy("_b").orderBy(*[F.col(c).asc() for c in order_cols])
     )
