@@ -219,6 +219,29 @@ def build_fact_encounters(
 # Bridges (reference: populate_warehouse.py:190-227)
 # ---------------------------------------------------------------------------
 
+def build_bridge_procedure(
+    procedures: DataFrame, fact: DataFrame, dim_procedure: DataFrame
+) -> DataFrame:
+    # dim_procedure is per-procedure (scales with the fact side) — no
+    # broadcast hint.
+    return (
+        procedures.join(fact.select("encounter_id", "encounter_key"), "encounter_id")
+        .join(dim_procedure.select("procedure_id", "procedure_key"), "procedure_id")
+        .select("encounter_key", "procedure_key", "procedure_date")
+    )
+
+
+def build_bridge_diagnosis(
+    diagnoses: DataFrame, fact: DataFrame, dim_diagnosis: DataFrame
+) -> DataFrame:
+    # dim_diagnosis is a bounded code list and stays broadcast.
+    return (
+        diagnoses.join(fact.select("encounter_id", "encounter_key"), "encounter_id")
+        .join(F.broadcast(dim_diagnosis.select("code_id", "diagnosis_key")), "code_id")
+        .select("encounter_key", "diagnosis_key", "is_primary", "diagnosis_date")
+    )
+
+
 def build_bridges(
     procedures: DataFrame,
     diagnoses: DataFrame,
@@ -226,21 +249,10 @@ def build_bridges(
     dim_procedure: DataFrame,
     dim_diagnosis: DataFrame,
 ) -> tuple[DataFrame, DataFrame]:
-    fact_keys = fact.select("encounter_id", "encounter_key")
-    # dim_procedure is per-procedure (scales with the fact side) — no
-    # broadcast hint; dim_diagnosis is a bounded code list and stays
-    # broadcast.
-    bep = (
-        procedures.join(fact_keys, "encounter_id")
-        .join(dim_procedure.select("procedure_id", "procedure_key"), "procedure_id")
-        .select("encounter_key", "procedure_key", "procedure_date")
+    return (
+        build_bridge_procedure(procedures, fact, dim_procedure),
+        build_bridge_diagnosis(diagnoses, fact, dim_diagnosis),
     )
-    bed = (
-        diagnoses.join(fact_keys, "encounter_id")
-        .join(F.broadcast(dim_diagnosis.select("code_id", "diagnosis_key")), "code_id")
-        .select("encounter_key", "diagnosis_key", "is_primary", "diagnosis_date")
-    )
-    return bep, bed
 
 
 # ---------------------------------------------------------------------------
@@ -622,32 +634,37 @@ def build_warehouse(
             partition_by=["enc_year"],
         )
 
-        # Each bridge task builds both bridge frames (shared fact_keys
-        # lineage) and writes its own half; its dependent MV consumes
-        # the SAME lineage concurrently with the write rather than
-        # waiting to read the committed bridge back — the bridge join
-        # is evaluated twice (independent Spark jobs), which trades a
+        # Each bridge task builds ONLY its own frame (the split
+        # builders read exactly the tables the task declares as deps —
+        # the old shared _bridges() closure evaluated BOTH sides, so
+        # the diagnosis task touched dim_procedure it never depended
+        # on: a latent read-mid-write race that surfaced the moment
+        # task timing shifted). Its dependent MV consumes the SAME
+        # lineage concurrently with the write rather than waiting to
+        # read the committed bridge back — the bridge join is
+        # evaluated twice (independent Spark jobs), which trades a
         # cheap recompute for taking both off the critical path. At
         # true 100 TB bridge sizes, flip the MV deps to the bridge
         # table and _get it — a one-line change back to read-committed.
-        def _bridges():
-            return build_bridges(
-                _get("procedures"),
-                _get("diagnoses"),
-                _get("fact_encounters"),
-                _get("dim_procedure"),
-                _get("dim_diagnosis"),
+        def _bep():
+            return build_bridge_procedure(
+                _get("procedures"), _get("fact_encounters"), _get("dim_procedure")
+            )
+
+        def _bed():
+            return build_bridge_diagnosis(
+                _get("diagnoses"), _get("fact_encounters"), _get("dim_diagnosis")
             )
 
         _submit(
             pool, "bridge_encounter_procedure",
-            _need("procedures") + ("fact_encounters", "dim_procedure"),
-            lambda: _bridges()[0],
+            ("fact_encounters", "dim_procedure"),
+            _bep,
         )
         _submit(
             pool, "bridge_encounter_diagnosis",
-            _need("diagnoses") + ("fact_encounters", "dim_diagnosis"),
-            lambda: _bridges()[1],
+            ("fact_encounters", "dim_diagnosis"),
+            _bed,
         )
 
         _submit(
@@ -658,7 +675,7 @@ def build_warehouse(
             pool, "mv_diagnosis_by_age_group",
             ("fact_encounters", "dim_patient", "dim_diagnosis"),
             lambda: mv_diagnosis_by_age_group(
-                _bridges()[1],
+                _bed(),
                 _get("fact_encounters"),
                 _get("dim_patient"),
                 _get("dim_diagnosis"),
@@ -668,7 +685,7 @@ def build_warehouse(
             pool, "mv_procedure_volume",
             ("fact_encounters", "dim_procedure"),
             lambda: mv_procedure_volume(
-                _bridges()[0],
+                _bep(),
                 _get("fact_encounters"),
                 _get("dim_procedure"),
             ),
